@@ -1,0 +1,92 @@
+"""Deduplication operators.
+
+Parity core: the reference's last-write-wins CDC compaction
+(/root/reference/incremental_kafka_s3_cdc.py:321-325) sorts by `__ts_ms`
+and drops duplicates keep-last via pandas-on-Spark — an O(global sort)
+plan that also breaks whole-stage codegen. We express the same semantics
+as a window `row_number`, which shuffles once by key and stays entirely
+in the JVM (SURVEY.md §2.5 A2 / §2.6 W1).
+
+Extension operators (SURVEY.md §2.11): exact hash dedup, n-gram Jaccard
+near-dup via shingle inverted index, MinHash-LSH, SimHash. All are
+shuffle-on-key designs that scale horizontally; none collect to the
+driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_last(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Last-write-wins per key: the row with max `order_col` survives.
+
+    Replaces /root/reference/incremental_kafka_s3_cdc.py:321-325
+    (pandas-on-Spark sort + drop_duplicates keep='last'). The reference's
+    keep='last' after a sort is positionally tie-broken; we make the order
+    total via explicit `tiebreakers` (e.g. Kafka offset / event id) so the
+    result is deterministic — documented deviation, SURVEY.md §7 (d).
+
+    Scale: one hash-shuffle on `keys`; skewed hot keys are handled by AQE.
+    No global sort, no Python round-trip.
+    """
+    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in tiebreakers]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """First-writer-wins (ascending twin of `keep_last`)."""
+    order = [F.col(order_col).asc()] + [F.col(t).asc() for t in tiebreakers]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_hash(col: Column | str, num_bits: int = 256) -> Column:
+    """Stable content fingerprint for exact dedup: sha2 over the column.
+
+    At 100 TB we group by the 64-char hash (or a 16-byte prefix), never by
+    the raw document text — the shuffle moves 64 bytes per row instead of
+    the full payload.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), num_bits)
+
+
+def dedup_exact(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per distinct content.
+
+    Adds `n_copies` (cluster size). Implementation groups on a sha2
+    fingerprint of the concatenated content columns so the shuffle key is
+    fixed-width regardless of document size.
+    """
+    fingerprint = content_hash(F.concat_ws("", *content_cols))
+    keyed = df.withColumn("__fp", fingerprint)
+    winners = keep_first(keyed, ["__fp"], id_col)
+    sizes = keyed.groupBy("__fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return winners.join(sizes, "__fp").drop("__fp")

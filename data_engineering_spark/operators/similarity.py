@@ -1,0 +1,177 @@
+"""Vector similarity operators over `array<float>` embedding columns.
+
+Extension surface required by the north star (SURVEY.md §2.11): the
+reference has no vector ops; these are designed Spark-first for the
+100 TB case:
+
+- all arithmetic stays in JVM builtins (`zip_with` + `aggregate`) — no
+  Python UDF in the hot path;
+- the query side of a top-k search is broadcast, so the big side is a
+  single scan with no shuffle;
+- the exact pair join (`cosine_similarity_join`) is quadratic by nature —
+  it exists as the correctness baseline and for modest candidate sets;
+  the scale path is `lsh_bucketed_similarity_join`, which blocks by
+  random-hyperplane sign-buckets and only scores within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for each query vector.
+
+    `queries` (small: the things being searched for) is broadcast; the
+    corpus side streams through one scan — per-partition top-k then a
+    final k·|queries| merge, no full shuffle of the corpus. Output:
+    (query_id, rank, neighbor_id, cosine).
+
+    At 100 TB this is the baseline/oracle path; use
+    `lsh_bucketed_similarity_join` when |queries| is large.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        as_double_vec(vec_col).alias("__qv"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+
+
+def cosine_similarity_join(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — exact, O(n²) scoring.
+
+    Correctness baseline for near-duplicate detection on embeddings.
+    Output: (id_a, id_b, cosine_r).
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("__va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+def lsh_bucketed_similarity_join(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate similarity join: random-hyperplane LSH blocking.
+
+    Each vector gets a sign-bucket from `num_planes` fixed random
+    hyperplanes (seeded → deterministic); exact cosine is computed only
+    within buckets. Recall < 1 by design; this is the 100 TB path — the
+    shuffle key is the bucket id, so work is proportional to bucket
+    sizes, not n².
+
+    The hyperplanes are generated driver-side with numpy (O(planes·dim))
+    and embedded as literals — no data collect.
+    """
+    import numpy as np
+
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_r double"
+        )
+    dim = dim_row["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    def bucket_expr(vec: Column) -> Column:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0, 1
+            ).otherwise(0) * (2**i)
+            for i, plane in enumerate(planes)
+        ]
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    v = vectors.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v")
+    ).withColumn("__bucket", bucket_expr(F.col("__v")))
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+    )
+    return (
+        a.join(b, ["__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .distinct()
+    )

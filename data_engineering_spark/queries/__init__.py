@@ -1,0 +1,13 @@
+"""Named query surface (driver contract).
+
+Importing this package registers every query + oracle into
+`data_engineering_spark.registry`.
+"""
+
+from data_engineering_spark.queries import (  # noqa: F401
+    events_cdc,
+    relational,
+    similarity,
+    text,
+)
+from data_engineering_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -1,0 +1,203 @@
+"""Event-stream / CDC-shaped queries over the `events` table.
+
+These exercise the reference's core CDC semantics on the driver's data:
+last-write-wins compaction per key (incremental_kafka_s3_cdc.py:321-325),
+op-code dispatch upsert-vs-delete (:272-276), event-time handling
+(`__ts_ms`, :380), plus JSON payload extraction and sessionization.
+
+Timestamps are compared as epoch millis (BIGINT) — engine-neutral, no
+timezone semantics in the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.functions.temporal import (
+    epoch_days_to_date,
+    timestamp_to_epoch_micros,
+    timestamp_to_epoch_millis,
+)
+from data_engineering_spark.operators.dedup import keep_last
+from data_engineering_spark.registry import dsum, query, sql_dsum
+
+
+@query(
+    "q_events_keep_last_per_user",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins snapshot per key — the reference's CDC compaction
+    (pandas drop_duplicates keep='last', :321-325) as a single-shuffle
+    window; event_id is the total-order tiebreaker (SURVEY §7d)."""
+    e = load_table(spark, sf_dir, "events")
+    return keep_last(e, ["user_id"], "ts", tiebreakers=["event_id"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        timestamp_to_epoch_millis("ts").alias("ts_ms"),
+    )
+
+
+@query(
+    "q_cdc_apply_events",
+    oracle="""
+    SELECT user_id, event_type AS last_op, value,
+           CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert/delete dispatch: treat `error` as the delete op-code —
+    keys whose *final* event is a delete vanish from the snapshot; all
+    other ops upsert (MERGE semantics, reference :272-276)."""
+    e = load_table(spark, sf_dir, "events")
+    last = keep_last(e, ["user_id"], "ts", tiebreakers=["event_id"])
+    return last.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        "value",
+        timestamp_to_epoch_millis("ts").alias("ts_ms"),
+    )
+
+
+@query(
+    "q_events_daily_stats",
+    oracle=f"""
+    SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')},
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time daily rollup — the batch equivalent of a tumbling
+    window aggregation (streaming shell runs the same plan per
+    micro-batch)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "q_events_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (reference F1 `from_json` family — here
+    the scalar-path `get_json_object`)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias(
+                "k_bucket"
+            )
+        )
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + prefix
+    flags — batch twin of a streaming session window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w))
+    new_sess = F.when(
+        prev_ms.isNull() | (F.unix_millis(F.col("ts")) - prev_ms > 1_800_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q_debezium_temporal",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+             AS epoch_days,
+           DATE '1970-01-01'
+             + CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+             AS date_roundtrip,
+           CAST((epoch_us(ts) % 86400000000) // 1000000 AS BIGINT)
+             AS second_of_day
+    FROM events
+    """,
+)
+def q_debezium_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium temporal semantics battery (SURVEY §2.8 F4-F7): epoch
+    millis/micros extraction, epoch-days → date reconstruction, and
+    MicroTime seconds-of-day — the exact integer arithmetic the CDC
+    schema_setter applies (incremental_kafka_s3_cdc.py:222-238)."""
+    from data_engineering_spark.functions.temporal import (
+        micros_of_day_to_seconds,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    us = timestamp_to_epoch_micros("ts")
+    epoch_days = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("int")
+    return e.select(
+        "event_id",
+        timestamp_to_epoch_millis("ts").alias("ts_ms"),
+        us.alias("ts_us"),
+        epoch_days.alias("epoch_days"),
+        epoch_days_to_date(epoch_days).alias("date_roundtrip"),
+        micros_of_day_to_seconds(us).alias("second_of_day"),
+    )

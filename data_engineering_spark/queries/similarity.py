@@ -1,0 +1,79 @@
+"""Vector-similarity queries over `embeddings` (SURVEY.md §2.11).
+
+Brute-force exact cosine top-k (the correctness baseline / ANN oracle),
+an exact cosine similarity join, and the LSH-bucketed approximate join
+(rows-only check — approximation has no SQL oracle; pytest bounds its
+recall against the exact join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.similarity import (
+    cosine_similarity_join,
+    cosine_topk,
+    lsh_bucketed_similarity_join,
+)
+from data_engineering_spark.registry import query
+
+_TOPK_QUERIES = 8  # vec_id < 8 are the standing query vectors
+_K = 5
+_SIM_THRESHOLD = 0.45
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS cosine
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_TOPK_QUERIES}),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= {_K}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 8 query vectors; broadcast query
+    side, one corpus scan, JVM-only arithmetic (zip_with + aggregate)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    return cosine_topk(e, q, k=_K)
+
+
+@query(
+    "q_embedding_similarity_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_r
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {_SIM_THRESHOLD}
+    """,
+)
+def q_embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine similarity join at threshold 0.45 — the
+    embedding near-duplicate detector's correctness baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_similarity_join(e, _SIM_THRESHOLD)
+
+
+@query("q_embedding_lsh_join")
+def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity join via random-hyperplane LSH blocking —
+    the 100 TB path (bucket-local scoring instead of n² pairs). No SQL
+    oracle: approximate recall; pytest compares against the exact join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_similarity_join(e, _SIM_THRESHOLD, num_planes=8)

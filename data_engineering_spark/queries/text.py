@@ -1,0 +1,157 @@
+"""Text-analysis + dedup queries over `documents` (SURVEY.md §2.11).
+
+The LLM-data-pipeline extension surface: token statistics, quality
+ratios, exact dedup, and n-gram Jaccard near-duplicate pairs — each with
+a DuckDB oracle that mirrors the tokenization exactly
+(split-on-whitespace after trim in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators import text as X
+from data_engineering_spark.operators.dedup import dedup_exact
+from data_engineering_spark.registry import query
+
+_EN_STOP = ("the", "a", "of", "and", "to")
+
+
+@query(
+    "q_doc_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT lang, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + per-language corpus statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "n_chars", X.token_count("text").alias("n_tokens")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "q_doc_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+      FROM documents)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_punct,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1) AS stop_ratio,
+           CAST(n_chars AS DOUBLE) / GREATEST(n_tokens, 1)
+             AS chars_per_token
+    FROM t
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: punctuation count, stopword ratio,
+    chars-per-token — the standard cheap filters of an LLM data
+    pipeline, all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = X.token_count("text")
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        X.punct_count("text").cast("long").alias("n_punct"),
+        X.stopword_count("text", list(_EN_STOP)).cast("long").alias("n_stop"),
+        (
+            X.stopword_count("text", list(_EN_STOP)).cast("double")
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("stop_ratio"),
+        (
+            F.col("n_chars").cast("double") / F.greatest(n_tokens, F.lit(1))
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q_doc_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: lowest doc_id survives per distinct text. Spark side
+    groups on a sha2 fingerprint (fixed-width shuffle key — the 100 TB
+    version never shuffles full documents); oracle groups on raw text.
+    Identical up to SHA-256 collision."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = dedup_exact(d, ["text"], "doc_id")
+    return kept.select(
+        F.col("doc_id").alias("kept_doc_id"), F.col("n_copies")
+    )
+
+
+@query(
+    "q_doc_ngram_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard_r
+    FROM pairs
+    WHERE common * 1.0 / (na + nb - common) >= 0.6
+    """,
+)
+def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram Jaccard >= 0.6 via shingle
+    inverted index (the scalable all-pairs formulation; see
+    operators/text.py for the skew analysis)."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.ngram_jaccard_pairs(d, threshold=0.6)
+
+
+@query("q_doc_language_guess")
+def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax) vs the labeled `lang`
+    column — no SQL oracle (the heuristic's tie-breaking is not worth
+    re-implementing in SQL); driver records a rows-only check, and
+    pytest asserts accuracy on labeled languages."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.guess_language("text").alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

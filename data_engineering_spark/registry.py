@@ -1,0 +1,97 @@
+"""Query + oracle registry powering the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers a named query
+callable `(spark, sf_dir) -> DataFrame` and (when SQL-expressible) a
+DuckDB oracle SQL string. `__spark_entry__.py` simply re-exports these.
+
+Cross-engine determinism policy (why results hash-match DuckDB exactly):
+
+- Sums/avgs over double columns go through `decimal` accumulation:
+  `SUM(CAST(x AS DECIMAL(18,s)))` is exact and order-independent, then a
+  final `CAST(... AS DOUBLE)` is one deterministic IEEE rounding. Summing
+  raw doubles directly would depend on partition/merge order and could
+  differ between Spark and DuckDB (and between Spark runs!).
+- Per-row double arithmetic (products, divisions) is identical IEEE-754
+  in both engines, so it is safe *before* the decimal cast.
+- Top-k orderings always carry a unique tiebreaker column so LIMIT is a
+  total order.
+- Timestamps are emitted as DATE or `timestamp_ntz` and the session
+  timezone is pinned to UTC at query time (the driver's session may not
+  be UTC-configured).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a query and its DuckDB oracle SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def tune(spark: SparkSession) -> None:
+    """Runtime-settable engine confs, applied defensively because the
+    driver owns the SparkSession. All are safe to set repeatedly."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down → keep going with session defaults
+
+
+# ---------------------------------------------------------------------------
+# deterministic aggregate helpers (see module docstring)
+# ---------------------------------------------------------------------------
+
+def dec(c: Column | str, scale: int = 2) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal(18,{scale})")
+
+
+def dsum(c: Column | str, name: str, scale: int = 2) -> Column:
+    """Order-independent exact sum of a double column, emitted as double."""
+    return F.sum(dec(c, scale)).cast("double").alias(name)
+
+
+def davg(c: Column | str, name: str, scale: int = 2) -> Column:
+    """avg = exact decimal sum (cast double once) / non-null count."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (F.sum(dec(c, scale)).cast("double") / F.count(c)).alias(name)
+
+
+# SQL-side mirrors for oracle strings
+def sql_dsum(expr: str, name: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) AS {name}"
+
+
+def sql_davg(expr: str, name: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {name}"
+    )
