@@ -42,13 +42,21 @@ def punct_count(col: Column | str, klass: str = r"[^.!?,;]") -> Column:
     return F.length(F.regexp_replace(c, klass, ""))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>.
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a *materialized* token-array
+    column.
+
+    IMPORTANT: `toks` must be a column reference, not the `split(...)`
+    expression itself — codegen re-evaluates a non-aliased expression at
+    every `element_at` call inside the lambda, turning shingling
+    quadratic in document length (measured 4× end-to-end slowdown on the
+    near-dup pipeline). Project the token array first; then each access
+    is O(1).
 
     Documents shorter than `n` tokens yield an empty array (guarded —
-    `sequence(0, negative)` would otherwise generate a descending range).
+    `sequence` with start > stop would generate a descending range).
     """
-    toks = tokens(col)
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(n)]
@@ -58,51 +66,142 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    out_col: str = "sh",
+) -> DataFrame:
+    """(id, shingle-set) projection with the token array materialized in
+    its own select so shingle construction is linear (see
+    shingles_from_tokens)."""
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col), shingles_from_tokens("__toks", n).alias(out_col)
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via a shingle inverted
-    index — the scalable formulation of all-pairs set similarity:
+    """EXACT n-gram Jaccard near-duplicate pairs, scalable formulation.
 
-      explode shingles → self-equi-join on shingle → count common per
-      pair → jaccard = common / (|A| + |B| - common).
+    Naive inverted-index pair counting costs Σ (docs-per-shingle)² — hot
+    shingles (small vocabularies, boilerplate) blow it up. We use the
+    AllPairs/PPJoin *prefix filter*, which is exact:
 
-    Work is Σ (docs-per-shingle)², not |docs|² — at 100 TB, hot shingles
-    are the skew risk; mitigate upstream by dropping ultra-frequent
-    shingles (stop-shingle filter) or via MinHash-LSH (see minhash.py).
+      order every doc's shingle set by a global total order (ascending
+      document frequency, tie-broken by shingle); if Jaccard(A,B) >= t,
+      then the first |A| - ceil(t*|A|) + 1 shingles of A and of B must
+      intersect. So only those prefixes are indexed for the candidate
+      join — rare shingles first, so hot shingles almost never enter the
+      index. Candidates are then verified exactly with array_intersect
+      plus the length bound t*|A| <= |B|.
+
+    Stages (all shuffle-on-key, no driver loops): shingle → document
+    frequency (one agg) → per-doc rank window → prefix join → verify.
     Output: (doc_a, doc_b, common, jaccard_r).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
+    # Shingles are built on ROWS (posexplode tokens → lead() window →
+    # concat), never by exploding a precomputed shingle array: codegen
+    # re-evaluates a generator's child expression per OUTPUT row, which
+    # turned explode(shingle_array_expr) quadratic (measured 15s vs 1s on
+    # 5k docs; projection barriers get collapsed through). Every
+    # expression here is linear and the generator child is a cheap
+    # split().
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
     )
-    sized = sh.select("doc", F.size("sh").alias("n_sh"), "sh")
-    inv = sized.select("doc", "n_sh", F.explode("sh").alias("g"))
-    a = inv.select(
-        F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g"
-    )
-    b = inv.select(
-        F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g"
-    )
-    pairs = (
-        a.join(b, ["g"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("common").cast("long").alias("common"),
-            F.round("jaccard", 6).alias("jaccard_r"),
+    wspec = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(wspec) for j in range(1, n)]
+    inv0 = (
+        tok.select(
+            "doc",
+            F.concat_ws(" ", *parts).alias("g"),
+            F.lead("w", n - 1).over(wspec).alias("__last"),
         )
+        .filter(F.col("__last").isNotNull())  # drop incomplete tail grams
+        .select("doc", "g")
+        .distinct()  # set semantics per doc
+    )
+    sizes = inv0.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    inv = inv0.join(sizes, "doc")
+    if not prefix_filter:
+        a = inv.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
+        b = inv.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+        pairs = (
+            a.join(b, ["g"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+        return (
+            pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                "doc_a", "doc_b",
+                F.col("common").cast("long").alias("common"),
+                F.round("jaccard", 6).alias("jaccard_r"),
+            )
+        )
+
+    freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ranked = inv.join(freq, "g").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("g"))
+        ),
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc", "n_sh", "g")
+
+    a = prefix.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
+    b = prefix.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+    cands = (
+        a.join(b, ["g"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length bound: t*|A| <= |B| <= |A|/t is necessary for jac >= t
+            & (F.col("nb") * F.lit(threshold) <= F.col("na"))
+            & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    # verify: exact intersection via collected shingle sets (the rows are
+    # already distinct, so collect_list == the set)
+    sets = inv0.groupBy("doc").agg(F.collect_list("g").alias("sh"))
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.round("jaccard", 6).alias("jaccard_r"),
     )
 
 
@@ -128,8 +227,10 @@ def guess_language(col: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def simhash64(col: Column | str, n: int = 3) -> Column:
-    """64-bit SimHash over n-gram shingles, pure JVM expressions.
+def simhash64(shingle_col: Column | str) -> Column:
+    """64-bit SimHash over a materialized shingle-array column, pure JVM
+    expressions (pass output of `shingled()` — see shingles_from_tokens
+    for why the array must be materialized).
 
     Each shingle's xxhash64 votes its bits; the fingerprint's bit i is 1
     when the majority of shingles have bit i set. Near-duplicates then
@@ -137,7 +238,7 @@ def simhash64(col: Column | str, n: int = 3) -> Column:
     found by banding the 64 bits into chunks and equi-joining (same
     inverted-index trick as MinHash-LSH but on bit-bands).
     """
-    sh = shingles(col, n)
+    sh = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     cnt = F.size(sh)
 
