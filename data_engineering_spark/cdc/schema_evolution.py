@@ -1,0 +1,106 @@
+"""Schema evolution & partition-spec inference.
+
+Reproduces the reference's reconciliation of per-batch inferred schemas
+against the live table (SURVEY.md §1.3):
+
+- columns new in the batch → add to table (ALTER TABLE ADD COLUMN,
+  incremental_kafka_s3_cdc.py:304-309 / sanpshot_script.py:52-57); in
+  the parquet-core backend new columns flow through merge_frames'
+  union-of-columns output and old rows read as NULL.
+- columns missing from the batch → NULL back-fill (reference :96-102) —
+  the schema-alignment half of ``unionByName(allowMissingColumns=True)``.
+- partition-spec inference (reference :212-213, :145-147): the first
+  non-nullable date/timestamp column whose name contains "create"
+  partitions by MONTH; otherwise fall back to the tenant/system column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def diff_columns(
+    batch_columns: list[str], table_columns: list[str]
+) -> tuple[list[str], list[str]]:
+    """(columns to add to table, columns to back-fill in batch) — the
+    reference's two set-differences (:304-309, :96-102), order-stable."""
+    table_set, batch_set = set(table_columns), set(batch_columns)
+    to_add = [c for c in batch_columns if c not in table_set]
+    to_backfill = [c for c in table_columns if c not in batch_set]
+    return to_add, to_backfill
+
+
+def align_batch(batch: DataFrame, table_columns: list[str]) -> DataFrame:
+    """Project batch to table schema ∪ batch schema: table columns first
+    (NULL where the batch lacks them), then genuinely new columns."""
+    _, backfill = diff_columns(batch.columns, table_columns)
+    cols = [
+        F.col(c) if c not in backfill else F.lit(None).alias(c)
+        for c in table_columns
+    ]
+    new = [F.col(c) for c in batch.columns if c not in table_columns]
+    return batch.select(*cols, *new)
+
+
+@dataclass
+class PartitionSpec:
+    column: str
+    transform: str | None  # 'months' | 'years' | 'days' | 'hours' | 'bucket' | None
+
+    def to_ddl(self) -> str:
+        if self.transform:
+            return f"{self.transform}({self.column})"
+        return self.column
+
+
+# transforms the reference recognizes when reading specs back (:36-42)
+KNOWN_TRANSFORMS = ("months", "years", "days", "hours", "bucket")
+
+
+def infer_partition_spec(
+    schema: T.StructType,
+    fallback_column: str = "__rds_id",
+) -> PartitionSpec:
+    """First non-nullable 'create'-named date/timestamp column → monthly
+    partitions; else identity-partition on the system fallback
+    (reference :212-213 → :145-147; snapshot uses __tenant_id,
+    sanpshot_script.py:184)."""
+    for f in schema.fields:
+        if (
+            not f.nullable
+            and "create" in f.name.lower()
+            and isinstance(f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType))
+        ):
+            return PartitionSpec(f.name, "months")
+    return PartitionSpec(fallback_column, None)
+
+
+def parse_partition_spec(ddl: str) -> PartitionSpec:
+    """Parse ``months(col)`` / ``col`` partition DDL back into a spec
+    (reference get_partition_key_and_function, :104-124)."""
+    s = ddl.strip()
+    for t in KNOWN_TRANSFORMS:
+        if s.lower().startswith(f"{t}(") and s.endswith(")"):
+            return PartitionSpec(s[len(t) + 1 : -1].strip(), t)
+    return PartitionSpec(s, None)
+
+
+def partition_transform_column(spec: PartitionSpec) -> F.Column:
+    """The materialized partition value for the parquet backend (Iceberg
+    applies transforms natively; parquet needs an explicit column)."""
+    c = F.col(spec.column)
+    if spec.transform == "months":
+        return F.date_format(c, "yyyy-MM")
+    if spec.transform == "years":
+        return F.date_format(c, "yyyy")
+    if spec.transform == "days":
+        return F.date_format(c, "yyyy-MM-dd")
+    if spec.transform == "hours":
+        return F.date_format(c, "yyyy-MM-dd-HH")
+    if spec.transform == "bucket":
+        return F.pmod(F.hash(c), F.lit(16))
+    return c

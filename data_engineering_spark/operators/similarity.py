@@ -121,19 +121,23 @@ def lsh_bucketed_similarity_join(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 12,
+    num_bands: int = 16,
+    planes_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate similarity join: random-hyperplane LSH blocking.
+    """Approximate similarity join: multi-band random-hyperplane LSH.
 
-    Each vector gets a sign-bucket from `num_planes` fixed random
-    hyperplanes (seeded → deterministic); exact cosine is computed only
-    within buckets. Recall < 1 by design; this is the 100 TB path — the
-    shuffle key is the bucket id, so work is proportional to bucket
-    sizes, not n².
+    Banding is what makes sign-LSH usable below cosine ~0.9: a pair is a
+    candidate if ALL `planes_per_band` sign bits agree in ANY of the
+    `num_bands` bands — detection probability
+    1 - (1 - (1 - θ/π)^r)^b. Defaults (b=16, r=4) give ~0.97 recall at
+    cosine 0.5 and prune hard below ~0.2. Candidates are then scored
+    exactly, so false positives cost time, never correctness.
 
-    The hyperplanes are generated driver-side with numpy (O(planes·dim))
-    and embedded as literals — no data collect.
+    Scale shape: each vector emits `num_bands` (band, bucket) rows; the
+    join key is (band, bucket), so work follows bucket sizes, not n².
+    Hyperplanes are seeded numpy constants embedded as literals — no
+    data collect, everything else is JVM builtins.
     """
     import numpy as np
 
@@ -144,34 +148,52 @@ def lsh_bucketed_similarity_join(
         )
     dim = dim_row["d"]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    planes = rng.standard_normal((num_bands, planes_per_band, dim))
 
-    def bucket_expr(vec: Column) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0, 1
-            ).otherwise(0) * (2**i)
-            for i, plane in enumerate(planes)
-        ]
-        total = bits[0]
-        for b in bits[1:]:
-            total = total + b
+    def band_bucket(vec: Column, band: int) -> Column:
+        """Sign-bit integer for one band's hyperplanes."""
+        total = F.lit(0)
+        for i in range(planes_per_band):
+            w = F.array(*[F.lit(float(x)) for x in planes[band, i]])
+            total = total + (
+                F.when(dot(vec, w) >= 0, 1).otherwise(0) * (2**i)
+            )
         return total
 
     v = vectors.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v")
-    ).withColumn("__bucket", bucket_expr(F.col("__v")))
-    a = v.select(
-        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__bucket"
     )
-    b = v.select(
-        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__bucket"
+    banded = v.select(
+        "id",
+        "__v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    band_bucket(F.col("__v"), bnd).alias("bucket"),
+                )
+                for bnd in range(num_bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "__v", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"),
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
+        "band", "bucket",
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        a.join(b, ["__bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        cands.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
-        .distinct()
     )

@@ -76,4 +76,4 @@ def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path (bucket-local scoring instead of n² pairs). No SQL
     oracle: approximate recall; pytest compares against the exact join."""
     e = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_similarity_join(e, _SIM_THRESHOLD, num_planes=8)
+    return lsh_bucketed_similarity_join(e, _SIM_THRESHOLD)

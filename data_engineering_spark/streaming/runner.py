@@ -1,0 +1,104 @@
+"""Structured-Streaming shell around the CDC batch pipeline.
+
+Parity surface for the reference's streaming entry
+(/root/reference/incremental_kafka_s3_cdc.py:360-388, 425-462):
+
+- Kafka source by subscribe-pattern with headers, earliest offsets,
+  failOnDataLoss=false (S1).
+- ``foreachBatch`` sink with per-stream checkpoint dirs and a
+  run-to-drain trigger — the reference's ``trigger(once=True)`` is
+  deprecated; ``availableNow`` is the modern equivalent with the same
+  exactly-once-via-checkpoint contract (K1).
+- The reference runs up to 40 streams in one session via a thread pool
+  (:452-460); ``start_streams`` reproduces that but the default is ONE
+  stream over a multi-table pattern + per-table dispatch inside the
+  batch (fewer checkpoints, one Kafka group, same semantics).
+
+No Kafka in the test environment: everything downstream of the source
+is a function of a static envelope frame, so tests drive
+``CdcEngine.process_batch`` directly (SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from data_engineering_spark.cdc.envelope import extract_kafka_headers
+from data_engineering_spark.cdc.pipeline import CdcEngine
+
+KAFKA_DEFAULTS = {
+    "startingOffsets": "earliest",
+    "failOnDataLoss": "false",
+    "includeHeaders": "true",
+    # reference :368 — long fetch wait tolerates idle topics
+    "kafka.fetch.max.wait.ms": "100000",
+}
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe_pattern: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming Kafka scan by topic regex (reference read_from_kafka,
+    :360-371 — the ``$``-anchored pattern is preserved)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", f"{subscribe_pattern}$")
+    )
+    for k, v in {**KAFKA_DEFAULTS, **(options or {})}.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def run_cdc_stream(
+    engine: CdcEngine,
+    kafka_df: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire the Kafka frame into the CDC engine: header extraction is
+    part of the streaming projection (stays incremental); the batch body
+    is the tested CdcEngine.process_batch."""
+    envelope = extract_kafka_headers(kafka_df)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        engine.process_batch(batch_df, batch_id)
+
+    writer = (
+        envelope.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_sink)
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="10 seconds")
+    )
+    return writer.start()
+
+
+def start_streams(
+    engine: CdcEngine,
+    spark: SparkSession,
+    bootstrap_servers: str,
+    patterns: Sequence[str],
+    checkpoint_root: str,
+    max_concurrent: int = 40,
+) -> list[StreamingQuery]:
+    """One stream per pattern (reference main loop :437-460). Streams
+    are async by nature — no thread pool needed; Spark schedules the
+    micro-batches. `max_concurrent` kept for parity/documentation."""
+    queries = []
+    for i, pattern in enumerate(patterns[: max_concurrent or None]):
+        q = run_cdc_stream(
+            engine,
+            kafka_stream(spark, bootstrap_servers, pattern),
+            checkpoint_dir=f"{checkpoint_root}/{i}",
+        )
+        queries.append(q)
+    return queries

@@ -1,0 +1,194 @@
+"""Golden CDC tests (SURVEY.md §5): envelope → dedup → schema → merge,
+asserting final table state for every scenario FIXTURES.md A3 requires."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_spark.cdc.envelope import (
+    infer_from_envelope_schema,
+    stamp_multitenant,
+)
+from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+from tests.cdc_fixtures import SALES_FIELDS, envelope, envelope_frame, sale
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return CdcEngine(spark, LakeConfig(root=str(tmp_path / "lake")))
+
+
+def state(engine, table="sales"):
+    df = engine.tables[table].read()
+    return {
+        r["sale_id"]: r
+        for r in df.collect()
+    }
+
+
+def test_insert_update_delete_lifecycle(spark, engine):
+    # insert two keys
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 10, 9.99, op="c", ts_ms=1000),
+        sale(spark, 2, 20, 19.99, op="c", ts_ms=1001),
+    ]))
+    s = state(engine)
+    assert set(s) == {1, 2} and s[1]["item_id"] == 10
+
+    # update key 1, delete key 2
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 11, 10.99, op="u", ts_ms=2000),
+        sale(spark, 2, 20, 19.99, op="d", ts_ms=2001),
+    ]))
+    s = state(engine)
+    assert set(s) == {1} and s[1]["item_id"] == 11 and s[1]["__op"] == "u"
+
+
+def test_last_write_wins_within_batch(spark, engine):
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 7, 1, 1.0, op="c", ts_ms=1000),
+        sale(spark, 7, 2, 2.0, op="u", ts_ms=3000),
+        sale(spark, 7, 3, 3.0, op="u", ts_ms=2000),  # out of order
+    ]))
+    s = state(engine)
+    assert s[7]["item_id"] == 2  # max __ts_ms wins, not last row
+
+
+def test_replay_idempotent(spark, engine):
+    batch = envelope_frame(spark, [
+        sale(spark, 1, 10, 9.99, op="c", ts_ms=1000),
+        sale(spark, 2, 20, 19.99, op="c", ts_ms=1001),
+    ])
+    engine.process_batch(batch)
+    first = state(engine)
+    engine.process_batch(batch)  # replay (checkpoint loss simulation)
+    assert {k: (v["item_id"], v["price"]) for k, v in state(engine).items()} == {
+        k: (v["item_id"], v["price"]) for k, v in first.items()
+    }
+
+
+def test_late_event_overwrites_by_default(spark, engine):
+    """Reference parity (SURVEY §2.9): cross-batch MERGE has no ts
+    guard, so an older event arriving later still overwrites."""
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 99, 9.0, op="u", ts_ms=5000),
+    ]))
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 11, 1.0, op="u", ts_ms=1000),  # older!
+    ]))
+    assert state(engine)[1]["item_id"] == 11
+
+
+def test_ts_guard_keeps_newer(spark, tmp_path):
+    eng = CdcEngine(spark, LakeConfig(root=str(tmp_path / "l2"), ts_guard=True))
+    eng.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 99, 9.0, op="u", ts_ms=5000),
+    ]))
+    eng.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 11, 1.0, op="u", ts_ms=1000),
+    ]))
+    assert state(eng)[1]["item_id"] == 99  # newer stored row survives
+
+
+def test_new_column_evolution(spark, engine):
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 10, 9.99, op="c", ts_ms=1000),
+    ]))
+    wide_fields = SALES_FIELDS + [
+        {"field": "discount", "type": "float64", "optional": True}
+    ]
+    engine.process_batch(envelope_frame(spark, [
+        envelope(
+            {"sale_id": 2},
+            {"sale_id": 2, "item_id": 20, "price": 5.0, "discount": 0.1},
+            op="c",
+            ts_ms=2000,
+            fields=wide_fields,
+        ),
+    ]))
+    s = state(engine)
+    assert s[2]["discount"] == pytest.approx(0.1)
+    assert s[1]["discount"] is None  # back-filled NULL for old rows
+
+
+def test_missing_column_backfill(spark, engine):
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 10, 9.99, op="c", ts_ms=1000),
+    ]))
+    narrow = [f for f in SALES_FIELDS if f["field"] != "item_id"]
+    engine.process_batch(envelope_frame(spark, [
+        envelope(
+            {"sale_id": 3},
+            {"sale_id": 3, "price": 2.0},
+            op="c",
+            ts_ms=2000,
+            fields=narrow,
+        ),
+    ]))
+    s = state(engine)
+    assert s[3]["item_id"] is None and s[1]["item_id"] == 10
+
+
+def test_tenant_isolation(spark, engine):
+    """Same key from two tenants/rds ids must not collide — merge keys
+    include __rds_id/__tenant_id (reference :260-270)."""
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 5, 1, 1.0, op="c", ts_ms=1000, db="oms1", rds_id=1),
+        sale(spark, 5, 2, 2.0, op="c", ts_ms=1000, db="oms2", rds_id=1),
+    ]))
+    rows = engine.tables["sales"].read().collect()
+    assert len(rows) == 2
+    by_tenant = {r["__tenant_id"]: r["item_id"] for r in rows}
+    assert by_tenant == {1: 1, 2: 2}
+
+    # delete in tenant 2 must not touch tenant 1
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 5, 2, 2.0, op="d", ts_ms=2000, db="oms2", rds_id=1),
+    ]))
+    rows = engine.tables["sales"].read().collect()
+    assert len(rows) == 1 and rows[0]["__tenant_id"] == 1
+
+
+def test_keyless_table_appends(spark, engine):
+    rows = [
+        envelope({}, {"sale_id": i, "item_id": i, "price": 1.0},
+                 op="c", ts_ms=1000 + i)
+        for i in range(3)
+    ]
+    engine.process_batch(envelope_frame(spark, rows))
+    engine.process_batch(envelope_frame(spark, rows))  # append again
+    assert engine.tables["sales"].read().count() == 6
+
+
+def test_multi_table_dispatch(spark, engine):
+    """The reference routes a whole batch to the first table seen
+    (:396) — ours must dispatch per table."""
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, 1, 10, 1.0, op="c", ts_ms=1000, table="sales"),
+        envelope({"order_id": 1}, {"order_id": 1, "units": 5, "price": 9.0},
+                 op="c", ts_ms=1000, table="orders",
+                 fields=[
+                     {"field": "order_id", "type": "int64", "optional": False},
+                     {"field": "units", "type": "int32", "optional": True},
+                     {"field": "price", "type": "float32", "optional": True},
+                 ]),
+    ]))
+    assert set(engine.tables) == {"sales", "orders"}
+    assert engine.tables["orders"].read().collect()[0]["units"] == 5
+
+
+def test_multitenant_stamp_and_schema_inference(spark):
+    frame = envelope_frame(spark, [sale(spark, 1, 1, 1.0, db="oms7", rds_id=3)])
+    stamped = stamp_multitenant(frame)
+    r = stamped.collect()[0]
+    assert r["__tenant_id"] == 7 and r["__rds_id"] == 3
+
+    inferred = infer_from_envelope_schema(
+        {"fields": SALES_FIELDS}, {"sale_id": 1}
+    )
+    assert inferred.key_columns == ["sale_id"]
+    by_name = {f.name: f for f in inferred.struct.fields}
+    assert by_name["sale_id"].nullable is False
+    assert by_name["item_id"].dataType.simpleString() == "int"
+    assert by_name["price"].dataType.simpleString() == "float"

@@ -1,0 +1,106 @@
+"""Property tests (SURVEY.md §5): last-write-wins order-invariance and
+merge idempotency, plus operator-level checks (LSH recall vs the exact
+join, language-ID accuracy)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.dedup import dedup_exact, keep_last
+from data_engineering_spark.operators.merge import merge_frames
+from data_engineering_spark.operators.similarity import (
+    cosine_similarity_join,
+    lsh_bucketed_similarity_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_keep_last_permutation_invariant(spark):
+    """Final LWW state depends only on max (__ts_ms, id) per key — not on
+    input order (the pandas keep='last' the reference uses is positional;
+    ours must be total-order deterministic)."""
+    rng = random.Random(42)
+    events = [
+        (k, ts, rng.randint(0, 10_000))
+        for k in range(20)
+        for ts in rng.sample(range(100), 10)
+    ]
+    expected = None
+    for _ in range(3):
+        rng.shuffle(events)
+        df = spark.createDataFrame(events, ["k", "ts", "v"]).repartition(7)
+        got = sorted(
+            (r["k"], r["ts"], r["v"])
+            for r in keep_last(df, ["k"], "ts", tiebreakers=["v"]).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected
+
+
+def test_merge_idempotent(spark):
+    target = spark.createDataFrame(
+        [(i, f"v{i}", 100, "c") for i in range(50)],
+        ["id", "val", "__ts_ms", "__op"],
+    )
+    batch = spark.createDataFrame(
+        [(i, f"u{i}", 200, "u") for i in range(0, 30)]
+        + [(i, None, 200, "d") for i in range(30, 40)]
+        + [(i, f"n{i}", 200, "c") for i in range(50, 60)],
+        ["id", "val", "__ts_ms", "__op"],
+    )
+    once = merge_frames(target, batch, ["id"])
+    twice = merge_frames(once, batch, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x")], ["id", "t"]
+    )
+    out = {r["t"]: (r["id"], r["n_copies"])
+           for r in dedup_exact(df, ["t"], "id").collect()}
+    assert out == {"x": (1, 3), "y": (3, 1)}
+
+
+def test_lsh_join_recall(spark):
+    """LSH blocking is approximate; at 8 hyperplanes over 64-dim data it
+    must still find most exact pairs and introduce none below threshold."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_similarity_join(emb, 0.45).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_similarity_join(emb, 0.45).collect()
+    }
+    assert approx <= exact  # no false positives (exact verify inside)
+    if exact:
+        assert len(approx) / len(exact) >= 0.7
+
+
+def test_language_guess_on_real_sentences(spark):
+    """The driver's synthetic documents share one vocabulary across all
+    `lang` labels (verified: no label-distinctive words exist), so
+    accuracy-vs-label is not measurable there. Assert the heuristic on
+    real sentences instead, plus the 'und' fallback."""
+    from data_engineering_spark.operators.text import guess_language
+
+    rows = [
+        ("the quick brown fox jumps over the lazy dog and runs to the barn", "en"),
+        ("el perro corre por la calle y la casa es de madera", "es"),
+        ("der hund läuft durch die strasse und das haus ist aus holz", "de"),
+        ("le chien court dans la rue et le chat dort", "fr"),
+        ("zzz qqq xxx yyy", "und"),
+    ]
+    df = spark.createDataFrame(rows, ["text", "expected"])
+    got = df.select("expected", guess_language("text").alias("g")).collect()
+    for r in got:
+        assert r["g"] == r["expected"], r
