@@ -143,6 +143,42 @@ def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.ngram_jaccard_pairs(d, threshold=0.6)
 
 
+@query(
+    "q_doc_minhash_neardup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard_r
+    FROM pairs
+    WHERE common * 1.0 / (na + nb - common) >= 0.6
+    """,
+)
+def q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, exact-verified (the 100 TB dedup
+    path). Same oracle as the prefix-filter join: with 32 bands × 2 rows
+    the banding miss probability at jaccard 0.6 is ~1e-6, so the
+    LSH candidate generation must reproduce the exact result."""
+    from data_engineering_spark.operators.minhash import (
+        minhash_near_dup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, threshold=0.6)
+
+
 @query("q_doc_language_guess")
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-hit argmax) vs the labeled `lang`

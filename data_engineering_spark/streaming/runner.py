@@ -58,14 +58,19 @@ def kafka_stream(
 
 def run_cdc_stream(
     engine: CdcEngine,
-    kafka_df: DataFrame,
+    stream_df: DataFrame,
     checkpoint_dir: str,
     available_now: bool = True,
+    raw_kafka: bool = True,
 ) -> StreamingQuery:
-    """Wire the Kafka frame into the CDC engine: header extraction is
-    part of the streaming projection (stays incremental); the batch body
-    is the tested CdcEngine.process_batch."""
-    envelope = extract_kafka_headers(kafka_df)
+    """Wire a streaming frame into the CDC engine. `raw_kafka=True`
+    expects the Kafka wire schema and extracts headers as part of the
+    streaming projection (stays incremental); `raw_kafka=False` accepts
+    an already-extracted envelope stream (e.g. a file-source replay of
+    archived envelopes — also how the integration tests drive this
+    without brokers). The batch body is the tested
+    CdcEngine.process_batch."""
+    envelope = extract_kafka_headers(stream_df) if raw_kafka else stream_df
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         engine.process_batch(batch_df, batch_id)

@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the scale properties we design for must be
+visible in the plan, not assumed (SURVEY.md §4; task brief 'optimize for
+scale — concretely')."""
+
+from __future__ import annotations
+
+from data_engineering_spark.plans.explain import (
+    codegen_stage_count,
+    plan_string,
+    pushed_filters,
+    read_schemas,
+    uses_broadcast_join,
+)
+from data_engineering_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q03_broadcasts_dimension_and_pushes_filters(spark):
+    df = QUERIES["q03_shipping_priority"](spark, SF)
+    assert uses_broadcast_join(df), plan_string(df)[:2000]
+    pf = pushed_filters(df)
+    # the date range predicates must reach the parquet scans
+    assert "l_shipdate" in pf and "o_orderdate" in pf, pf
+
+
+def test_q05_star_join_broadcasts(spark):
+    df = QUERIES["q05_region_revenue"](spark, SF)
+    assert uses_broadcast_join(df)
+    assert "r_name" in pushed_filters(df) or "r_name" in plan_string(df)
+
+
+def test_q01_scan_prunes_columns(spark):
+    df = QUERIES["q01_pricing_summary"](spark, SF)
+    rs = read_schemas(df)
+    # needed columns present, unneeded ones pruned from the scan
+    assert "l_quantity" in rs and "l_returnflag" in rs
+    assert "l_partkey" not in rs and "l_suppkey" not in rs, rs
+
+
+def test_q06_pushes_range_predicates(spark):
+    df = QUERIES["q06_forecast_revenue"](spark, SF)
+    pf = pushed_filters(df)
+    assert "l_discount" in pf and "l_quantity" in pf and "l_shipdate" in pf
+
+
+def test_keep_last_is_single_shuffle_window(spark):
+    df = QUERIES["q_events_keep_last_per_user"](spark, SF)
+    plan = plan_string(df)
+    # one window over one exchange — no global sort of the whole table
+    assert plan.count("Exchange") <= 2, plan
+    assert "Window" in plan
+
+
+PYTHON_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+
+
+def test_no_python_in_relational_hot_path(spark):
+    """Relational/CDC/dedup/similarity queries must be pure JVM plans —
+    Python (even Arrow-vectorized) only appears in the explicitly
+    multimodal UDF queries."""
+    for name, fn in QUERIES.items():
+        if name.startswith("q_multimodal") and name != "q_multimodal_metadata":
+            continue  # mapInPandas is the point there
+        plan = plan_string(fn(spark, SF))
+        for node in PYTHON_EVAL_NODES:
+            assert node not in plan, f"{name} contains {node}"

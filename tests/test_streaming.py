@@ -1,0 +1,53 @@
+"""Structured-Streaming integration: a file-source stream of CDC
+envelopes drives the full pipeline (micro-batches → LWW → schema →
+merge) through the real streaming runner, checkpoints included."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+from data_engineering_spark.streaming.runner import run_cdc_stream
+
+from tests.cdc_fixtures import ENVELOPE_SCHEMA, envelope_frame, sale
+
+
+def test_file_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+
+    # batch 1: two inserts; batch 2: update + delete (separate files →
+    # the availableNow run processes them as one-or-more micro-batches)
+    envelope_frame(spark, [
+        sale(spark, 1, 10, 9.99, op="c", ts_ms=1000),
+        sale(spark, 2, 20, 19.99, op="c", ts_ms=1001),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+    envelope_frame(spark, [
+        sale(spark, 1, 11, 10.99, op="u", ts_ms=2000),
+        sale(spark, 2, 20, 19.99, op="d", ts_ms=2001),
+    ]).coalesce(1).write.mode("append").parquet(str(src))
+
+    engine = CdcEngine(spark, LakeConfig(root=str(tmp_path / "lake")))
+    stream = (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(str(src))
+    )
+    q = run_cdc_stream(
+        engine,
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        raw_kafka=False,
+    )
+    q.awaitTermination(180)
+
+    rows = {r["sale_id"]: r for r in engine.tables["sales"].read().collect()}
+    assert set(rows) == {1}
+    assert rows[1]["item_id"] == 11 and rows[1]["__op"] == "u"
+
+    # restart with same checkpoint: no new files → no state change
+    q2 = run_cdc_stream(
+        engine, stream, checkpoint_dir=str(tmp_path / "ckpt"), raw_kafka=False
+    )
+    q2.awaitTermination(180)
+    assert engine.tables["sales"].read().count() == 1
