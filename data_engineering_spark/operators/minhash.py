@@ -131,6 +131,8 @@ def minhash_near_dup_pairs(
             "doc_a",
             "doc_b",
             F.col("common").cast("long").alias("common"),
-            F.round("jaccard", 6).alias("jaccard_r"),
+            # raw int/int division is bit-identical across engines;
+            # re-rounding it would reintroduce boundary divergence
+            F.col("jaccard").alias("jaccard_r"),
         )
     )

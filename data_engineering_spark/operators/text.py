@@ -153,7 +153,9 @@ def ngram_jaccard_pairs(
             .select(
                 "doc_a", "doc_b",
                 F.col("common").cast("long").alias("common"),
-                F.round("jaccard", 6).alias("jaccard_r"),
+                # raw int/int division is bit-identical across engines;
+            # re-rounding it would reintroduce boundary divergence
+            F.col("jaccard").alias("jaccard_r"),
             )
         )
 
@@ -201,7 +203,9 @@ def ngram_jaccard_pairs(
         "doc_a",
         "doc_b",
         F.col("common").cast("long").alias("common"),
-        F.round("jaccard", 6).alias("jaccard_r"),
+        # raw int/int division is bit-identical across engines;
+            # re-rounding it would reintroduce boundary divergence
+            F.col("jaccard").alias("jaccard_r"),
     )
 
 

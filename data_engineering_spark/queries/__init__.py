@@ -8,6 +8,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     events_cdc,
     multimodal,
     relational,
+    relational2,
     similarity,
     text,
 )

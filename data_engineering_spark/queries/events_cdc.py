@@ -164,6 +164,42 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_tumbling_window",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type, value,  user_id,
+             epoch_ms(ts) // 21600000 * 21600000 AS win_start_ms
+      FROM events)
+    SELECT event_type,
+           make_timestamp(win_start_ms * 1000) AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')},
+           COUNT(DISTINCT user_id) AS n_users
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour tumbling event-time windows via F.window — THE streaming
+    aggregation shape (readStream + withWatermark runs this identical
+    plan incrementally; Spark aligns windows to the epoch, mirrored in
+    the oracle's integer arithmetic). window_start emitted as NTZ."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "6 hours").getField("start")
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
     "q_debezium_temporal",
     oracle="""
     SELECT event_id,

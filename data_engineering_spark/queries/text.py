@@ -130,7 +130,7 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4)
     SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
-           ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard_r
+           common * 1.0 / (na + nb - common) AS jaccard_r
     FROM pairs
     WHERE common * 1.0 / (na + nb - common) >= 0.6
     """,
@@ -161,7 +161,7 @@ def q_doc_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4)
     SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
-           ROUND(common * 1.0 / (na + nb - common), 6) AS jaccard_r
+           common * 1.0 / (na + nb - common) AS jaccard_r
     FROM pairs
     WHERE common * 1.0 / (na + nb - common) >= 0.6
     """,
@@ -177,6 +177,113 @@ def q_doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(d, threshold=0.6)
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, code) -> (acc * 31 + code) % 1000000007) AS fingerprint
+      FROM documents)
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (mod 1e9+7, base 31
+    over code points) — engine-independent arithmetic, so DuckDB
+    reproduces it exactly; grouping fingerprints is content-addressed
+    dedup without shuffling document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split("text", "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_000_007,
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@query(
+    "q_doc_bpe_token_count",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+      FROM documents)
+    SELECT lang, CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_bpe_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_bpe_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: letter-runs, digit-runs and single
+    punctuation as separate tokens (the standard pre-tokenizer split),
+    counted per language — a token-budget estimator for corpus
+    planning."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+    return (
+        d.select("lang", n_tokens.alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+        )
+    )
+
+
+@query("q_doc_simhash_bands")
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints banded into 4×16-bit chunks — the
+    equi-join blocking scheme for Hamming-distance near-dup at scale.
+    No SQL oracle (xxhash64 has no DuckDB twin); pytest covers the
+    operator; driver records rows-only."""
+    from data_engineering_spark.operators.text import shingled, simhash64
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingled(d, "doc_id", "text")
+    fp = sh.select("doc_id", simhash64("sh").alias("simhash"))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.chunk").alias("chunk"))
+    return bands.groupBy("band", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).filter(F.col("n_docs") > 1)
 
 
 @query("q_doc_language_guess")
