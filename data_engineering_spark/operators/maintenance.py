@@ -1,0 +1,93 @@
+"""Table maintenance: compaction, stale-version cleanup (SURVEY.md §2.2 K8).
+
+The reference carries dead-code Trino calls for optimize /
+expire_snapshots / remove_orphan_files
+(/root/reference/incremental_kafka_s3_cdc.py:405-423 — documented
+intent). On an Iceberg deployment these map to the Spark procedures:
+
+    CALL catalog.system.rewrite_data_files(table => t,
+         options => map('target-file-size-bytes', '536870912'))
+    CALL catalog.system.expire_snapshots(table => t)
+    CALL catalog.system.remove_orphan_files(table => t)
+
+For the parquet-core backend we implement the same outcomes directly:
+small-file compaction by rewrite (512 MB targets, matching the
+reference's write.target-file-size-bytes) and orphan cleanup of
+leftover staging/old directories from MergeTable's atomic swaps.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+
+TARGET_FILE_BYTES = 512 * 1024 * 1024  # reference :132
+
+
+def iceberg_maintenance_sql(catalog: str, table: str) -> list[str]:
+    """The Iceberg-backend maintenance statements (parity with the
+    reference's intended optimize/expire/remove calls)."""
+    return [
+        f"CALL {catalog}.system.rewrite_data_files(table => '{table}', "
+        f"options => map('target-file-size-bytes', '{TARGET_FILE_BYTES}'))",
+        f"CALL {catalog}.system.expire_snapshots(table => '{table}')",
+        f"CALL {catalog}.system.remove_orphan_files(table => '{table}')",
+    ]
+
+
+def data_file_sizes(path: str) -> list[int]:
+    return [
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                           recursive=True)
+    ]
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    small_file_threshold: float = 0.5,
+) -> bool:
+    """Rewrite a parquet table directory when it has accumulated small
+    files (CDC merge churn produces them). Returns True if compacted.
+
+    A file is 'small' below threshold·target; compaction rewrites into
+    ceil(total/target) files via coalesce (no shuffle — pure bin-packing
+    of existing partitions) and swaps atomically, exactly like
+    MergeTable.merge."""
+    sizes = data_file_sizes(path)
+    if not sizes:
+        return False
+    small = [s for s in sizes if s < target_file_bytes * small_file_threshold]
+    if len(small) <= 1:
+        return False
+    total = sum(sizes)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    if n_out >= len(sizes):
+        return False
+
+    df = spark.read.parquet(path)
+    staging = f"{path}.compact-{uuid.uuid4().hex}"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(staging)
+    old = f"{path}.old-{uuid.uuid4().hex}"
+    os.replace(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
+
+
+def remove_orphans(root: str) -> int:
+    """Delete leftover staging/old directories (crash debris from atomic
+    swaps) — the parquet analogue of remove_orphan_files. Returns count
+    removed."""
+    removed = 0
+    for pattern in ("*.old-*", "*.compact-*"):
+        for d in glob.glob(os.path.join(root, pattern)):
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return removed

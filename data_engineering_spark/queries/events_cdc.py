@@ -200,6 +200,36 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_hopping_window",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             (epoch_ms(ts) // 10800000 - t.off) * 10800000 AS win_start_ms
+      FROM events, (VALUES (0), (1)) t(off))
+    SELECT event_type,
+           make_timestamp(win_start_ms * 1000) AS window_start,
+           COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 6 h length, 3 h hop — each
+    event lands in exactly two windows; oracle reproduces Spark's
+    epoch-aligned assignment arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "6 hours", "3 hours")
+            .getField("start")
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
     "q_debezium_temporal",
     oracle="""
     SELECT event_id,

@@ -315,6 +315,48 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_array_agg_top_customers",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    SELECT c_nationkey,
+           array_to_string(list(c_custkey ORDER BY rn), ',') AS top3_csv
+    FROM ranked WHERE rn <= 3
+    GROUP BY c_nationkey
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation (collect_list under a total order),
+    emitted as CSV so the comparison is type-plain."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = (
+        T(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    return ranked.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "c_custkey"))
+                ),
+                lambda s: s["c_custkey"].cast("string"),
+            ),
+            ",",
+        ).alias("top3_csv")
+    )
+
+
+@query(
     "q_string_like_patterns",
     oracle="""
     SELECT p_brand,

@@ -70,6 +70,34 @@ def q_embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_similarity_join(e, _SIM_THRESHOLD)
 
 
+@query("q_embedding_centroids")
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors: posexplode to (label, dim, value)
+    rows → one hash aggregation → re-assemble ordered arrays. The
+    MapReduce shape for vector averages — no driver collect, no UDF.
+    Rows-only check (float-sum order sensitivity makes an exact SQL
+    oracle fragile; pytest asserts the math on a fixture)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.avg("v").alias("mean_v"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "mean_v"))
+                ),
+                lambda s: s["mean_v"],
+            ).alias("centroid"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+
+
 @query("q_embedding_lsh_join")
 def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via random-hyperplane LSH blocking —
