@@ -83,7 +83,13 @@ def minhash_near_dup_pairs(
     assert num_hashes % num_bands == 0
     rows_per_band = num_hashes // num_bands
 
-    sh = shingle_rows(docs, id_col, text_col, n)
+    # two consumers (signatures + verify sets) → persist, same rationale
+    # as text.ngram_jaccard_pairs
+    from pyspark import StorageLevel
+
+    sh = shingle_rows(docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(sh, num_hashes)
 
     bands = sigs.select(

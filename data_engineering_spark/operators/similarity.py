@@ -116,6 +116,34 @@ def cosine_similarity_join(
     )
 
 
+def cosine_pandas_udf():
+    """Arrow-vectorized cosine as a scalar pandas_udf — the alternate
+    implementation path for when similarity math outgrows builtin
+    expressions (e.g. swapping in a model's fused scoring kernel).
+
+    The builtin `cosine()` (zip_with/aggregate) is preferred in the hot
+    path — it stays in whole-stage codegen with zero Python boundary;
+    this exists to document and test the Arrow-batched alternative the
+    brief's UDF guidance describes (~10-100× over row-at-a-time UDFs).
+    Tested equal to the builtin in tests/test_similarity_paths.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        va = np.stack(a.to_numpy())
+        vb = np.stack(b.to_numpy())
+        dots = np.einsum("ij,ij->i", va, vb)
+        na = np.sqrt(np.einsum("ij,ij->i", va, va))
+        nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+        return pd.Series(dots / (na * nb))
+
+    # explicit returnType (not type hints): hints are resolved in module
+    # globals, which would force module-level pandas imports everywhere
+    return pandas_udf(_cos, "double")
+
+
 def lsh_bucketed_similarity_join(
     vectors: DataFrame,
     threshold: float,

@@ -135,6 +135,15 @@ def ngram_jaccard_pairs(
         .select("doc", "g")
         .distinct()  # set semantics per doc
     )
+    if prefix_filter:
+        # inv0 feeds three consumers (sizes, frequency index, verify
+        # sets); without a persist each one re-runs the tokenize+window
+        # +distinct subtree (measured 2× end-to-end). MEMORY_AND_DISK:
+        # spills instead of OOMing on big corpora; evicted LRU when the
+        # session moves on.
+        from pyspark import StorageLevel
+
+        inv0 = inv0.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = inv0.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     inv = inv0.join(sizes, "doc")
     if not prefix_filter:

@@ -145,3 +145,40 @@ def audit_log_sql(rds_id: int, database: str, table: str, sink: str) -> str:
         f"INSERT INTO insert_log{rds_id} VALUES "
         f"('{database}', '{table}', '{sink}')"
     )
+
+
+def record_audit(
+    spark: SparkSession,
+    lake_root: str,
+    rds_id: int,
+    database: str,
+    table: str,
+    sink: str,
+) -> None:
+    """Parquet-backend audit log: append one row to
+    ``{lake_root}/insert_log{rds_id}`` (schema per FIXTURES.md A4). The
+    snapshot discovery loop anti-joins against this to skip tables
+    already loaded (reference :257-262)."""
+    import os
+
+    row = spark.createDataFrame(
+        [(database, table, sink)], "schema string, name string, tableName string"
+    )
+    row.coalesce(1).write.mode("append").parquet(
+        os.path.join(lake_root, f"insert_log{rds_id}")
+    )
+
+
+def snapshotted_tables(
+    spark: SparkSession, lake_root: str, rds_id: int
+) -> set[str]:
+    """Tables already recorded in the audit log (driver-side set, small
+    by construction — it's one row per table ever snapshotted)."""
+    import os
+
+    path = os.path.join(lake_root, f"insert_log{rds_id}")
+    if not os.path.exists(path):
+        return set()
+    return {
+        r["name"] for r in spark.read.parquet(path).select("name").collect()
+    }

@@ -1,0 +1,93 @@
+"""Catalog metadata scans (S5), audit log, and the pandas_udf alternate
+similarity path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.similarity import (
+    as_double_vec,
+    cosine,
+    cosine_pandas_udf,
+)
+from data_engineering_spark.snapshot.jdbc_snapshot import (
+    record_audit,
+    snapshotted_tables,
+)
+from data_engineering_spark.sources.catalog_meta import (
+    data_columns,
+    describe_table,
+    existing_tables,
+    partition_spec_from_describe,
+    show_tables,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def part_table(spark, tmp_path_factory):
+    name = "cat_meta_sales"
+    wh = tmp_path_factory.mktemp("wh")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (sale_id BIGINT, item_id INT, price DOUBLE, "
+        f"region STRING) USING parquet PARTITIONED BY (region) "
+        f"LOCATION '{wh}/{name}'"
+    )
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_show_and_describe(spark, part_table):
+    assert part_table in existing_tables(spark)
+    assert show_tables(spark).filter(
+        F.col("tableName") == part_table
+    ).count() == 1
+    desc = describe_table(spark, part_table)
+    assert {"col_name", "data_type"} <= set(desc.columns)
+
+
+def test_data_columns_excludes_partition_section(spark, part_table):
+    assert data_columns(spark, part_table) == [
+        "sale_id", "item_id", "price", "region",
+    ]
+
+
+def test_partition_spec_from_describe(spark, part_table):
+    spec = partition_spec_from_describe(spark, part_table)
+    assert spec is not None
+    assert spec.column == "region" and spec.transform is None
+
+
+def test_audit_log_roundtrip(spark, tmp_path):
+    root = str(tmp_path)
+    assert snapshotted_tables(spark, root, 1) == set()
+    record_audit(spark, root, 1, "oms1", "sales", "lake.sales")
+    record_audit(spark, root, 1, "oms1", "orders", "lake.orders")
+    assert snapshotted_tables(spark, root, 1) == {"sales", "orders"}
+    assert snapshotted_tables(spark, root, 2) == set()
+
+
+def test_pandas_udf_cosine_matches_builtin(spark):
+    e = load_table(spark, SF, "embeddings").limit(50)
+    a = e.select(
+        F.col("vec_id").alias("ia"), as_double_vec("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"), as_double_vec("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    cos_udf = cosine_pandas_udf()
+    both = pairs.select(
+        "ia",
+        "ib",
+        cosine(F.col("va"), F.col("vb")).alias("builtin"),
+        cos_udf(F.col("va"), F.col("vb")).alias("arrow"),
+    )
+    bad = both.filter(
+        F.abs(F.col("builtin") - F.col("arrow")) > 1e-9
+    ).count()
+    assert bad == 0
