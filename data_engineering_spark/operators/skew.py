@@ -1,0 +1,81 @@
+"""Skew-handling utilities (SCALE.md: 'pathological single-key skew').
+
+AQE's skew-join splitting covers joins; these cover skewed
+*aggregations* and *windows*, where one hot key (a bot user with 10⁹
+events, an empty-string join key) would pin a single task:
+
+- `salted_agg`: two-stage aggregation — stage 1 aggregates per
+  (key, salt) across `num_salts` random buckets, stage 2 combines the
+  partials per key. Works for any algebraic aggregate (sum/count/min/
+  max/decimal-sum) expressed as (partial, combine) column pairs.
+- `salted_broadcast_join`: replicate the small side `num_salts`× and
+  salt the big side — removes the hot-key bottleneck from a shuffle
+  join when broadcast isn't possible for the whole small side but is
+  for small×salts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, num_salts: int, col_name: str = "__salt") -> DataFrame:
+    """Deterministic pseudo-random salt derived from the row content
+    hash (NOT rand(): retries/speculative tasks must re-derive the same
+    salt or results change under recomputation)."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(num_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: dict[str, tuple[Column, Column]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation.
+
+    `partials` maps output name → (stage1 aggregate over raw rows,
+    stage2 combiner over stage-1 partial columns). Example:
+
+        salted_agg(events, ["user_id"], {
+            "n":   (F.count(F.lit(1)),      F.sum("n")),
+            "mx":  (F.max("value"),         F.max("mx")),
+        })
+
+    Stage 1 shuffles on (keys, salt) — the hot key spreads over
+    `num_salts` tasks; stage 2 shuffles `num_salts` rows per key.
+    """
+    salted = with_salt(df, num_salts)
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in partials.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[comb.alias(name) for name, (_, comb) in partials.items()]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    num_salts: int = 8,
+) -> DataFrame:
+    """Inner join where the big side's key distribution is skewed: salt
+    the big side, replicate the small side per salt, equi-join on
+    (keys, salt). The replicated small side is broadcast."""
+    salted_big = with_salt(big, num_salts)
+    replicated = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(num_salts).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    return salted_big.join(
+        F.broadcast(replicated), [*keys, "__salt"]
+    ).drop("__salt")

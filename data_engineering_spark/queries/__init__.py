@@ -9,6 +9,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     multimodal,
     relational,
     relational2,
+    relational3,
     similarity,
     text,
 )

@@ -1,0 +1,85 @@
+"""Advanced streaming: watermarked windows and custom stateful operators.
+
+Beyond the reference's CDC shell (trigger-once foreachBatch), the engine
+exposes the Structured Streaming surface the brief requires:
+
+- `watermarked_window_counts`: event-time tumbling aggregation with a
+  watermark — late data beyond the bound is dropped and state is
+  reclaimed (without a watermark, window state grows forever on an
+  unbounded stream).
+- `running_dedup_counts`: a custom stateful operator via
+  `applyInPandasWithState` — per-key state (seen-set fingerprint +
+  running count) maintained across micro-batches, the building block
+  for streaming exact-dedup at ingest time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "user_id long, n_events long, n_distinct_types long"
+STATE_SCHEMA = "n long, types array<string>"
+
+
+def watermarked_window_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time counts with bounded state. The identical plan
+    runs in batch (tests) and incrementally under readStream — that
+    equivalence is Structured Streaming's core contract."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def running_dedup_counts(events: DataFrame) -> DataFrame:
+    """Per-user running totals + distinct-event-type tracking across
+    micro-batches via applyInPandasWithState.
+
+    State per key: (running count, seen event types). Each micro-batch
+    updates state and emits one row per active user. Timeout: none —
+    state lives for the stream's lifetime (a TTL via
+    GroupStateTimeout.ProcessingTimeTimeout is one line away for
+    unbounded key spaces).
+    """
+    import pandas as pd
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        if state.exists:
+            n, types = state.get
+            seen = set(types)
+        else:
+            n, seen = 0, set()
+        for pdf in pdfs:
+            n += len(pdf)
+            seen.update(pdf["event_type"].tolist())
+        state.update((n, sorted(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_distinct_types": [len(seen)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,135 @@
+"""Skew utilities and advanced streaming (watermark, stateful UDF)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_join,
+    with_salt,
+)
+from data_engineering_spark.registry import dec
+from data_engineering_spark.streaming.stateful import (
+    running_dedup_counts,
+    watermarked_window_counts,
+)
+
+from tests.cdc_fixtures import ENVELOPE_SCHEMA  # noqa: F401 (fixture reuse)
+
+
+def test_salt_is_deterministic(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["id", "k"])
+    a = with_salt(df, 8).collect()
+    b = with_salt(df, 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    salts = {r["__salt"] for r in a}
+    assert salts <= set(range(8)) and len(salts) > 1
+
+
+def test_salted_agg_matches_plain(spark):
+    # one hot key (90% of rows) + long tail
+    rows = [("hot", float(i % 7)) for i in range(9000)]
+    rows += [(f"k{i}", float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        (r["k"]): (r["n"], r["s"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("v")).cast("double").alias("s"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["s"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "s": (
+                    F.sum(dec("v")),
+                    F.sum("s").cast("decimal(18,2)"),
+                ),
+                "mx": (F.max("v"), F.max("mx")),
+            },
+            num_salts=16,
+        )
+        .withColumn("s", F.col("s").cast("double"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    big = spark.createDataFrame(
+        [("hot" if i % 10 else f"k{i}", i) for i in range(5000)], ["k", "v"]
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3)], ["k", "w"]
+    )
+    plain = sorted(
+        map(tuple, big.join(small, "k").select("k", "v", "w").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_broadcast_join(big, small, ["k"])
+            .select("k", "v", "w")
+            .collect(),
+        )
+    )
+    assert salted == plain
+
+
+def test_watermarked_window_batch_equivalence(spark, sf_dir):
+    from data_engineering_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    out = watermarked_window_counts(e, "6 hours", "1 hour")
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == e.count()
+
+
+def test_stateful_dedup_counts_across_batches(spark, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    schema = "user_id long, event_type string, ts timestamp"
+    spark.createDataFrame(
+        [(1, "click", None), (1, "view", None), (2, "click", None)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, "click", None), (2, "purchase", None)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = running_dedup_counts(stream)
+    sink = str(tmp_path / "mem")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    _ = sink
+
+    # last update per user wins
+    final = {}
+    for r in spark.sql(
+        "SELECT * FROM state_out"
+    ).collect():
+        final[r["user_id"]] = (r["n_events"], r["n_distinct_types"])
+    assert final[1] == (3, 2)  # 3 events, types {click, view}
+    assert final[2] == (2, 2)  # types {click, purchase}
+    time.sleep(0)
