@@ -199,6 +199,22 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_events_approx_aggregates")
+def q_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for the 100 TB dashboard path:
+    approx_count_distinct (HLL++) and approx_percentile (t-digest-ish)
+    per event type. No SQL oracle — DuckDB's sketches differ by design;
+    pytest bounds the error against exact values."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+            "value_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @query(
     "q_events_hopping_window",
     oracle="""

@@ -84,8 +84,10 @@ def mysql_type_to_spark(mysql_type: str) -> str:
     """Map a MySQL type (possibly with parameters, e.g. ``varchar(255)``,
     ``decimal(20,2) unsigned``) to a Spark DDL type string. Total: unknown
     types → string."""
-    base = mysql_type.strip().lower().split("(")[0].split()[0]
-    return MYSQL_TO_SPARK.get(base, DEFAULT_SPARK_TYPE)
+    head = mysql_type.strip().lower().split("(")[0].split()
+    if not head:  # degenerate input like "(5,2)" — inference stays total
+        return DEFAULT_SPARK_TYPE
+    return MYSQL_TO_SPARK.get(head[0], DEFAULT_SPARK_TYPE)
 
 
 # --- 2. Debezium JSON-schema primitive → Spark DataType --------------------

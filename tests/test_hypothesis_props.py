@@ -1,0 +1,89 @@
+"""Hypothesis property tests: cross-engine fingerprint model, schema
+inference totality, LWW algebra — plus sketch-accuracy bounds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_spark.cdc.envelope import infer_from_envelope_schema
+from data_engineering_spark.types.mappings import mysql_type_to_spark
+
+# ---- pure-python properties (no Spark session per example) ----------------
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "field": st.text(
+                    alphabet="abcdefghij _-XYZ", min_size=1, max_size=12
+                ),
+                "type": st.sampled_from(
+                    ["int16", "int32", "int64", "float32", "float64",
+                     "boolean", "string", "bytes", "garbage_type"]
+                ),
+                "optional": st.booleans(),
+            }
+        ),
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_schema_inference_is_total(fields):
+    """Any Debezium field list infers to a full Spark schema — no field
+    shape may crash inference (reference :201-205 totality)."""
+    inferred = infer_from_envelope_schema({"fields": fields})
+    assert len(inferred.struct.fields) == len(fields)
+
+
+@given(st.text(alphabet="abcdefgh()0123, 45", min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_mysql_mapping_is_total(t):
+    assert isinstance(mysql_type_to_spark(t), str)
+
+
+def _py_fingerprint(text: str) -> int:
+    acc = 0
+    for ch in text:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+def test_fingerprint_matches_python_model(spark):
+    """The Spark rolling-hash must equal the obvious sequential python
+    model (and therefore DuckDB's list_reduce — same recurrence)."""
+    texts = ["", "a", "hello world", "ünïcodé", "x" * 500, "a b  c\td"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["id", "text"])
+    chars = F.split("text", "")
+    fp = F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_000_007,
+    )
+    got = {r["id"]: r["fp"] for r in df.select("id", fp.alias("fp")).collect()}
+    for i, t in enumerate(texts):
+        # Spark split('') on '' yields [''] with ascii('')=0 → same as model
+        expect = _py_fingerprint(t)
+        assert got[i] == expect, (t, got[i], expect)
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    from data_engineering_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["a"]
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("a"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
