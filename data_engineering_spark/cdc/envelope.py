@@ -48,11 +48,38 @@ SYSTEM_COLUMNS = (
 
 @dataclass
 class InferredSchema:
-    """Outcome of envelope-schema inference for one table batch."""
+    """Outcome of envelope-schema inference for one table batch.
+
+    `struct` carries WIRE types (what from_json parses — Debezium sends
+    semantic temporal values as int64); `converted_struct` carries the
+    post-conversion logical types (timestamp/date/decimal) — partition
+    inference and DDL use the latter (reference builds its DDL from
+    typeMappingForPartition, :171-193, the converted view)."""
 
     struct: T.StructType
     semantic: dict[str, str] = field(default_factory=dict)  # col → kind
     key_columns: list[str] = field(default_factory=list)
+
+    @property
+    def converted_struct(self) -> T.StructType:
+        from data_engineering_spark.types.mappings import SEMANTIC_KIND_DDL
+
+        ddl_to_type = {
+            "date": T.DateType(),
+            "timestamp": T.TimestampType(),
+            "bigint": T.LongType(),
+            "int": T.IntegerType(),
+            "decimal(38,2)": T.DecimalType(38, 2),
+            "string": T.StringType(),
+        }
+        fields = []
+        for f in self.struct.fields:
+            kind = self.semantic.get(f.name)
+            dtype = (
+                ddl_to_type[SEMANTIC_KIND_DDL[kind]] if kind else f.dataType
+            )
+            fields.append(T.StructField(f.name, dtype, f.nullable))
+        return T.StructType(fields)
 
 
 def infer_from_envelope_schema(

@@ -32,7 +32,10 @@ from data_engineering_spark.cdc.envelope import (
     parse_envelope_batch,
     stamp_multitenant,
 )
-from data_engineering_spark.cdc.schema_evolution import infer_partition_spec
+from data_engineering_spark.cdc.schema_evolution import (
+    infer_partition_spec,
+    partition_transform_column,
+)
 from data_engineering_spark.operators.dedup import keep_last
 from data_engineering_spark.operators.merge import MergeTable
 
@@ -57,11 +60,19 @@ class CdcEngine:
     def table_path(self, name: str) -> str:
         return os.path.join(self.config.root, name)
 
-    def get_table(self, name: str, key_columns: list[str]) -> MergeTable:
+    def get_table(
+        self,
+        name: str,
+        key_columns: list[str],
+        partition_by: str | None = None,
+    ) -> MergeTable:
         t = self.tables.get(name)
         if t is None:
             t = MergeTable(
-                self.spark, self.table_path(name), key_columns
+                self.spark,
+                self.table_path(name),
+                key_columns,
+                partition_by=partition_by,
             )
             self.tables[name] = t
         return t
@@ -122,14 +133,24 @@ class CdcEngine:
                 table.create(inserts)
             return
 
-        merge_keys = ["__rds_id", "__tenant_id", *keys]
-        table = self.get_table(name, merge_keys)
-        if not table.exists():
-            # create-on-first-sight with inferred partition spec
-            # (reference :126-148); spec currently informational for the
-            # parquet backend — merge rewrites are table-level until the
-            # partitioned-rewrite path lands.
-            infer_partition_spec(
-                inferred.struct, self.config.fallback_partition
+        # create-on-first-sight with inferred partition spec (reference
+        # :126-148): months(create*-col) when present, else identity on
+        # the tenant/system fallback. Transform-based specs materialize
+        # a __part column (Iceberg applies transforms natively; parquet
+        # needs the physical column). MergeTable then does
+        # partition-pruned rewrites — merge cost follows the batch, not
+        # the table.
+        spec = infer_partition_spec(
+            inferred.converted_struct, self.config.fallback_partition
+        )
+        if spec.transform:
+            stamped = stamped.withColumn(
+                "__part", partition_transform_column(spec)
             )
+            partition_col = "__part"
+        else:
+            partition_col = spec.column
+
+        merge_keys = ["__rds_id", "__tenant_id", *keys]
+        table = self.get_table(name, merge_keys, partition_by=partition_col)
         table.merge(stamped, ts_guard=self.config.ts_guard)

@@ -196,16 +196,31 @@ class MergeTable:
         ts_col: str = "__ts_ms",
         ts_guard: bool = False,
     ) -> None:
-        """Copy-on-write merge with an atomic swap.
+        """Copy-on-write merge.
 
-        The merged result is written to a staging dir first (Spark can't
-        overwrite a path that feeds the running plan), then swapped in.
+        Unpartitioned: full rewrite to a staging dir + atomic swap
+        (Spark can't overwrite a path that feeds the running plan).
+
+        Partitioned: **partition-pruned rewrite** — the scale lever that
+        makes merge cost proportional to the batch, not the table
+        (Iceberg's `months(t.p) = months(s.p)` ON-clause pruning,
+        reference :263-264, re-created for parquet). Affected partitions
+        are: partitions of the source rows ∪ partitions of target rows
+        whose KEYS appear in the batch (an update may move a row across
+        partitions — its old copy must be rewritten away too). Only
+        those partitions are merged and dynamically overwritten;
+        untouched partition directories are not read or written.
         """
         if not self.exists():
             inserts = source.filter(F.col(op_col) != DELETE_OP)
             self.create(inserts)
             return
         target = self.read()
+        if self.partition_by:
+            self._merge_partitioned(
+                target, source, op_col, ts_col, ts_guard
+            )
+            return
         merged = merge_frames(
             target, source, self.key_columns, op_col, ts_col, ts_guard
         )
@@ -217,3 +232,60 @@ class MergeTable:
         os.replace(self.path, old)
         shutil.move(staging, self.path)
         shutil.rmtree(old, ignore_errors=True)
+
+    def _merge_partitioned(
+        self,
+        target: DataFrame,
+        source: DataFrame,
+        op_col: str,
+        ts_col: str,
+        ts_guard: bool,
+    ) -> None:
+        p = self.partition_by
+        src_parts = source.select(p).distinct()
+        moved_parts = (
+            target.join(
+                source.select(*self.key_columns).distinct(),
+                self.key_columns,
+                "left_semi",
+            )
+            .select(p)
+            .distinct()
+        )
+        parts = [
+            r[p] for r in src_parts.union(moved_parts).distinct().collect()
+        ]
+        # Stage the affected partitions out first: Spark (rightly)
+        # refuses to overwrite a path its own plan reads from. The copy
+        # is proportional to the touched partitions, not the table.
+        staging_in = os.path.join(
+            tempfile.gettempdir(), f"mergetable-in-{uuid.uuid4().hex}"
+        )
+        target.filter(F.col(p).isin(parts)).write.parquet(staging_in)
+        pruned_target = self.spark.read.parquet(staging_in)
+        merged = merge_frames(
+            pruned_target, source, self.key_columns, op_col, ts_col, ts_guard
+        ).filter(F.col(p).isin(parts))
+
+        # dynamic partition overwrite replaces exactly the partitions
+        # present in `merged`; a partition whose rows were all deleted
+        # would be absent from `merged` and thus survive stale — write
+        # an explicit empty frame for it? No: overwrite it by unioning
+        # nothing is impossible, so delete those partition dirs directly.
+        spark = self.spark
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(p).parquet(self.path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+        surviving = {r[p] for r in merged.select(p).distinct().collect()}
+        for stale in set(parts) - surviving:
+            shutil.rmtree(
+                os.path.join(self.path, f"{p}={stale}"), ignore_errors=True
+            )
+        shutil.rmtree(staging_in, ignore_errors=True)

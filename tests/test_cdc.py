@@ -178,6 +178,52 @@ def test_multi_table_dispatch(spark, engine):
     assert engine.tables["orders"].read().collect()[0]["units"] == 5
 
 
+def test_monthly_partitioning_from_created_column(spark, tmp_path):
+    """A non-nullable Debezium-timestamp 'create*' column triggers
+    MONTHS partitioning on disk (reference :212-213 → :145); events in
+    different months land in different partition directories and a later
+    batch rewrites only its month."""
+    import glob
+    import os
+
+    eng = CdcEngine(spark, LakeConfig(root=str(tmp_path / "lake")))
+    fields = SALES_FIELDS + [
+        {
+            "field": "created_at",
+            "type": "int64",
+            "optional": False,
+            "name": "io.debezium.time.Timestamp",
+        }
+    ]
+    jan = 1704067200000   # 2024-01-01
+    mar = 1709251200000   # 2024-03-01
+    eng.process_batch(envelope_frame(spark, [
+        envelope({"sale_id": 1},
+                 {"sale_id": 1, "item_id": 1, "price": 1.0, "created_at": jan},
+                 op="c", ts_ms=1000, fields=fields),
+        envelope({"sale_id": 2},
+                 {"sale_id": 2, "item_id": 2, "price": 2.0, "created_at": mar},
+                 op="c", ts_ms=1000, fields=fields),
+    ]))
+    path = eng.tables["sales"].path
+    parts = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(path, "__part=*"))
+    )
+    assert parts == ["__part=2024-01", "__part=2024-03"]
+
+    mar_files = set(glob.glob(os.path.join(path, "__part=2024-03", "*")))
+    eng.process_batch(envelope_frame(spark, [
+        envelope({"sale_id": 1},
+                 {"sale_id": 1, "item_id": 9, "price": 1.5, "created_at": jan},
+                 op="u", ts_ms=2000, fields=fields),
+    ]))
+    assert set(glob.glob(os.path.join(path, "__part=2024-03", "*"))) == mar_files
+    s = state(eng)
+    assert s[1]["item_id"] == 9
+    import datetime as dt
+    assert s[1]["created_at"] == dt.datetime(2024, 1, 1)
+
+
 def test_multitenant_stamp_and_schema_inference(spark):
     frame = envelope_frame(spark, [sale(spark, 1, 1, 1.0, db="oms7", rds_id=3)])
     stamped = stamp_multitenant(frame)

@@ -1,0 +1,85 @@
+"""Partition-pruned MERGE: only touched partitions are rewritten."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from data_engineering_spark.operators.merge import MergeTable
+
+
+def files_in(path: str, part: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, part, "*.parquet"))
+    }
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, val string, month string, __ts_ms long, __op string"
+    )
+
+
+def test_partitioned_merge_only_touches_affected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], partition_by="month")
+    t.merge(mk(spark, [
+        (1, "a", "2024-01", 100, "c"),
+        (2, "b", "2024-02", 100, "c"),
+        (3, "c", "2024-03", 100, "c"),
+    ]))
+    before_feb = files_in(path, "month=2024-02")
+    before_mar = files_in(path, "month=2024-03")
+    assert before_feb and before_mar
+
+    # touch only January
+    t.merge(mk(spark, [(1, "A", "2024-01", 200, "u")]))
+
+    assert files_in(path, "month=2024-02") == before_feb
+    assert files_in(path, "month=2024-03") == before_mar
+    out = {r["id"]: (r["val"], r["month"]) for r in t.read().collect()}
+    assert out == {1: ("A", "2024-01"), 2: ("b", "2024-02"),
+                   3: ("c", "2024-03")}
+
+
+def test_partition_moving_update(spark, tmp_path):
+    """An update that moves a row across partitions must delete the old
+    copy (the old partition is affected via the key semi-join)."""
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], partition_by="month")
+    t.merge(mk(spark, [
+        (1, "a", "2024-01", 100, "c"),
+        (2, "b", "2024-02", 100, "c"),
+    ]))
+    t.merge(mk(spark, [(1, "a2", "2024-03", 200, "u")]))
+    out = {r["id"]: r["month"] for r in t.read().collect()}
+    assert out == {1: "2024-03", 2: "2024-02"}
+    assert t.read().count() == 2  # no duplicate left in 2024-01
+
+
+def test_partition_fully_deleted(spark, tmp_path):
+    """Deleting every row of a partition removes its directory (dynamic
+    overwrite alone would leave it stale)."""
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], partition_by="month")
+    t.merge(mk(spark, [
+        (1, "a", "2024-01", 100, "c"),
+        (2, "b", "2024-02", 100, "c"),
+    ]))
+    t.merge(mk(spark, [(1, None, "2024-01", 200, "d")]))
+    out = {r["id"]: r["month"] for r in t.read().collect()}
+    assert out == {2: "2024-02"}
+    assert not glob.glob(os.path.join(path, "month=2024-01", "*.parquet"))
+
+
+def test_partitioned_delete_and_insert_same_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], partition_by="month")
+    t.merge(mk(spark, [(1, "a", "2024-01", 100, "c")]))
+    t.merge(mk(spark, [
+        (1, None, "2024-01", 200, "d"),
+        (9, "new", "2024-01", 200, "c"),
+    ]))
+    out = {r["id"]: r["val"] for r in t.read().collect()}
+    assert out == {9: "new"}
