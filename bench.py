@@ -31,7 +31,11 @@ HEADLINE = [
     "q_events_sessionize",
     "q_doc_dedup_exact",
     "q_doc_ngram_jaccard_pairs",
+    "q_doc_minhash_neardup",
     "q_cosine_topk",
+    "q_embedding_similarity_join",
+    "q_events_tumbling_window",
+    "q07_nation_trade_flows",
 ]
 
 
