@@ -52,6 +52,46 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
     }
 
 
+def iceberg_configs(
+    catalog: str = "lake",
+    warehouse: str = "s3a://warehouse/",
+    catalog_impl: str = "org.apache.iceberg.spark.SparkCatalog",
+) -> dict[str, str]:
+    """Iceberg catalog session configs — the reference's setup
+    (/root/reference/incremental_kafka_s3_cdc.py:21-28) made reusable.
+    Requires the iceberg-spark-runtime jar on the classpath (absent in
+    this test container; the parquet MergeTable backend covers local
+    runs, see operators/merge.py)."""
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": catalog_impl,
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def s3_configs(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    path_style: bool = True,
+) -> dict[str, str]:
+    """S3/MinIO hadoop-aws configs (reference
+    incremental_kafka_s3_cdc.py:15-20 / sanpshot_script.py:15-28).
+    Credentials come from the caller's secret store — never hardcode."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
+    }
+
+
 def get_session(
     app_name: str = "data-engineering-spark",
     master: str | None = None,
