@@ -39,6 +39,61 @@ HEADLINE = [
 ]
 
 
+def bench_cdc_ingest(spark, sf_dir: str) -> float:
+    """End-to-end CDC pipeline throughput — the reference's core job.
+
+    The events table is wrapped into Debezium envelopes (JVM-side
+    to_json, no Python row work) and pushed through the full batch
+    pipeline: dropna → LWW compaction → schema inference → envelope
+    parse → multitenant stamp → keyed MERGE into a parquet table.
+    Returns wall seconds for one drain of the whole table.
+    """
+    import json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+    e = load_table(spark, sf_dir, "events")
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"field": "event_id", "type": "int64", "optional": False},
+                {"field": "user_id", "type": "int64", "optional": True},
+                {"field": "event_type", "type": "string", "optional": True},
+                {"field": "value", "type": "float64", "optional": True},
+            ],
+        }
+    )
+    envelope = e.select(
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"),
+                 F.lit("}")).alias("key"),
+        F.concat(
+            F.lit('{"schema": ' + schema_json + ', "payload": '),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")),
+            F.lit("}"),
+        ).alias("value"),
+        F.lit("source_glaucus1.oms1.events_cdc").alias("__topic"),
+        F.lit("events_cdc").alias("__table"),
+        F.when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("__op"),
+        F.unix_millis("ts").alias("__ts_ms"),
+        F.lit("oms1").alias("__db"),
+    )
+    lake = tempfile.mkdtemp(prefix="bench-cdc-")
+    engine = CdcEngine(spark, LakeConfig(root=lake))
+    t0 = time.perf_counter()
+    engine.process_batch(envelope)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(lake, ignore_errors=True)
+    return round(dt, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="data-engineering-spark-bench")
@@ -52,6 +107,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings["cdc_ingest_pipeline"] = bench_cdc_ingest(spark, sf_dir)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
