@@ -172,12 +172,6 @@ def parse_envelope_batch(
     a static 2-field struct, then the payload with the inferred schema —
     from_json ×2 exactly as the reference (:214-215) but fully typed.
     """
-    outer = T.StructType(
-        [
-            T.StructField("schema", T.StringType()),
-            T.StructField("payload", T.StringType()),
-        ]
-    )
     sys_cols = [c for c in raw.columns if c.startswith("__")]
     parsed = raw.select(
         F.from_json(
@@ -186,7 +180,6 @@ def parse_envelope_batch(
         ).alias("payload"),
         *[F.col(c) for c in sys_cols],
     ).select(F.col("payload.*"), *[F.col(c) for c in sys_cols])
-    _ = outer  # outer envelope struct kept for callers that need $.schema
     return apply_semantic_conversions(parsed, inferred.semantic)
 
 

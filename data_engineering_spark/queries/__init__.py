@@ -10,6 +10,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     text,
 )
