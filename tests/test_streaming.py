@@ -51,3 +51,30 @@ def test_file_stream_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert engine.tables["sales"].read().count() == 1
+
+
+def test_concurrent_streams_one_session(spark, tmp_path):
+    """The reference runs up to 40 streams in one SparkSession
+    (:452-460); two concurrent file-source streams feeding different
+    tables through the same engine must not interfere."""
+    engine = CdcEngine(spark, LakeConfig(root=str(tmp_path / "lake")))
+    queries = []
+    for i, table in enumerate(["t_alpha", "t_beta"]):
+        src = tmp_path / f"in_{table}"
+        src.mkdir()
+        envelope_frame(spark, [
+            sale(spark, k, k, float(k), op="c", ts_ms=1000 + k, table=table)
+            for k in range(1, 6)
+        ]).coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(ENVELOPE_SCHEMA).parquet(str(src))
+        queries.append(
+            run_cdc_stream(
+                engine, stream,
+                checkpoint_dir=str(tmp_path / f"ckpt_{i}"),
+                raw_kafka=False,
+            )
+        )
+    for q in queries:
+        q.awaitTermination(180)
+    assert engine.tables["t_alpha"].read().count() == 5
+    assert engine.tables["t_beta"].read().count() == 5
