@@ -125,3 +125,12 @@ def test_parse_partition_spec():
     )
     assert parse_partition_spec("bucket(id)") == PartitionSpec("id", "bucket")
     assert parse_partition_spec("__rds_id") == PartitionSpec("__rds_id", None)
+
+
+def test_align_to_columns(spark):
+    from data_engineering_spark.types.casts import align_to_columns
+
+    df = spark.createDataFrame([(1, "a")], ["id", "x"])
+    out = align_to_columns(df, ["id", "gone", "x"])
+    assert out.columns == ["id", "gone", "x"]
+    assert out.collect()[0]["gone"] is None
