@@ -72,29 +72,26 @@ def q_embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_embedding_centroids")
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid vectors: posexplode to (label, dim, value)
-    rows → one hash aggregation → re-assemble ordered arrays. The
-    MapReduce shape for vector averages — no driver collect, no UDF.
-    Rows-only check (float-sum order sensitivity makes an exact SQL
-    oracle fragile; pytest asserts the math on a fixture)."""
+    """Per-label centroid components: posexplode to (label, dim, value)
+    rows → one hash aggregation — the MapReduce shape for vector
+    averages, no driver collect, no UDF.
+
+    Rows-only check, deliberately: a SQL oracle was attempted with
+    decimal-accumulated float elements and fails — Spark and DuckDB
+    quantize a FLOAT to decimal differently at the 7th digit (exact
+    binary expansion vs shortest-repr rounding), so no fine-grained
+    re-quantization of float data can hash-match across engines.
+    pytest covers the math on fixtures instead."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
-    per_dim = dims.groupBy("label", "dim").agg(
-        F.avg("v").alias("mean_v"), F.count(F.lit(1)).alias("n")
-    )
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "mean_v"))
-                ),
-                lambda s: s["mean_v"],
-            ).alias("centroid"),
-            F.max("n").alias("n_vectors"),
-        )
+    return dims.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,7)")).cast("double")
+            / F.count("v")
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 

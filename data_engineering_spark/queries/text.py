@@ -254,6 +254,32 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_doc_word_frequency",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents)
+    SELECT word, COUNT(*) AS n
+    FROM w GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q_doc_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency top-k (explode → count → total-order
+    limit) — the generator (flatMap) shape in the oracle-checked
+    surface."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
 @query("q_doc_simhash_bands")
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints banded into 4×16-bit chunks — the

@@ -104,3 +104,23 @@ def test_language_guess_on_real_sentences(spark):
     got = df.select("expected", guess_language("text").alias("g")).collect()
     for r in got:
         assert r["g"] == r["expected"], r
+
+
+def test_centroid_math(spark):
+    """Centroid query math on a known fixture: mean per (label, dim)."""
+    from data_engineering_spark.queries import QUERIES
+    import os, tempfile
+
+    d = tempfile.mkdtemp(prefix="centroid-fix-")
+    spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {
+        (r["label"], r["dim"]): (r["mean_v"], r["n_vectors"])
+        for r in QUERIES["q_embedding_centroids"](spark, d).collect()
+    }
+    assert out == {
+        (0, 0): (2.0, 2), (0, 1): (3.0, 2),
+        (1, 0): (10.0, 1), (1, 1): (20.0, 1),
+    }
