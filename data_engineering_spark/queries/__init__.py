@@ -11,6 +11,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     similarity,
     text,
 )

@@ -43,6 +43,22 @@ def watermarked_window_counts(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state: duplicates of a key are
+    dropped as long as they arrive within the watermark of the first
+    sighting; state for older keys is reclaimed. This is the
+    ingest-time guard against at-least-once upstream delivery (Kafka
+    producer retries), complementing the idempotent MERGE downstream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def running_dedup_counts(events: DataFrame) -> DataFrame:
     """Per-user running totals + distinct-event-type tracking across
     micro-batches via applyInPandasWithState.

@@ -133,3 +133,42 @@ def test_stateful_dedup_counts_across_batches(spark, tmp_path):
     assert final[1] == (3, 2)  # 3 events, types {click, view}
     assert final[2] == (2, 2)  # types {click, purchase}
     time.sleep(0)
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    import datetime as dt
+
+    from data_engineering_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "dw_in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp"
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),   # dup within watermark
+        (2, t0 + dt.timedelta(minutes=1)),
+        (2, t0 + dt.timedelta(minutes=2)),   # dup
+        (3, t0 + dt.timedelta(minutes=3)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = dedup_within_watermark(stream, ["event_id"], "ts", "30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dw_out").collect()
+    )
+    assert got == [1, 2, 3]
