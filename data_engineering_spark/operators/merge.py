@@ -178,7 +178,13 @@ class MergeTable:
         return os.path.exists(self.path)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: after schema evolution, a partition-pruned merge
+        # rewrites only touched partitions with the widened schema —
+        # untouched partition files keep the old one. Footer-of-one-file
+        # schema inference would silently drop the new columns.
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.path
+        )
 
     def _write(self, df: DataFrame, dest: str) -> None:
         w = df.write.mode("overwrite")
@@ -255,6 +261,8 @@ class MergeTable:
         parts = [
             r[p] for r in src_parts.union(moved_parts).distinct().collect()
         ]
+        if not parts:  # empty batch → nothing to rewrite
+            return
         # Stage the affected partitions out first: Spark (rightly)
         # refuses to overwrite a path its own plan reads from. The copy
         # is proportional to the touched partitions, not the table.

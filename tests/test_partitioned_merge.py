@@ -83,3 +83,33 @@ def test_partitioned_delete_and_insert_same_batch(spark, tmp_path):
     ]))
     out = {r["id"]: r["val"] for r in t.read().collect()}
     assert out == {9: "new"}
+
+
+def test_partitioned_schema_evolution_preserves_new_columns(spark, tmp_path):
+    """A widened batch touching one partition must not lose its new
+    column when untouched partitions still carry the old schema."""
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], partition_by="month")
+    t.merge(mk(spark, [
+        (1, "a", "2024-01", 100, "c"),
+        (2, "b", "2024-02", 100, "c"),
+    ]))
+    wide = spark.createDataFrame(
+        [(3, "c", "2024-01", 0.5, 200, "c")],
+        "id long, val string, month string, disc double, "
+        "__ts_ms long, __op string",
+    )
+    t.merge(wide)
+    out = {r["id"]: r for r in t.read().collect()}
+    assert out[3]["disc"] == 0.5
+    assert out[2]["disc"] is None  # untouched partition, old schema
+    assert out[1]["disc"] is None  # rewritten partition, backfilled
+
+
+def test_partitioned_empty_batch_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], partition_by="month")
+    t.merge(mk(spark, [(1, "a", "2024-01", 100, "c")]))
+    empty = mk(spark, []).limit(0)
+    t.merge(empty)
+    assert t.read().count() == 1
