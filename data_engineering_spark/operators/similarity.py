@@ -350,27 +350,46 @@ def lsh_bucketed_similarity_join(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_bands, planes_per_band, dim))
 
-    def band_bucket(vec: Column, band: int) -> Column:
-        """Sign-bit integer for one band's hyperplanes."""
-        total = F.lit(0)
-        for i in range(planes_per_band):
-            w = F.array(*[F.lit(float(x)) for x in planes[band, i]])
-            total = total + (
-                F.when(dot(vec, w) >= 0, 1).otherwise(0) * (2**i)
-            )
-        return total
-
     v = with_unit_vector(vectors, vec_col, "__v").select(
         F.col(id_col).alias("id"), "__v"
     )
-    banded = v.select(
+    # Bucket assignment is a (batch × dim) @ (dim × planes) sign matrix —
+    # numpy GEMM over Arrow batches. The expression alternatives both
+    # lose: higher-order-function dots allocate arrays per plane
+    # evaluation (~30 µs each × b·r planes), and exploding raw bucket
+    # expressions re-evaluates them per output row (generator child
+    # re-eval). Same rationale as the GEMM similarity join.
+    import pandas as pd
+
+    flat_planes = planes.reshape(num_bands * planes_per_band, dim)
+    pow2 = 2 ** np.arange(planes_per_band)
+    out_schema = "id long, __v array<double>, " + ", ".join(
+        f"__b{b} int" for b in range(num_bands)
+    )
+
+    def assign(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            V = np.stack(batch["__v"].to_numpy())
+            bits = (V @ flat_planes.T >= 0).reshape(
+                len(batch), num_bands, planes_per_band
+            )
+            buckets = (bits * pow2).sum(axis=2)
+            out = {"id": batch["id"], "__v": batch["__v"]}
+            for b in range(num_bands):
+                out[f"__b{b}"] = buckets[:, b].astype("int32")
+            yield pd.DataFrame(out)
+
+    with_buckets = v.mapInPandas(assign, out_schema)
+    banded = with_buckets.select(
         "id",
         "__v",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(bnd).alias("band"),
-                    band_bucket(F.col("__v"), bnd).alias("bucket"),
+                    F.col(f"__b{bnd}").alias("bucket"),
                 )
                 for bnd in range(num_bands)
             ])
