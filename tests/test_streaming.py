@@ -78,3 +78,38 @@ def test_concurrent_streams_one_session(spark, tmp_path):
         q.awaitTermination(180)
     assert engine.tables["t_alpha"].read().count() == 5
     assert engine.tables["t_beta"].read().count() == 5
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (broadcast per micro-batch) — the standard streaming
+    enrichment shape; no watermark needed on the static side."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    src = tmp_path / "enrich_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 1), (13, 3)], "event_id long, user_id long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(
+        str(src)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    assert rows == {10: "gold", 11: "silver", 12: "gold", 13: None}
