@@ -12,6 +12,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
     similarity,
     text,
 )
