@@ -85,7 +85,15 @@ def dedup_exact(
     fingerprint of the concatenated content columns so the shuffle key is
     fixed-width regardless of document size.
     """
-    fingerprint = content_hash(F.concat_ws("", *content_cols))
+    # Boundary- and NULL-unambiguous encoding: join on a \x01 unit
+    # separator (('ab','c') != ('a','bc')) and encode NULL as a \x00
+    # sentinel distinct from '' (concat_ws alone silently skips NULLs,
+    # so ('a', NULL) would collide with ('a', '')).
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+        for c in content_cols
+    ]
+    fingerprint = content_hash(F.concat_ws("\u0001", *parts))
     keyed = df.withColumn("__fp", fingerprint)
     winners = keep_first(keyed, ["__fp"], id_col)
     sizes = keyed.groupBy("__fp").agg(F.count(F.lit(1)).alias("n_copies"))

@@ -111,7 +111,10 @@ def merge_frames(
         | ~F.lit(ts_guard)
         | (F.col(f"s.{ts_col}") >= F.col(f"t.{ts_col}"))
     )
-    is_delete = s_present & (F.col(f"s.{op_col}") == DELETE_OP)
+    # With ts_guard the delete must obey the same newer-wins rule: a
+    # late delete whose __ts_ms is older than the stored row is ignored.
+    # (Default ts_guard=False keeps the reference's unguarded behavior.)
+    is_delete = s_present & (F.col(f"s.{op_col}") == DELETE_OP) & s_wins
 
     def pick(c: str) -> F.Column:
         in_t, in_s = c in target.columns, c in source.columns
@@ -280,17 +283,18 @@ class MergeTable:
         # would be absent from `merged` and thus survive stale — write
         # an explicit empty frame for it? No: overwrite it by unioning
         # nothing is impossible, so delete those partition dirs directly.
-        spark = self.spark
-        prev_mode = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # Per-write option, NOT a session-conf toggle: many streams share
+        # one SparkSession (streaming/runner.start_streams), and a
+        # set/restore race would let a concurrent merge run under
+        # 'static' — a static overwrite with partitionBy deletes every
+        # untouched partition. The writer option is race-free and takes
+        # precedence over the session conf.
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(p)
+            .parquet(self.path)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            merged.write.mode("overwrite").partitionBy(p).parquet(self.path)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
         surviving = {r[p] for r in merged.select(p).distinct().collect()}
         for stale in set(parts) - surviving:
             shutil.rmtree(

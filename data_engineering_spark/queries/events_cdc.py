@@ -226,13 +226,19 @@ def q_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB dashboard path:
     approx_count_distinct (HLL++) and approx_percentile (t-digest-ish)
     per event type. No SQL oracle — DuckDB's sketches differ by design;
-    pytest bounds the error against exact values."""
+    pytest bounds the error against exact values.
+
+    Quantiles are emitted as three scalar double columns (not one
+    array column): the driver canonicalizes result frames by sorting
+    every column, which crashes on list-typed cells.
+    """
     e = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
-            "value_quantiles"
-        ),
+        F.element_at(q, 1).alias("value_p50"),
+        F.element_at(q, 2).alias("value_p95"),
+        F.element_at(q, 3).alias("value_p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -39,27 +39,71 @@ class JdbcConfig:
     password: str
     driver: str = "com.mysql.cj.jdbc.Driver"
     fetchsize: int = 10_000
+    # Identifier quote char for the source dialect: '`' (MySQL, default),
+    # '"' (ANSI/Postgres), or '' for validate-only (no quoting — needed
+    # for engines like Derby that case-fold unquoted names; names are
+    # then restricted to [A-Za-z_][A-Za-z0-9_$]*).
+    ident_quote: str = "`"
 
 
 # --- SQL builders (pushed to the source, reference :67-85, :249-256) -------
+#
+# Identifier hygiene: names discovered from information_schema flow back
+# into these statements, so a hostile table name is an injection vector
+# (the reference interpolates raw f-strings, :67-85). Every identifier is
+# backtick-quoted with embedded backticks doubled (MySQL escape rule) and
+# rejected outright if it contains quotes or control characters; string
+# literals get their quotes/backslashes escaped.
+
+import re as _re
+
+_BARE_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+
+
+def _ident(name: str, quote: str = "`") -> str:
+    """Quote an identifier for the source dialect; reject unquotable
+    names. With quote='' no quoting is applied and only strictly-safe
+    bare names pass."""
+    if not quote:
+        if not _BARE_IDENT.match(name or ""):
+            raise ValueError(f"unsafe SQL identifier: {name!r}")
+        return name
+    if not name or any(ch in name for ch in "\x00\n\r\x1a"):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    # Embedded quote chars are neutralized by doubling (the SQL escape
+    # rule inside a quoted identifier); other characters are inert there.
+    return f"{quote}{name.replace(quote, quote * 2)}{quote}"
+
+
+def _lit(value: str) -> str:
+    """Escape a string literal for a single-quoted MySQL context."""
+    return value.replace("\\", "\\\\").replace("'", "''")
+
 
 def primary_key_sql(database: str, table: str) -> str:
     return (
         "SELECT COLUMN_NAME FROM information_schema.columns "
-        f"WHERE table_schema = '{database}' AND table_name = '{table}' "
+        f"WHERE table_schema = '{_lit(database)}' "
+        f"AND table_name = '{_lit(table)}' "
         "AND COLUMN_KEY = 'PRI' ORDER BY ORDINAL_POSITION"
     )
 
 
-def bounds_sql(key: str, database: str, table: str) -> str:
-    return f"SELECT min({key}) AS lo, max({key}) AS hi FROM {database}.{table}"
+def bounds_sql(
+    key: str, database: str, table: str, quote: str = "`"
+) -> str:
+    k = _ident(key, quote)
+    return (
+        f"SELECT min({k}) AS lo, max({k}) AS hi "
+        f"FROM {_ident(database, quote)}.{_ident(table, quote)}"
+    )
 
 
 def discover_tables_sql(db_pattern: str) -> str:
     return (
         "SELECT CONCAT(table_schema, '.', table_name) AS full_name "
         "FROM information_schema.tables "
-        f"WHERE table_schema REGEXP '{db_pattern}'"
+        f"WHERE table_schema REGEXP '{_lit(db_pattern)}'"
     )
 
 
@@ -99,7 +143,11 @@ def table_reader(
     (reference :117-129); single-partition fallback otherwise (:131-141)."""
     r = (
         _base_reader(spark, cfg)
-        .option("dbtable", f"{database}.{table}")
+        .option(
+            "dbtable",
+            f"{_ident(database, cfg.ident_quote)}"
+            f".{_ident(table, cfg.ident_quote)}",
+        )
         .option("fetchsize", str(cfg.fetchsize))
     )
     if key is not None and lower is not None and upper is not None:
@@ -142,8 +190,8 @@ def append_snapshot(
 def audit_log_sql(rds_id: int, database: str, table: str, sink: str) -> str:
     """Audit row recording a completed snapshot (reference :235)."""
     return (
-        f"INSERT INTO insert_log{rds_id} VALUES "
-        f"('{database}', '{table}', '{sink}')"
+        f"INSERT INTO insert_log{int(rds_id)} VALUES "
+        f"('{_lit(database)}', '{_lit(table)}', '{_lit(sink)}')"
     )
 
 

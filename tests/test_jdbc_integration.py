@@ -40,7 +40,11 @@ def derby(spark):
 
 @pytest.fixture()
 def cfg():
-    return JdbcConfig(url=URL, user="", password="", driver=DRIVER)
+    # Derby case-folds unquoted identifiers, so use validate-only mode
+    # (quoting "sales" would demand an exact-case lowercase table).
+    return JdbcConfig(
+        url=URL, user="", password="", driver=DRIVER, ident_quote=""
+    )
 
 
 def test_bounds_probe_pushdown(spark, derby, cfg):

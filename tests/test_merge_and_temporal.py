@@ -52,6 +52,22 @@ def test_merge_frames_no_ts_guard_vs_guard(spark):
     )
 
 
+def test_merge_frames_ts_guard_blocks_late_delete(spark):
+    target = spark.createDataFrame([(1, "new", 500, "u")],
+                                   ["id", "val", "__ts_ms", "__op"])
+    late_del = spark.createDataFrame([(1, "x", 100, "d")],
+                                     ["id", "val", "__ts_ms", "__op"])
+    # parity default: late delete still removes the row
+    assert merge_frames(target, late_del, ["id"]).count() == 0
+    # guard: the older delete is ignored, stored row survives
+    out = merge_frames(target, late_del, ["id"], ts_guard=True).collect()
+    assert len(out) == 1 and out[0]["val"] == "new"
+    # guard: a newer delete still removes
+    fresh_del = spark.createDataFrame([(1, "x", 900, "d")],
+                                      ["id", "val", "__ts_ms", "__op"])
+    assert merge_frames(target, fresh_del, ["id"], ts_guard=True).count() == 0
+
+
 def test_merge_frames_schema_evolution(spark):
     target = spark.createDataFrame([(1, "a", 100, "c")],
                                    ["id", "val", "__ts_ms", "__op"])
@@ -132,12 +148,32 @@ def test_temporal_known_values(spark):
 def test_snapshot_sql_builders():
     assert "COLUMN_KEY = 'PRI'" in primary_key_sql("oms1", "sales")
     assert bounds_sql("sale_id", "oms1", "sales") == (
+        "SELECT min(`sale_id`) AS lo, max(`sale_id`) AS hi "
+        "FROM `oms1`.`sales`"
+    )
+    assert bounds_sql("sale_id", "oms1", "sales", quote="") == (
         "SELECT min(sale_id) AS lo, max(sale_id) AS hi FROM oms1.sales"
     )
     assert "REGEXP 'oms.*'" in discover_tables_sql("oms.*")
     assert audit_log_sql(2, "oms1", "sales", "lake.sales") == (
         "INSERT INTO insert_log2 VALUES ('oms1', 'sales', 'lake.sales')"
     )
+
+
+def test_snapshot_sql_builders_reject_hostile_names():
+    """Names discovered from information_schema are untrusted: quoting
+    neutralizes backtick break-outs; literal escaping neutralizes quote
+    break-outs; validate-only mode rejects anything non-bare."""
+    hostile = "s`.`x` WHERE 1=1; DROP TABLE t; --"
+    assert "``" in bounds_sql("k", "db", hostile)  # backticks doubled
+    assert "DROP TABLE" in bounds_sql("k", "db", hostile)  # inert, quoted
+    with pytest.raises(ValueError):
+        bounds_sql("k", "db", hostile, quote="")
+    with pytest.raises(ValueError):
+        bounds_sql("k", "db", "t\nx")  # control chars never allowed
+    # string-literal escaping in metadata probes
+    assert "table_name = 'x'''" in primary_key_sql("db", "x'")
+    assert "VALUES ('a''b'" in audit_log_sql(1, "a'b", "t", "s")
 
 
 def test_prepare_snapshot_frame(spark):
