@@ -13,6 +13,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
     similarity,
     text,
 )
