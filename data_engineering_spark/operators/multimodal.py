@@ -53,12 +53,19 @@ def with_binary_metadata(
 
 
 BYTE_HISTOGRAM_SCHEMA = "id long, features array<float>"
+BYTE_HISTOGRAM_COUNTS_SCHEMA = "id long, features array<long>"
 
 
 def byte_histogram_features(
-    df: DataFrame, id_col: str = "id", bin_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    normalize: bool = True,
 ) -> DataFrame:
-    """256-bin normalized byte histogram per item → array<float>.
+    """256-bin byte histogram per item — normalized float mass
+    (default) or exact integer counts (``normalize=False``; counts are
+    order-independent, so downstream aggregates of them are
+    cross-engine deterministic — see queries/multimodal.py).
 
     A real (deterministic, media-free) feature extractor exercising the
     exact plumbing a CNN/CLIP encoder would use: mapInPandas over Arrow
@@ -75,12 +82,20 @@ def byte_histogram_features(
             feats = []
             for buf in pdf["payload"]:
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-                h = np.bincount(arr, minlength=256).astype("float32")
-                total = h.sum()
-                feats.append(h / total if total else h)
+                h = np.bincount(arr, minlength=256)
+                if normalize:
+                    h = h.astype("float32")
+                    total = h.sum()
+                    h = h / total if total else h
+                else:
+                    h = h.astype("int64")
+                feats.append(h)
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
-    return src.mapInPandas(histogram, BYTE_HISTOGRAM_SCHEMA)
+    schema = (
+        BYTE_HISTOGRAM_SCHEMA if normalize else BYTE_HISTOGRAM_COUNTS_SCHEMA
+    )
+    return src.mapInPandas(histogram, schema)
 
 
 DECODED_IMAGE_SCHEMA = "id long, width int, height int, mode string"

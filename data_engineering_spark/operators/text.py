@@ -267,3 +267,48 @@ def simhash64(shingle_col: Column | str) -> Column:
     for i in range(64):
         fp = fp + (bit_vote(i).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long"))
     return fp
+
+
+def simhash_portable_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """(id, simhash) fingerprints whose per-shingle hash is the first 15
+    hex chars of md5 — 60 bits, computable bit-identically in any engine
+    with md5 (DuckDB oracle parity), unlike xxhash64's Spark-only seed.
+    Use `simhash64` when raw throughput matters more than cross-engine
+    verifiability (xxhash64 is one JVM intrinsic vs md5's digest).
+
+    Docs with fewer than `n` tokens have no shingles and are excluded
+    (an empty vote set would degenerately emit all-ones fingerprints).
+
+    The hash array is materialized in its own projection before the 60
+    bit-vote aggregates: each vote references the array column, and a
+    non-materialized transform() expression would be re-evaluated (60×
+    md5 per shingle) by codegen.
+    """
+    sh = shingled(df, id_col, text_col, n).filter(F.size("sh") > 0)
+    hv = F.transform(
+        "sh",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    hashed = sh.select(
+        F.col(id_col), hv.alias("hv"), F.size("sh").alias("cnt")
+    )
+
+    def bit_vote(i: int) -> Column:
+        ones = F.aggregate(
+            F.col("hv"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        return F.when(ones * 2 >= F.col("cnt"), F.lit(1)).otherwise(F.lit(0))
+
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + bit_vote(i).cast("long") * F.lit(2 ** i).cast("long")
+    return hashed.select(F.col(id_col), fp.alias("simhash"))

@@ -44,30 +44,83 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("doc_id", "byte_size", "content_sha", "format")
 
 
-@query("q_multimodal_histogram")
+@query(
+    "q_multimodal_histogram",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id % 10 AS bucket,
+             length(regexp_replace(text, '[^a-y]', '', 'g')) AS lb,
+             octet_length(encode(text)) AS tb
+      FROM documents)
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(lb) AS BIGINT) AS sum_letter_bytes,
+           CAST(SUM(tb) AS BIGINT) AS sum_bytes,
+           CAST(SUM(lb) AS DOUBLE) / CAST(SUM(tb) AS DOUBLE)
+             AS letter_mass
+    FROM d GROUP BY 1
+    """,
+)
 def q_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (256-bin byte histogram) +
     downstream aggregation — the mapInPandas plumbing a real encoder
-    uses. No SQL oracle (array output); pytest asserts the math."""
+    uses. The query consumes exact integer counts (normalize=False) so
+    every aggregate is order-independent and the oracle can recompute
+    the byte ranges with regexp arithmetic; the division happens once
+    on exact sums (bit-identical across engines). The normalized-float
+    path is pytest-covered."""
     feats = byte_histogram_features(
-        _binary_docs(spark, sf_dir), id_col="doc_id"
+        _binary_docs(spark, sf_dir), id_col="doc_id", normalize=False
     )
-    # aggregate: mean mass in the ASCII-letter byte range per doc bucket
-    letter_mass = F.expr(
-        "aggregate(slice(features, 98, 25), 0D, (acc, x) -> acc + x)"
+    # bins are 1-indexed: element 98 = byte 97 ('a') … element 122 =
+    # byte 121 ('y') — the [a-y] ASCII range the oracle mirrors.
+    letter_bytes = F.expr(
+        "aggregate(slice(features, 98, 25), 0L, (acc, x) -> acc + x)"
     )
-    return feats.select(
-        (F.col("id") % 10).alias("bucket"),
-        letter_mass.alias("letter_mass"),
-    ).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("letter_mass"), 6).alias("avg_letter_mass"),
+    total_bytes = F.expr("aggregate(features, 0L, (acc, x) -> acc + x)")
+    return (
+        feats.select(
+            (F.col("id") % 10).alias("bucket"),
+            letter_bytes.alias("lb"),
+            total_bytes.alias("tb"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lb").cast("bigint").alias("sum_letter_bytes"),
+            F.sum("tb").cast("bigint").alias("sum_bytes"),
+            (
+                F.sum("lb").cast("double") / F.sum("tb").cast("double")
+            ).alias("letter_mass"),
+        )
     )
 
 
-@query("q_multimodal_frame_sample")
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS len
+      FROM documents WHERE octet_length(encode(text)) > 0),
+    c AS (
+      SELECT doc_id, len,
+             (len + 63) // 64 AS nchunks,
+             len - 64 * ((len + 63) // 64 - 1) AS last_len
+      FROM d)
+    SELECT doc_id AS id,
+           (nchunks + 1) // 2 AS n_frames,
+           CAST(64 * ((nchunks + 1) // 2 - 1)
+                + CASE WHEN (nchunks - 1) % 2 = 0
+                       THEN last_len ELSE 64 END AS BIGINT)
+             AS sampled_bytes
+    FROM c
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out shape (1 payload → k binary frames)."""
+    """Frame-sampling fan-out shape (1 payload → k binary frames,
+    frame_size=64, stride=2 — every even chunk kept). The oracle
+    reproduces the per-doc frame count and byte total in closed form:
+    all kept frames are 64 bytes except the final chunk, kept iff the
+    chunk count is odd."""
     frames = sample_frames(
         _binary_docs(spark, sf_dir), id_col="doc_id",
         frame_size=64, stride=2,

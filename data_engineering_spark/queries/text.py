@@ -280,26 +280,63 @@ def q_doc_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_doc_simhash_bands")
+@query(
+    "q_doc_simhash_bands",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(s)), 1, 15))::BIGINT AS hv
+      FROM sh),
+    cnts AS (SELECT doc_id, COUNT(*) AS cnt FROM h GROUP BY doc_id),
+    bit_ones AS (
+      SELECT doc_id, r.i,
+             CAST(SUM((hv >> r.i) & 1) AS BIGINT) AS ones
+      FROM h CROSS JOIN range(60) r(i)
+      GROUP BY doc_id, r.i),
+    fp AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN 2 * ones >= cnt
+                           THEN (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bit_ones b JOIN cnts USING (doc_id)
+      GROUP BY b.doc_id),
+    bands AS (
+      SELECT doc_id, CAST(r.b AS INT) AS band,
+             (simhash >> (15 * CAST(r.b AS INT))) & 32767 AS chunk
+      FROM fp CROSS JOIN range(4) r(b))
+    SELECT band, chunk, COUNT(*) AS n_docs
+    FROM bands GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """,
+)
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints banded into 4×16-bit chunks — the
-    equi-join blocking scheme for Hamming-distance near-dup at scale.
-    No SQL oracle (xxhash64 has no DuckDB twin); pytest covers the
-    operator; driver records rows-only."""
-    from data_engineering_spark.operators.text import shingled, simhash64
+    """Portable 60-bit SimHash fingerprints banded into 4×15-bit chunks
+    — the equi-join blocking scheme for Hamming-distance near-dup at
+    scale. The per-shingle hash is md5's first 15 hex chars, so DuckDB
+    reproduces every fingerprint bit-exactly (the xxhash64 fast path,
+    `operators/text.simhash64`, stays for production throughput and is
+    pytest-covered)."""
+    from data_engineering_spark.operators.text import (
+        simhash_portable_fingerprints,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    sh = shingled(d, "doc_id", "text")
-    fp = sh.select("doc_id", simhash64("sh").alias("simhash"))
+    fp = simhash_portable_fingerprints(d, "doc_id", "text")
     bands = fp.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftright("simhash", 16 * b)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.lit(b).cast("int").alias("band"),
+                    F.shiftright("simhash", 15 * b)
+                    .bitwiseAND(F.lit(0x7FFF))
                     .alias("chunk"),
                 )
                 for b in range(4)
@@ -312,12 +349,45 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_docs") > 1)
 
 
-@query("q_doc_language_guess")
+@query(
+    "q_doc_language_guess",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sc AS (
+      SELECT lang,
+        len(list_filter(t, x -> list_contains(
+            ['der','die','das','und','zu'], x))) / greatest(len(t), 1)
+          AS s_de,
+        len(list_filter(t, x -> list_contains(
+            ['the','a','of','and','to'], x))) / greatest(len(t), 1)
+          AS s_en,
+        len(list_filter(t, x -> list_contains(
+            ['el','la','de','y','que'], x))) / greatest(len(t), 1)
+          AS s_es,
+        len(list_filter(t, x -> list_contains(
+            ['le','la','de','et','que'], x))) / greatest(len(t), 1)
+          AS s_fr
+      FROM tok),
+    g AS (
+      SELECT lang,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+             WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END AS guessed
+      FROM sc)
+    SELECT lang, guessed, COUNT(*) AS n FROM g GROUP BY 1, 2
+    """,
+)
 def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (stopword-hit argmax) vs the labeled `lang`
-    column — no SQL oracle (the heuristic's tie-breaking is not worth
-    re-implementing in SQL); driver records a rows-only check, and
-    pytest asserts accuracy on labeled languages."""
+    """Heuristic language ID (stopword-hit-fraction argmax) confusion
+    matrix vs the labeled `lang` column. The oracle reproduces the
+    argmax exactly: scores are int/int divisions (bit-identical in both
+    engines), and Spark's array_max-over-struct tie-break (max score,
+    then lexicographically greatest language) is the fr→es→en→de CASE
+    chain."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", X.guess_language("text").alias("guessed"))
