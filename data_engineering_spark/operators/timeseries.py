@@ -1,0 +1,179 @@
+"""Time-series operators Spark lacks as built-ins: as-of join, interval
+(range) join, and multi-granularity (hypertable-style) rollup.
+
+These are extension operators (SURVEY.md §2.11 family): the reference
+engine has none of them, but any event-time analytics surface needs
+them. Each is expressed as a composition of existing DataFrame ops —
+no UDFs, no driver loops — so Catalyst/AQE keep optimizing them.
+
+Scale design:
+
+- `asof_join` is the union-window formulation: tag both sides, union,
+  one hash-shuffle on the key, one linear window pass carrying the
+  most recent right payload forward. No range join, no per-row probe;
+  cost is a sort within key partitions — the same profile as any
+  windowed aggregation, safe at 100 TB with AQE skew handling.
+- `interval_join` requires an equi-key and turns the time bound into a
+  post-join filter: Catalyst plans the equi part as a hash/SMJ join
+  (never a broadcast-nested-loop cross product). For keyless range
+  joins, bucketize time into bins and equi-join on the bin ± 1 — not
+  provided here because every driver workload has a key.
+- `hypertable_rollup` computes all granularities in ONE scan and ONE
+  shuffle: each row fans out to (grain, truncated-bucket) pairs via a
+  generator whose child is a cheap struct of date_truncs (generators
+  re-evaluate their child per output row — keep it cheap), then a
+  single group-by. A per-grain union would scan the fact table G times.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the single right row with the greatest
+    ``right_ts <= left_ts`` (direction='backward'; 'forward' takes the
+    smallest ``right_ts >= left_ts``) within the same `on` key — a left
+    outer as-of join (unmatched left rows keep NULL right columns).
+
+    Matches DuckDB/pandas ASOF semantics including the tie rule: a right
+    row at exactly ``left_ts`` matches. The right side must be unique
+    per (key, right_ts) — pre-aggregate if it is not, or which of the
+    tied rows wins is undefined (same as DuckDB).
+
+    `tolerance_ms`: optionally reject matches further than this many
+    milliseconds from the left timestamp (pandas merge_asof tolerance).
+
+    Implementation: union both sides with a side marker, then one
+    window pass per key ordered by (ts, marker) carrying the latest
+    right payload struct forward (`last(..., ignorenulls=True)`), with
+    the marker sorting right rows before left rows at equal timestamps
+    so equality matches. One shuffle on `on`, one sort — no range join.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    keys = list(on)
+    rcols = [
+        c for c in (right_cols or right.columns)
+        if c not in keys and c != right_ts
+    ]
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
+    )
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__is_l", F.lit(1)
+    )
+    r_tagged = (
+        right.select(*keys, F.col(right_ts).alias("__ts"), payload.alias("__p"))
+        .withColumn("__is_l", F.lit(0))
+    )
+    # unionByName with missing columns: left rows get NULL __p, right
+    # rows get NULL for every left-only column
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    asc = direction == "backward"
+    order = [
+        F.col("__ts").asc() if asc else F.col("__ts").desc(),
+        F.col("__is_l").asc(),  # right rows first at equal ts → ties match
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attached = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+
+    out = attached.filter(F.col("__is_l") == 1)
+    if tolerance_ms is not None:
+        gap = F.abs(
+            F.unix_millis(F.col("__ts"))
+            - F.unix_millis(F.col("__m").getField("__rts"))
+        )
+        out = out.withColumn(
+            "__m", F.when(gap <= tolerance_ms, F.col("__m"))
+        )
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.col("__m").getField("__rts").alias(f"{right_ts}_r"))
+    proj.extend(F.col("__m").getField(c).alias(c) for c in rcols)
+    return out.select(*proj)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    upper: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Join right rows whose timestamp falls in
+    ``[left_ts + lower, left_ts + upper)`` for the same `on` key (a
+    banded/range join, e.g. "clicks in the 30 minutes before each
+    purchase").
+
+    `lower`/`upper` are interval expressions (``F.expr("INTERVAL -30
+    MINUTES")``). The equi-key makes this a hash/sort-merge join with a
+    residual range filter — Catalyst never falls back to a nested-loop
+    cross product. Right columns keep their names; alias beforehand on
+    collisions.
+    """
+    lo = F.col(left_ts) + lower
+    hi = F.col(left_ts) + upper
+    cond = (F.col(right_ts) >= lo) & (F.col(right_ts) < hi)
+    key_eq = [left[k] == right[k] for k in on]
+    joined = left.join(right, key_eq + [cond], how)
+    # drop the duplicate right-side key columns
+    return joined.drop(*[right[k] for k in on])
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    grains: Sequence[str] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Continuous-aggregate-style rollup at several time granularities
+    in one pass: output has a ``grain`` discriminator column and the
+    ``bucket_start`` (timestamp_ntz) per grain.
+
+    One scan + one shuffle for ALL grains: rows fan out through a
+    generator over a cheap array of (grain, date_trunc) structs, then a
+    single group-by on (grain, bucket_start, *keys). The alternative —
+    one aggregation per grain unioned — scans the fact table
+    len(grains) times; at 100 TB the single-scan plan wins by that
+    factor, and the coarser grains add almost nothing to the shuffle
+    (their group count is strictly smaller).
+    """
+    buckets = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(g).alias("grain"),
+                F.date_trunc(g, F.col(ts_col))
+                .cast("timestamp_ntz")
+                .alias("bucket_start"),
+            )
+            for g in grains
+        ])
+    )
+    exploded = df.select(buckets.alias("__b"), "*").select(
+        F.col("__b.grain").alias("grain"),
+        F.col("__b.bucket_start").alias("bucket_start"),
+        *df.columns,
+    )
+    return exploded.groupBy("grain", "bucket_start", *keys).agg(*aggs)

@@ -16,5 +16,6 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational7,
     similarity,
     text,
+    timeseries,
 )
 from data_engineering_spark.registry import ORACLES, QUERIES  # noqa: F401

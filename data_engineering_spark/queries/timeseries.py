@@ -1,0 +1,144 @@
+"""Time-series operator queries: as-of join, interval (range) join,
+multi-granularity rollup — over the `events` table.
+
+Oracles: DuckDB has a native ASOF JOIN (tie rule `<=` matches Spark's
+union-window formulation exactly); the interval join and rollup are
+plain SQL. Timestamps are emitted as epoch-ms BIGINT or timestamp_ntz
+per registry policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.timeseries import (
+    asof_join,
+    hypertable_rollup,
+    interval_join,
+)
+from data_engineering_spark.registry import dsum, query, sql_dsum
+
+
+@query(
+    "q_events_asof_purchase_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purch AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id,
+           CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+           c.click_id,
+           CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS gap_ms
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent click at
+    or before the purchase time (attribution / time-to-convert). The
+    click side is pre-aggregated to one row per (user, ts) — the
+    uniqueness DuckDB's ASOF also requires for determinism. Spark plan:
+    one shuffle on user_id + one window pass (operators/timeseries)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = asof_join(
+        purch, clicks, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "click_id",
+        (F.unix_millis("ts") - F.unix_millis("ts_r")).alias("gap_ms"),
+    )
+
+
+@query(
+    "q_events_interval_join_conversions",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, event_id, ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, COUNT(c.ts) AS n_recent_clicks
+    FROM purch p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+      AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      AND c.ts < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: clicks in the 30 minutes before each
+    purchase, counted per purchase. The equi-key (user_id) keeps the
+    plan a hash join with a residual range filter — no nested-loop
+    product (operators/timeseries.interval_join)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = interval_join(
+        purch,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="c_ts",
+        lower=F.expr("INTERVAL -30 MINUTES"),
+        upper=F.expr("INTERVAL 0 SECONDS"),
+        how="left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("c_ts").alias("n_recent_clicks")
+    )
+
+
+@query(
+    "q_events_hypertable_rollup",
+    oracle=f"""
+    SELECT 'hour' AS grain,
+           CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket_start,
+           event_type, COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
+           event_type, COUNT(*), {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', CAST(DATE_TRUNC('month', ts) AS TIMESTAMP),
+           event_type, COUNT(*), {sql_dsum('value', 'sum_value')}
+    FROM events GROUP BY 2, 3
+    """,
+)
+def q_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at hour/day/month grains —
+    ONE scan and ONE shuffle for all three (generator fan-out + single
+    group-by, operators/timeseries.hypertable_rollup), vs the oracle's
+    3-scan UNION ALL formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return hypertable_rollup(
+        e,
+        ts_col="ts",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        ],
+        grains=("hour", "day", "month"),
+    )
