@@ -1,0 +1,68 @@
+"""Distinct-count sketches built from scratch (SURVEY.md §2.11 family).
+
+Spark ships HLL++ (`approx_count_distinct`, exercised by
+q_events_approx_aggregates); this module adds a **KMV (K-Minimum
+Values) sketch** whose estimate is a pure deterministic function of the
+data — the per-value hash is derived from md5, so any engine with md5
+reproduces the estimate bit-exactly (DuckDB oracle parity), unlike
+HLL++'s engine-specific register layout.
+
+KMV in one line: hash every value to uniform [0, 2^60); keep the k
+smallest distinct hashes per group; if fewer than k distinct values
+exist the count is exact, else estimate = (k-1) / kth_min_normalized.
+Standard error ≈ 1/sqrt(k-2).
+
+Scale: the sketch is one distinct (map-side partial) + one top-k window
+per group — the same shuffle profile as any per-group top-k. Sketches
+of disjoint partitions merge by keeping the k smallest of the union,
+which is exactly what the shuffle's partial aggregation does; no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 60)  # exactly representable as a double
+
+
+def uniform_hash60(col) -> F.Column:
+    """Deterministic 60-bit uniform hash: first 15 hex chars of md5.
+    Engine-portable (DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV distinct-count estimate per group.
+
+    Output: group columns + `n_kept` (min(k, true distinct hashes)) +
+    `est_distinct` (double; exact when the group has < k distinct
+    values). Plan: distinct on (group, hash) → per-group ascending
+    row_number capped at k → one aggregate. Two shuffles total, both on
+    the group key; nothing is collected.
+    """
+    keys = list(group_cols)
+    hashed = df.select(
+        *keys, uniform_hash60(value_col).alias("__hv")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.asc("__hv"))
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return kept.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(float(k - 1) * HASH_SPACE) / F.max("__hv"))
+        .alias("est_distinct"),
+    )

@@ -244,6 +244,41 @@ def q_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_events_kmv_distinct_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    k AS (
+      SELECT event_type, COUNT(*) AS m, MAX(hv) AS hk
+      FROM r WHERE rn <= 64 GROUP BY 1)
+    SELECT event_type, CAST(m AS BIGINT) AS n_kept,
+           CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / hk
+           END AS est_distinct
+    FROM k
+    """,
+)
+def q_events_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event type —
+    a from-scratch sketch whose estimate is a deterministic function of
+    the data (md5-derived hashes), so the DuckDB oracle reproduces it
+    bit-exactly; contrast with HLL++ in q_events_approx_aggregates,
+    whose register layout is engine-specific (rows-only check). pytest
+    bounds the estimation error against exact counts."""
+    from data_engineering_spark.operators.sketches import kmv_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    return kmv_distinct(e, ["event_type"], "user_id", k=64)
+
+
+@query(
     "q_events_hopping_window",
     oracle="""
     WITH w AS (
