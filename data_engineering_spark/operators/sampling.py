@@ -1,0 +1,68 @@
+"""Deterministic sampling operators for training-data pipelines
+(SURVEY.md §2.11 family).
+
+Corpus subsampling must be reproducible run-to-run and engine-to-engine
+— `df.sample()` is neither (partition-seeded RNG). Both operators here
+key the randomness on a *hash of the row's id*, so the same row makes
+the same decision everywhere: resumable pipelines, auditable samples,
+and DuckDB-oracle verifiability for free.
+
+Scale: Bernoulli sampling is a pure filter (no shuffle, fully pushed
+into the scan stage); per-stratum top-k is one shuffle on the stratum
+key + a capped window — the standard top-k profile.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.sketches import (
+    HASH_SPACE,
+    uniform_hash60,
+)
+
+
+def bernoulli_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff hash(id || salt) / 2^60 < rate — a
+    deterministic Bernoulli sample: reproducible, engine-portable, and
+    composable (different `salt` values give independent samples; the
+    same salt at a higher rate yields a superset — nested samples for
+    scaling-law runs).
+
+    Plan: a single filter, no shuffle; Catalyst keeps it in the scan's
+    WholeStageCodegen span.
+
+    The threshold is materialized as an exact integer so the comparison
+    is long-vs-long (a double threshold would round hashes above 2^53).
+    """
+    c = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return df.filter(uniform_hash60(c) < F.lit(int(rate * HASH_SPACE)))
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: the k smallest
+    id-hashes — a uniform without-replacement sample per group, again
+    fully deterministic (the 'take 10k docs per language' shape).
+
+    Plan: one shuffle on the strata + a row_number window capped at k.
+    """
+    c = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    w = Window.partitionBy(*strata).orderBy(
+        F.asc(uniform_hash60(c)), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__srn", F.row_number().over(w))
+        .filter(F.col("__srn") <= k)
+        .drop("__srn")
+    )

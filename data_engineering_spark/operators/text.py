@@ -312,3 +312,56 @@ def simhash_portable_fingerprints(
     for i in range(bits):
         fp = fp + bit_vote(i).cast("long") * F.lit(2 ** i).cast("long")
     return hashed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the LLM
+    context-packing primitive. Chunk i covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the last chunk is however many
+    tokens remain. Documents at most `chunk_tokens` long yield exactly
+    one chunk.
+
+    Output: (id, chunk_idx, n_tokens, chunk_text).
+
+    Scale: no shuffle at all — tokenize, a generator over a cheap int
+    sequence (chunk indices), and a slice+join projection, all inside
+    the scan stage. The token array is materialized in its own
+    projection first so the per-chunk slice is O(chunk), not a re-split
+    of the text (see shingles_from_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.when(F.col("__n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.expr(
+            f"((__n - {chunk_tokens} + {stride - 1}) div {stride}) + 1"
+        ).cast("int")
+    )
+    chunks = base.withColumn("__nc", n_chunks).select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(F.col("__toks"), start + 1, chunk_tokens)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.least(
+            F.lit(chunk_tokens), F.col("__n") - start
+        ).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -14,6 +14,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational5,
     relational6,
     relational7,
+    sampling,
     similarity,
     text,
     timeseries,

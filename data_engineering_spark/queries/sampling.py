@@ -1,0 +1,101 @@
+"""Training-data pipeline queries: deterministic sampling and document
+chunking over the `documents` table (SURVEY.md §2.11 family).
+
+All randomness is md5-hash-derived, so every query is a deterministic
+function of the data and hash-checks against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.sampling import (
+    bernoulli_sample,
+    stratified_topk_sample,
+)
+from data_engineering_spark.operators.sketches import HASH_SPACE
+from data_engineering_spark.operators.text import chunk_documents
+from data_engineering_spark.registry import query
+
+_T10 = int(0.1 * HASH_SPACE)  # exact integer threshold for rate=0.1
+
+
+@query(
+    "q_doc_bernoulli_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 15))
+          ::BIGINT < {_T10}
+    """,
+)
+def q_doc_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli corpus sample (salt 'v1'): each doc's
+    keep/drop decision is a pure function of its id, so the sample is
+    reproducible across runs, engines and resumptions — unlike
+    df.sample()'s partition-seeded RNG. Pure filter, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return bernoulli_sample(d, "doc_id", 0.1, salt="v1").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "q_doc_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's1'),
+                         1, 15))::BIGINT, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def q_doc_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, uniformly without replacement via
+    smallest id-hashes ('balance the corpus by stratum' shape). One
+    shuffle on the stratum + capped row_number window."""
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_topk_sample(
+        d, strata=["lang"], id_col="doc_id", k=20, salt="s1"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 40 THEN 1
+                  ELSE ((len(toks) - 40 + 31) // 32) + 1 END AS nc
+      FROM t),
+    e AS (
+      SELECT doc_id, toks, n, unnest(range(0, nc)) AS i FROM d)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(least(40, n - i * 32) AS INT) AS n_tokens,
+           array_to_string(toks[i*32 + 1 : i*32 + 40], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (40-token chunks, 8-token
+    overlap → stride 32): the context-packing primitive of an LLM data
+    pipeline. Entirely shuffle-free — tokenize + index generator +
+    slice/join projection inside the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(
+        d, "doc_id", "text", chunk_tokens=40, overlap=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "n_tokens",
+        "chunk_text",
+    )

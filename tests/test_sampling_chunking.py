@@ -1,0 +1,66 @@
+"""Deterministic sampling + chunking operator properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.sampling import (
+    bernoulli_sample,
+    stratified_topk_sample,
+)
+from data_engineering_spark.operators.text import chunk_documents
+
+
+def test_bernoulli_nested_and_independent(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    s10 = {r["id"] for r in bernoulli_sample(df, "id", 0.1).collect()}
+    s20 = {r["id"] for r in bernoulli_sample(df, "id", 0.2).collect()}
+    # same salt, higher rate -> strict superset (nested samples)
+    assert s10 < s20
+    assert 0.05 < len(s10) / 2000 < 0.15
+    # different salt -> a different (independent) sample
+    other = {
+        r["id"] for r in bernoulli_sample(df, "id", 0.1, salt="x").collect()
+    }
+    assert other != s10
+    # deterministic: same call twice -> identical
+    again = {r["id"] for r in bernoulli_sample(df, "id", 0.1).collect()}
+    assert again == s10
+
+
+def test_stratified_exact_k(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)], ["id", "g"]
+    )
+    out = stratified_topk_sample(df, ["g"], "id", k=25)
+    counts = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 25, "b": 25}
+
+
+def test_chunks_cover_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "only three words")],
+                               ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=40, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    doc1 = [r for r in rows if r["doc_id"] == 1]
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    # 100 tokens, stride 32: chunks at 0,32,64 cover to 104 -> 3 chunks
+    assert [r["chunk_idx"] for r in doc1] == [0, 1, 2]
+    assert doc1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    # consecutive chunks overlap by 8 tokens
+    c0, c1 = doc1[0]["chunk_text"].split(), doc1[1]["chunk_text"].split()
+    assert c0[-8:] == c1[:8]
+    # tail chunk is short: tokens 64..99 -> 36
+    assert doc1[2]["n_tokens"] == 36
+    # every token appears in some chunk
+    covered = set().union(*[set(r["chunk_text"].split()) for r in doc1])
+    assert covered == {f"w{i}" for i in range(100)}
+    # short doc -> exactly one whole chunk
+    assert len(doc2) == 1 and doc2[0]["chunk_text"] == "only three words"
+    assert doc2[0]["n_tokens"] == 3
