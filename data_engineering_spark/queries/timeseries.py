@@ -142,3 +142,50 @@ def q_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         grains=("hour", "day", "month"),
     )
+
+
+@query(
+    "q_events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(MIN(epoch_us(ts)) // 1000 AS BIGINT) AS start_ms,
+           CAST((MAX(epoch_us(ts)) + 1800000000) // 1000 AS BIGINT)
+             AS end_ms,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in gap-based session operator (F.session_window,
+    30-min gap): session end = last event + gap, and an event exactly
+    at the gap boundary MERGES into the running session (verified:
+    merge condition is next_start <= current_end), so the oracle's
+    new-session cut is strictly-greater. Gap arithmetic runs at full
+    microsecond precision on both engines; bounds are emitted as
+    epoch-ms bigints. Streaming runs this identical plan incrementally
+    with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+            "n_events",
+        )
+    )
