@@ -102,11 +102,12 @@ def main() -> None:
     # execution, not one-time Janino compilation + JIT of each query
     # shape (measured 3-8 s per shape, ~60% of total cold wall — a cost
     # that is irrelevant at 100 TB where it amortizes to nothing). Each
-    # headline query runs once against the SMALLEST scale factor: same
-    # plan shapes → generated-class cache hits, but different data
-    # directory, so no data/file-index reuse flatters the timed run.
+    # headline query runs once against a SMALLER scale factor (sf0.01:
+    # close enough in size that AQE picks the same plan variants, so the
+    # compiled classes match), but a different data directory, so no
+    # data/file-index reuse flatters the timed run.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = "/root/testdata/sf0.01"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:
