@@ -44,9 +44,13 @@ def bench_cdc_ingest(spark, sf_dir: str) -> float:
 
     The events table is wrapped into Debezium envelopes (JVM-side
     to_json, no Python row work) and pushed through the full batch
-    pipeline: dropna → LWW compaction → schema inference → envelope
-    parse → multitenant stamp → keyed MERGE into a parquet table.
-    Returns wall seconds for one drain of the whole table.
+    pipeline TWICE: batch 1 (2/3 of events) hits the
+    create-on-first-sight path; batch 2 (the rest, a mix of upserts and
+    deletes over the SAME keyspace) exercises the real keyed MERGE —
+    the reference's central operator. The payload carries a Debezium
+    `created_at` timestamp, so the inferred spec partitions the table
+    by month and batch 2 runs the partition-pruned rewrite.
+    Returns wall seconds for draining the whole table.
     """
     import json
     import shutil
@@ -66,29 +70,48 @@ def bench_cdc_ingest(spark, sf_dir: str) -> float:
                 {"field": "user_id", "type": "int64", "optional": True},
                 {"field": "event_type", "type": "string", "optional": True},
                 {"field": "value", "type": "float64", "optional": True},
+                {
+                    "field": "created_at",
+                    "type": "int64",
+                    "optional": False,
+                    "name": "io.debezium.time.timestamp",
+                },
             ],
         }
     )
-    envelope = e.select(
-        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"),
-                 F.lit("}")).alias("key"),
-        F.concat(
-            F.lit('{"schema": ' + schema_json + ', "payload": '),
-            F.to_json(F.struct("event_id", "user_id", "event_type", "value")),
-            F.lit("}"),
-        ).alias("value"),
-        F.lit("source_glaucus1.oms1.events_cdc").alias("__topic"),
-        F.lit("events_cdc").alias("__table"),
-        F.when(F.col("event_type") == "error", "d")
-        .otherwise("u")
-        .alias("__op"),
-        F.unix_millis("ts").alias("__ts_ms"),
-        F.lit("oms1").alias("__db"),
-    )
+
+    def envelope(df):
+        return df.select(
+            F.concat(
+                F.lit('{"event_id": '), F.col("event_id").cast("string"),
+                F.lit("}"),
+            ).alias("key"),
+            F.concat(
+                F.lit('{"schema": ' + schema_json + ', "payload": '),
+                F.to_json(
+                    F.struct(
+                        "event_id", "user_id", "event_type", "value",
+                        F.unix_millis("ts").alias("created_at"),
+                    )
+                ),
+                F.lit("}"),
+            ).alias("value"),
+            F.lit("source_glaucus1.oms1.events_cdc").alias("__topic"),
+            F.lit("events_cdc").alias("__table"),
+            F.when(F.col("event_type") == "error", "d")
+            .otherwise("u")
+            .alias("__op"),
+            F.unix_millis("ts").alias("__ts_ms"),
+            F.lit("oms1").alias("__db"),
+        )
+
+    batch1 = envelope(e.filter(F.col("event_id") % 3 != 0))
+    batch2 = envelope(e.filter(F.col("event_id") % 3 == 0))
     lake = tempfile.mkdtemp(prefix="bench-cdc-")
     engine = CdcEngine(spark, LakeConfig(root=lake))
     t0 = time.perf_counter()
-    engine.process_batch(envelope)
+    engine.process_batch(batch1)  # create path
+    engine.process_batch(batch2)  # partition-pruned keyed MERGE
     dt = time.perf_counter() - t0
     shutil.rmtree(lake, ignore_errors=True)
     return round(dt, 3)
