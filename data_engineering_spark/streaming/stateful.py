@@ -99,3 +99,71 @@ def running_dedup_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_counts_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user counters as `running_dedup_counts`,
+    on Spark 4's `transformWithStateInPandas` — the successor to
+    applyInPandasWithState with typed composite state (ValueState /
+    ListState / MapState), per-state TTL, and timers. Here: one
+    ValueState holding (count, seen-types) per user.
+
+    Both implementations are kept: applyInPandasWithState is the
+    stable battle-tested API; transformWithState is where new stateful
+    features (TTL, timers, state schema evolution) land.
+
+    ENVIRONMENT GATE: transformWithState's control channel is protobuf;
+    containers without `google.protobuf` cannot run it (raises
+    NotImplementedError up front). The applyInPandasWithState twin
+    covers the same semantics everywhere.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without protobuf
+        raise NotImplementedError(
+            "transformWithStateInPandas requires protobuf "
+            "(use running_dedup_counts in this environment)"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "counts", STATE_SCHEMA
+            )
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> Iterator["pd.DataFrame"]:
+            (user_id,) = key
+            if self._state.exists():
+                n, types = self._state.get()
+                seen = set(types)
+            else:
+                n, seen = 0, set()
+            for pdf in rows:
+                n += len(pdf)
+                seen.update(pdf["event_type"].tolist())
+            self._state.update((n, sorted(seen)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "n_distinct_types": [len(seen)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningCounts(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

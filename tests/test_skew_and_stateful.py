@@ -172,3 +172,44 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
         r["event_id"] for r in spark.sql("SELECT * FROM dw_out").collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_transform_with_state_across_batches(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin of the
+    applyInPandasWithState operator: same state evolution, same output.
+    Skipped where protobuf (its control channel) is absent."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from data_engineering_spark.streaming.stateful import running_counts_tws
+
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    schema = "user_id long, event_type string, ts timestamp"
+    spark.createDataFrame(
+        [(1, "click", None), (1, "view", None), (2, "click", None)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, "click", None), (2, "purchase", None)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        running_counts_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM tws_out").collect():
+        final[r["user_id"]] = (r["n_events"], r["n_distinct_types"])
+    assert final[1] == (3, 2)
+    assert final[2] == (2, 2)
