@@ -122,3 +122,68 @@ def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_similarity_join(
         e, threshold=0.9, num_bands=8, planes_per_band=8
     )
+
+
+_SEEDS = (0, 5, 11, 17, 23, 31, 37, 43)  # fixed vec_ids, exist at every sf
+_DIMS = 64
+
+# explicit per-dimension chain: both engines evaluate the same
+# left-associated sum, so the double result is bit-identical (builtin
+# dot-product functions don't guarantee a summation order across engines)
+_DOT_SQL = " + ".join(
+    f"(CAST(e.embedding[{i}] AS DOUBLE) * CAST(s.embedding[{i}] AS DOUBLE))"
+    for i in range(1, _DIMS + 1)
+)
+
+
+@query(
+    "q_embedding_centroid_assign",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id AS seed_id, embedding FROM embeddings
+      WHERE vec_id IN {_SEEDS}),
+    scored AS (
+      SELECT e.vec_id, s.seed_id, {_DOT_SQL} AS dot
+      FROM embeddings e CROSS JOIN s),
+    best AS (
+      SELECT vec_id, seed_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, seed_id) AS rn
+      FROM scored)
+    SELECT seed_id, COUNT(*) AS n_assigned
+    FROM best WHERE rn = 1 GROUP BY seed_id
+    """,
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment — the coarse quantizer at the heart
+    of IVF similarity search — against 8 fixed seed vectors, by inner
+    product. The dot product is an explicit 64-term left-associated
+    expression in BOTH engines, making the float math bit-identical and
+    the assignment oracle-checkable (the KMeans-trained variant,
+    q_embedding_centroids, stays rows-only because Lloyd iterations are
+    engine-specific). Plan: seeds broadcast, one pass over embeddings,
+    argmax via per-vector window."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id").isin(*_SEEDS)).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("s_emb")
+    )
+    dot = None
+    for i in range(1, _DIMS + 1):
+        term = F.element_at("embedding", i).cast("double") * F.element_at(
+            "s_emb", i
+        ).cast("double")
+        dot = term if dot is None else dot + term
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", dot.alias("dot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("dot"), F.asc("seed_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("seed_id").agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
