@@ -113,3 +113,42 @@ def test_partitioned_empty_batch_noop(spark, tmp_path):
     empty = mk(spark, []).limit(0)
     t.merge(empty)
     assert t.read().count() == 1
+
+
+def test_concurrent_partitioned_merges_no_cross_table_damage(spark, tmp_path):
+    """Regression for the session-conf race: two partitioned merges on
+    DIFFERENT tables running concurrently in one SparkSession must each
+    overwrite only their own touched partitions. (The old
+    implementation toggled spark.sql.sources.partitionOverwriteMode on
+    the shared session; a restore racing another merge's write turned
+    it into a static overwrite that deleted every untouched partition.)
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    tables = []
+    for name in ("ta", "tb"):
+        t = MergeTable(spark, str(tmp_path / name), ["id"],
+                       partition_by="month")
+        t.merge(mk(spark, [
+            (1, "a", "2024-01", 100, "c"),
+            (2, "b", "2024-02", 100, "c"),
+            (3, "c", "2024-03", 100, "c"),
+        ]))
+        tables.append(t)
+
+    def touch_january(t: MergeTable, tag: str) -> None:
+        for i in range(3):
+            t.merge(mk(spark, [(1, f"{tag}{i}", "2024-01", 200 + i, "u")]))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(touch_january, t, tag)
+            for t, tag in zip(tables, ("x", "y"))
+        ]
+        for f in futs:
+            f.result()
+
+    for t, tag in zip(tables, ("x", "y")):
+        out = {r["id"]: r["val"] for r in t.read().collect()}
+        # untouched partitions survived; January holds the last update
+        assert out == {1: f"{tag}2", 2: "b", 3: "c"}
