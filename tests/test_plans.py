@@ -77,3 +77,40 @@ def test_no_python_in_relational_hot_path(spark):
         plan = plan_string(fn(spark, SF))
         for node in PYTHON_EVAL_NODES:
             assert node not in plan, f"{name} contains {node}"
+
+
+def test_round2_operators_plan_shapes(spark):
+    """Round-2 operators: the scale claims in their docstrings, asserted
+    on the physical plan. Exchange counts include broadcast exchanges,
+    so they are upper bounds on data shuffles."""
+    cases = {
+        # union-window as-of join: no range join, no nested-loop product
+        "q_events_asof_purchase_click": dict(max_exchange=4, window=True),
+        # equi-key interval join: hash join + residual filter
+        "q_events_interval_join_conversions": dict(max_exchange=4),
+        # all grains in one scan + one shuffle (generator fan-out)
+        "q_events_hypertable_rollup": dict(max_exchange=2, generate=True),
+        # gap sessions: one keyed shuffle
+        "q_events_session_window": dict(max_exchange=2),
+        # chunking and Bernoulli sampling are fully shuffle-free
+        "q_doc_chunks": dict(max_exchange=0, generate=True),
+        "q_doc_bernoulli_sample": dict(max_exchange=0),
+    }
+    for name, want in cases.items():
+        plan = plan_string(QUERIES[name](spark, SF))
+        assert plan.count("CartesianProduct") == 0, name
+        assert plan.count("BroadcastNestedLoop") == 0, name
+        assert plan.count("Exchange") <= want["max_exchange"], (
+            name, plan.count("Exchange"))
+        if want.get("window"):
+            assert "Window" in plan, name
+        if want.get("generate"):
+            assert "Generate" in plan, name
+
+
+def test_centroid_assign_broadcasts_seed_side(spark):
+    """The 8-seed cross join must be a broadcast nested loop over the
+    tiny side (never a CartesianProduct shuffle product)."""
+    plan = plan_string(QUERIES["q_embedding_centroid_assign"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" in plan
