@@ -15,6 +15,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational5,
     relational6,
     relational7,
+    relational8,
     sampling,
     similarity,
     text,
