@@ -185,11 +185,20 @@ def parse_envelope_batch(
 
 def latest_envelope_schema(raw: DataFrame) -> tuple[str | None, str | None]:
     """Driver-side discovery of the batch's schema & key JSON from the
-    latest record (the reference uses ``tail(1)`` twice, :317/:326 — two
-    full-scan actions; we take both fields in ONE action, ordered by
-    event time so 'latest' is deterministic, not partition-positional)."""
+    latest **parseable** record (the reference uses ``tail(1)`` twice,
+    :317/:326 — two full-scan actions; we take both fields in ONE
+    action, ordered by event time so 'latest' is deterministic, not
+    partition-positional).
+
+    Rows whose value is not a JSON object carrying a `schema` member
+    are skipped BEFORE picking the latest — otherwise one malformed
+    message at the head of the batch would make the whole table slice
+    undiscoverable (and un-quarantinable, since quarantine runs after
+    schema inference). The filter is a JVM-side get_json_object probe,
+    not a driver loop."""
     row = (
         raw.select("key", "value", "__ts_ms")
+        .filter(F.get_json_object("value", "$.schema").isNotNull())
         .orderBy(F.desc("__ts_ms"))
         .limit(1)
         .collect()

@@ -47,6 +47,12 @@ class LakeConfig:
     root: str
     ts_guard: bool = False  # reference parity: late events overwrite
     fallback_partition: str = "__rds_id"
+    # Malformed envelopes (payload JSON that parses to NULL key columns)
+    # are appended to {root}/_quarantine/{table} instead of entering the
+    # keyed MERGE, where a NULL key would collide every malformed row
+    # into one garbage record. The reference has no such guard (a bad
+    # message poisons the merge); disable for strict parity.
+    quarantine: bool = True
 
 
 @dataclass
@@ -120,6 +126,17 @@ class CdcEngine:
 
         parsed = parse_envelope_batch(slice_df, inferred)
         stamped = stamp_multitenant(parsed).drop("__deleted")
+        if keys and self.config.quarantine:
+            bad_key = None
+            for k in keys:
+                cond = F.col(k).isNull()
+                bad_key = cond if bad_key is None else (bad_key | cond)
+            bad = stamped.filter(bad_key)
+            if not bad.isEmpty():
+                bad.write.mode("append").parquet(
+                    os.path.join(self.config.root, "_quarantine", name)
+                )
+            stamped = stamped.filter(~bad_key)
         if not keys:
             # keyless table → plain append (reference :275-276 INSERT path)
             table = self.get_table(name, [])

@@ -238,3 +238,44 @@ def test_multitenant_stamp_and_schema_inference(spark):
     assert by_name["sale_id"].nullable is False
     assert by_name["item_id"].dataType.simpleString() == "int"
     assert by_name["price"].dataType.simpleString() == "float"
+
+
+def test_malformed_envelope_quarantined(spark, tmp_path):
+    """A payload that fails JSON parsing must not poison the keyed
+    merge with a NULL-key row: it lands in _quarantine/{table} and the
+    well-formed rows flow through."""
+    import os
+
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+    schema_part = (
+        '{"type":"struct","fields":['
+        '{"field":"id","type":"int64","optional":false},'
+        '{"field":"v","type":"string","optional":true}]}'
+    )
+    def env(key, payload):
+        return (
+            key,
+            '{"schema": ' + schema_part + ', "payload": ' + payload + "}",
+            "t.oms1.s", "s", "c", 100, "oms1",
+        )
+    rows = [
+        env('{"id": 1}', '{"id":1,"v":"a"}'),
+        ('{"id": 2}', "NOT VALID JSON", "t.oms1.s", "s", "c", 200, "oms1"),
+        env('{"id": 3}', '{"id":3,"v":"c"}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key string, value string, __topic string, __table string,"
+        " __op string, __ts_ms long, __db string",
+    )
+    root = str(tmp_path / "lake")
+    eng = CdcEngine(spark, LakeConfig(root=root))
+    eng.process_batch(df)
+
+    table = spark.read.parquet(os.path.join(root, "s"))
+    assert {r["id"] for r in table.collect()} == {1, 3}
+    assert table.filter(table.id.isNull()).count() == 0
+    quarantined = spark.read.parquet(os.path.join(root, "_quarantine", "s"))
+    assert quarantined.count() == 1
+    assert quarantined.collect()[0]["__ts_ms"] == 200
