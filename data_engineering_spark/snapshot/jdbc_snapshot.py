@@ -230,3 +230,100 @@ def snapshotted_tables(
     return {
         r["name"] for r in spark.read.parquet(path).select("name").collect()
     }
+
+
+# --- orchestration (reference sanpshot_script.py :199-269) -----------------
+
+def snapshot_table(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    database: str,
+    table: str,
+    lake_root: str,
+    rds_id: int,
+    tenant_id: int,
+    num_partitions: int = 5,
+    write_partitions: int | None = None,
+    key: str | None = "auto",
+) -> int:
+    """One table end-to-end: PK probe → bounds probe → (range-
+    partitioned) scan → sanitize/compat/stamp → append → audit row.
+    Returns the row count appended (0 for an empty table).
+
+    ``key='auto'`` discovers the PK via MySQL's information_schema;
+    pass an explicit column (or None for a single-partition scan) on
+    dialects without that catalog (Derby, Postgres, ...).
+    """
+    import os
+
+    if key == "auto":
+        pk_rows = (
+            query_reader(spark, cfg, primary_key_sql(database, table), 50)
+            .load()
+            .collect()
+        )
+        key = pk_rows[0][0] if pk_rows else None
+
+    if key is not None:
+        bounds = (
+            query_reader(
+                spark, cfg,
+                bounds_sql(key, database, table, cfg.ident_quote),
+                10,
+            )
+            .load()
+            .collect()[0]
+        )
+        lo, hi = bounds[0], bounds[1]
+        reader = table_reader(
+            spark, cfg, database, table,
+            key=key,
+            lower=int(lo) if lo is not None else None,
+            upper=int(hi) if hi is not None else None,
+            num_partitions=num_partitions,
+        )
+    else:
+        reader = table_reader(spark, cfg, database, table)
+
+    df = reader.load()
+    if df.isEmpty():
+        return 0
+    prepared = prepare_snapshot_frame(df, tenant_id=tenant_id, rds_id=rds_id)
+    dest = os.path.join(lake_root, database, table)
+    append_snapshot(prepared, dest, write_partitions)
+    record_audit(spark, lake_root, rds_id, database, table, dest)
+    return df.count()
+
+
+def run_snapshot(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    db_pattern: str,
+    lake_root: str,
+    rds_id: int,
+    tenant_id: int,
+    num_partitions: int = 5,
+) -> dict[str, int]:
+    """Discover tables matching the database pattern, skip ones already
+    in the audit log, snapshot the rest sequentially (the reference's
+    module body, :241-269). Returns {db.table: rows}."""
+    discovered = [
+        r[0]
+        for r in query_reader(
+            spark, cfg, discover_tables_sql(db_pattern), 50
+        )
+        .load()
+        .collect()
+    ]
+    done = snapshotted_tables(spark, lake_root, rds_id)
+    results: dict[str, int] = {}
+    for full_name in discovered:
+        database, _, table = full_name.partition(".")
+        if table in done:
+            continue
+        results[full_name] = snapshot_table(
+            spark, cfg, database, table, lake_root,
+            rds_id=rds_id, tenant_id=tenant_id,
+            num_partitions=num_partitions,
+        )
+    return results
