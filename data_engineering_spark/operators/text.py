@@ -8,6 +8,8 @@ inverted-index joins.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -364,4 +366,45 @@ def chunk_documents(
             F.lit(chunk_tokens), F.col("__n") - start
         ).cast("int").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int,
+    partition_cols: Sequence[str] = ("doc_id",),
+    order_cols: Sequence[str] = ("chunk_idx",),
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed token-budget bins (the sequence-packing
+    step that turns chunks into training examples): within each
+    partition, walk chunks in order and start a new bin whenever the
+    running token total would exceed `budget_tokens`.
+
+    Greedy next-fit packing, made distributed by packing WITHIN a
+    partition key (doc, language, shard...) — a single global packing
+    order would serialize on one partition at 100 TB. Emits `pack_id`
+    (0-based per partition) and `pack_pos` (position in the bin).
+
+    Exact greedy next-fit needs sequential state; this uses the
+    closed-form equivalent for the common case chunk<=budget: bin
+    boundary = floor(cumulative_prior_tokens / budget) changes. That
+    admits up-to-budget overflow per bin relative to strict next-fit
+    (documented; strict semantics need applyInPandas sequential state,
+    a one-line swap).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    out = chunks.withColumn(
+        "pack_id", F.floor(prior / budget_tokens).cast("int")
+    )
+    wp = Window.partitionBy(*partition_cols, "pack_id").orderBy(*order_cols)
+    return out.withColumn(
+        "pack_pos", (F.row_number().over(wp) - 1).cast("int")
     )

@@ -99,3 +99,58 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "chunk_text",
     )
+
+
+@query(
+    "q_doc_pack_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 40 THEN 1
+                  ELSE ((len(toks) - 40 + 31) // 32) + 1 END AS nc
+      FROM t),
+    e AS (
+      SELECT doc_id, n, unnest(range(0, nc)) AS i FROM d),
+    c AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(least(40, n - i * 32) AS INT) AS n_tokens
+      FROM e),
+    packed AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY doc_id ORDER BY chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // 128 AS INT) AS pack_id
+      FROM c)
+    SELECT doc_id, pack_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(MIN(chunk_idx) AS INT) AS first_chunk
+    FROM packed GROUP BY doc_id, pack_id
+    """,
+)
+def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: the 40/8 chunks of each document packed into
+    128-token training bins (greedy running-total assignment within the
+    document — the distributed formulation; see
+    operators/text.pack_chunks). Output: per-bin chunk count, token
+    total and first chunk."""
+    from data_engineering_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "doc_id", "text", chunk_tokens=40, overlap=8)
+    packed = pack_chunks(
+        chunks, budget_tokens=128,
+        partition_cols=("doc_id",), order_cols=("chunk_idx",),
+    )
+    return packed.groupBy("doc_id", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("chunk_idx").cast("int").alias("first_chunk"),
+    )
