@@ -126,7 +126,15 @@ class CdcEngine:
 
         parsed = parse_envelope_batch(slice_df, inferred)
         stamped = stamp_multitenant(parsed).drop("__deleted")
+        persisted = None
         if keys and self.config.quarantine:
+            # the quarantine probe and the merge both consume the parsed
+            # batch — persist it so the envelope parse (2× from_json)
+            # runs once, not per consumer
+            from pyspark import StorageLevel
+
+            persisted = stamped.persist(StorageLevel.MEMORY_AND_DISK)
+            stamped = persisted
             bad_key = None
             for k in keys:
                 cond = F.col(k).isNull()
@@ -137,6 +145,19 @@ class CdcEngine:
                     os.path.join(self.config.root, "_quarantine", name)
                 )
             stamped = stamped.filter(~bad_key)
+        try:
+            self._finish_table(name, keys, inferred, stamped)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
+
+    def _finish_table(
+        self,
+        name: str,
+        keys: list[str],
+        inferred: InferredSchema,
+        stamped: DataFrame,
+    ) -> None:
         if not keys:
             # keyless table → plain append (reference :275-276 INSERT path)
             table = self.get_table(name, [])

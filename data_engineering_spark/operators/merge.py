@@ -171,11 +171,16 @@ class MergeTable:
         path: str,
         key_columns: Sequence[str],
         partition_by: str | None = None,
+        durable_staging: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
         self.key_columns = list(key_columns)
         self.partition_by = partition_by
+        # durable_staging: stage touched partitions through a parquet
+        # dir instead of localCheckpoint (survives executor loss at the
+        # cost of an extra write+read) — see _merge_partitioned_inner.
+        self.durable_staging = durable_staging
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -291,14 +296,28 @@ class MergeTable:
         ]
         if not parts:  # empty batch → nothing to rewrite
             return
-        # Stage the affected partitions out first: Spark (rightly)
-        # refuses to overwrite a path its own plan reads from. The copy
-        # is proportional to the touched partitions, not the table.
-        staging_in = os.path.join(
-            tempfile.gettempdir(), f"mergetable-in-{uuid.uuid4().hex}"
-        )
-        target.filter(F.col(p).isin(parts)).write.parquet(staging_in)
-        pruned_target = self.spark.read.parquet(staging_in)
+        # Spark (rightly) refuses to overwrite a path its own plan reads
+        # from, so the affected partitions must be materialized off the
+        # source files first. localCheckpoint cuts the lineage (the
+        # checkpointed plan no longer references the table's files) at
+        # memory/local-disk cost proportional to the touched partitions
+        # — one full write+read of a staging parquet copy cheaper than
+        # the durable alternative. Tradeoff: checkpoint blocks are lost
+        # with an executor, failing the job instead of recomputing; the
+        # merge is wrapped in with_retry by callers and the overwrite is
+        # idempotent, so a retry re-runs cleanly. Set durable_staging
+        # for the parquet-staging variant on unreliable clusters.
+        if self.durable_staging:
+            staging_in = os.path.join(
+                tempfile.gettempdir(), f"mergetable-in-{uuid.uuid4().hex}"
+            )
+            target.filter(F.col(p).isin(parts)).write.parquet(staging_in)
+            pruned_target = self.spark.read.parquet(staging_in)
+        else:
+            staging_in = None
+            pruned_target = target.filter(F.col(p).isin(parts)).localCheckpoint(
+                eager=True
+            )
         merged = merge_frames(
             pruned_target, source, self.key_columns, op_col, ts_col, ts_guard
         ).filter(F.col(p).isin(parts))
@@ -330,4 +349,5 @@ class MergeTable:
             shutil.rmtree(
                 os.path.join(self.path, f"{p}={stale}"), ignore_errors=True
             )
-        shutil.rmtree(staging_in, ignore_errors=True)
+        if staging_in is not None:
+            shutil.rmtree(staging_in, ignore_errors=True)
