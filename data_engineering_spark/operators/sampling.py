@@ -66,3 +66,45 @@ def stratified_topk_sample(
         .filter(F.col("__srn") <= k)
         .drop("__srn")
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Importance sampling: row i is kept with probability
+    ``min(1, target_rate * w_i / mean(w))`` — heavier rows
+    proportionally more likely, expected sample fraction ≈ target_rate.
+    The keep decision is hash-keyed like `bernoulli_sample`, so the
+    sample stays deterministic and reproducible. Adds
+    `sample_weight` = 1/p_keep (Horvitz-Thompson inverse-probability
+    weight) so downstream aggregates stay unbiased.
+
+    Plan: one scalar aggregate (mean weight, broadcast) + a filter — no
+    data shuffle.
+    """
+    # decimal-accumulated mean: order-independent and engine-exact
+    # (registry.py policy), so the keep decision — and therefore the
+    # sample membership — is reproducible bit-for-bit
+    w = F.col(weight_col).cast("decimal(18,6)")
+    mean_w = df.agg(
+        (F.sum(w).cast("double") / F.count(weight_col)).alias("__mean_w")
+    )
+    c = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    p_keep = F.least(
+        F.lit(1.0),
+        F.lit(target_rate)
+        * F.col(weight_col).cast("double")
+        / F.col("__mean_w"),
+    )
+    u = uniform_hash60(c).cast("double") / F.lit(HASH_SPACE)
+    return (
+        df.join(F.broadcast(mean_w))
+        .withColumn("__p", p_keep)
+        .filter(u < F.col("__p"))
+        .withColumn("sample_weight", F.lit(1.0) / F.col("__p"))
+        .drop("__mean_w", "__p")
+    )

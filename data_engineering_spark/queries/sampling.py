@@ -154,3 +154,37 @@ def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
         F.min("chunk_idx").cast("int").alias("first_chunk"),
     )
+
+
+@query(
+    "q_doc_weighted_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(SUM(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(n_chars) AS mean_w
+      FROM documents)
+    SELECT doc_id, lang, n_chars,
+           CAST(1.0 AS DOUBLE)
+             / least(CAST(1.0 AS DOUBLE),
+                     CAST(0.1 AS DOUBLE) * n_chars / mean_w)
+             AS sample_weight
+    FROM documents, m
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w1'), 1, 15))
+               ::BIGINT AS DOUBLE) / {HASH_SPACE}
+          < least(CAST(1.0 AS DOUBLE),
+                  CAST(0.1 AS DOUBLE) * n_chars / mean_w)
+    """,
+)
+def q_doc_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document length: keep probability
+    min(1, 0.1 * n_chars / mean_chars), hash-keyed (deterministic),
+    emitting the Horvitz-Thompson inverse-probability weight. Long docs
+    oversampled, aggregates reweightable to unbiased estimates."""
+    from data_engineering_spark.operators.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_bernoulli_sample(
+        d, "doc_id", "n_chars", target_rate=0.1, salt="w1"
+    ).select("doc_id", "lang", "n_chars", "sample_weight")
