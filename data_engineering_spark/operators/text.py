@@ -408,3 +408,56 @@ def pack_chunks(
     return out.withColumn(
         "pack_pos", (F.row_number().over(wp) - 1).cast("int")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS scheme): hash every positional
+    word n-gram, slide a `window`-gram window, select each window's
+    minimum hash, keep the distinct selections per document. Guarantees
+    any shared run of >= n+window-1 words between two documents shares
+    at least one fingerprint — robust containment/plagiarism detection
+    at a fraction of the full shingle set's size.
+
+    Per-gram hashes are md5-derived (engine-portable, see
+    simhash_portable_fingerprints). Output: (id, fp) distinct pairs.
+
+    Scale: one shuffle on the doc id for the position window; the
+    fingerprint set is ~2/(window+1) of the gram count, so downstream
+    inverted-index joins shrink accordingly.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("__toks", i + j) for j in range(n)]
+    )
+    idx = F.sequence(F.lit(1), F.size("__toks") - (n - 1))
+    grams = toks.filter(F.size("__toks") >= n).select(
+        F.col(id_col),
+        F.transform(idx, gram).alias("__grams"),
+    )
+    pos = grams.select(
+        F.col(id_col),
+        F.posexplode("__grams").alias("pos", "g"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        pos.select(F.col(id_col), F.min("h").over(w).alias("fp"))
+        .distinct()
+    )

@@ -394,3 +394,62 @@ def q_doc_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "guessed")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_doc_winnow_fingerprints",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    gr AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+      FROM tok WHERE len(t) >= 3),
+    pos AS (
+      SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS i
+      FROM gr),
+    h AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(grams[i]), 1, 15))::BIGINT AS hv
+      FROM pos),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h),
+    shared AS (
+      SELECT fp FROM sel GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT s.doc_id,
+           COUNT(*) AS n_fps,
+           CAST(COUNT(sh.fp) AS BIGINT) AS n_shared_fps
+    FROM sel s LEFT JOIN shared sh ON s.fp = sh.fp
+    GROUP BY s.doc_id
+    """,
+)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: positional 3-gram md5 hashes,
+    4-gram sliding window minimum, distinct selections per doc — any
+    shared run of >= 6 words between two docs shares a fingerprint.
+    Output: per-doc fingerprint count + how many are shared with some
+    other document (the containment-detection signal)."""
+    from data_engineering_spark.operators.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "doc_id", "text", n=3, window=4)
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp")
+    )
+    sh = shared.withColumnRenamed("fp", "sfp")
+    return (
+        fps.join(sh, fps.fp == sh.sfp, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count("sfp").cast("bigint").alias("n_shared_fps"),
+        )
+    )
