@@ -461,3 +461,44 @@ def winnow_fingerprints(
         pos.select(F.col(id_col), F.min("h").over(w).alias("fp"))
         .distinct()
     )
+
+
+def pack_chunks_strict(
+    chunks: DataFrame,
+    budget_tokens: int,
+    partition_cols: Sequence[str] = ("doc_id",),
+    order_cols: Sequence[str] = ("chunk_idx",),
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Strict next-fit packing: bins NEVER exceed `budget_tokens`
+    (except a single over-budget chunk, which gets its own bin) — the
+    semantics `pack_chunks` approximates in closed form. Sequential
+    per-partition state via applyInPandas (Arrow-batched); use when the
+    training stack requires a hard token ceiling per example, accept
+    the Python-stage cost.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+    ) + ", pack_id int, pack_pos int"
+
+    order = list(order_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        pack_ids, pack_pos = [], []
+        cur_id, cur_tokens, cur_pos = 0, 0, 0
+        for t in pdf[tokens_col]:
+            if cur_tokens and cur_tokens + t > budget_tokens:
+                cur_id += 1
+                cur_tokens, cur_pos = 0, 0
+            pack_ids.append(cur_id)
+            pack_pos.append(cur_pos)
+            cur_tokens += t
+            cur_pos += 1
+        pdf["pack_id"] = pd.array(pack_ids, dtype="int32")
+        pdf["pack_pos"] = pd.array(pack_pos, dtype="int32")
+        return pdf
+
+    return chunks.groupBy(*partition_cols).applyInPandas(pack, out_schema)

@@ -64,3 +64,32 @@ def test_chunks_cover_and_overlap(spark):
     # short doc -> exactly one whole chunk
     assert len(doc2) == 1 and doc2[0]["chunk_text"] == "only three words"
     assert doc2[0]["n_tokens"] == 3
+
+
+def test_pack_chunks_closed_form_vs_strict(spark):
+    from data_engineering_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+        pack_chunks_strict,
+    )
+
+    text = " ".join(f"w{i}" for i in range(500))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = chunk_documents(df, chunk_tokens=40, overlap=8)
+
+    strict = pack_chunks_strict(chunks, budget_tokens=120).collect()
+    # hard ceiling holds for every bin
+    totals = {}
+    for r in strict:
+        totals[r["pack_id"]] = totals.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(t <= 120 for t in totals.values()), totals
+    # chunks are 40 tokens (tail aside): 120/40 -> exactly 3 per full bin
+    full_bins = [t for t in sorted(totals)[:-1]]
+    assert all(totals[b] == 120 for b in full_bins)
+
+    # closed-form agrees with strict when bins divide evenly (no
+    # overflow case): same bin count and same boundaries
+    closed = pack_chunks(chunks, budget_tokens=120).collect()
+    c_map = {(r["doc_id"], r["chunk_idx"]): r["pack_id"] for r in closed}
+    s_map = {(r["doc_id"], r["chunk_idx"]): r["pack_id"] for r in strict}
+    assert c_map == s_map
