@@ -193,10 +193,30 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # candidate pairs feed three consumers below (two sides of the doc
+    # prune + the verify join); persist so the prefix-join subtree runs
+    # once. Candidate sets are small by construction (that is the whole
+    # point of the prefix filter).
+    from pyspark import StorageLevel
+
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
 
     # verify: exact intersection via collected shingle sets (the rows are
-    # already distinct, so collect_list == the set)
-    sets = inv0.groupBy("doc").agg(F.collect_list("g").alias("sh"))
+    # already distinct, so collect_list == the set). Sets are built ONLY
+    # for docs that appear in some candidate pair — a left-semi prune
+    # before the collect_list: at corpus scale the candidate set is a
+    # tiny fraction of the corpus, and collecting full shingle arrays
+    # for non-candidates would dominate the verify stage.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sets = (
+        inv0.join(cand_docs, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_list("g").alias("sh"))
+    )
     sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
