@@ -117,10 +117,23 @@ def minhash_near_dup_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        # three consumers (two sides of the doc prune + verify join)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # exact verify (same as the prefix-filter join's verify stage)
-    sets = sh.groupBy("doc").agg(F.collect_list("g").alias("sh"))
+    # exact verify (same as the prefix-filter join's verify stage):
+    # shingle sets are collected ONLY for candidate docs — at corpus
+    # scale collect_list over non-candidates would dominate
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_docs, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_list("g").alias("sh"))
+    )
     sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
