@@ -91,7 +91,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(T(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(T(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(T(spark, sf_dir, "supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(T(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .filter(pair)
@@ -152,7 +152,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = T(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -183,7 +183,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_q, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_q"))
         .agg(
@@ -227,7 +227,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | arm("Brand#5", 20, 50, 25, 45)
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(dsum(rev, "revenue", 6))
     )

@@ -73,7 +73,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.join(
-            F.broadcast(T(spark, sf_dir, "supplier")),
+            T(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

@@ -51,24 +51,26 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q08 shape: 6-way join (both nation roles via the dimension
-    chain), then a conditional-share aggregate per year. All dimensions
-    broadcast — the only shuffle is the lineitem⋈orders equi-join plus
-    the final small group-by. Share = decimal-exact numerator/denominator
-    divided once as doubles."""
+    chain), then a conditional-share aggregate per year. Constant-size
+    dims (nation, region) are forced broadcast; SF-linear tables
+    (part/supplier/customer) are left to AQE, which broadcasts them
+    while they fit and shuffles at scale — forcing them would OOM the
+    100x case. Share = decimal-exact numerator/denominator divided once
+    as doubles."""
     l = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     base = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(T(spark, sf_dir, "part")),
+            T(spark, sf_dir, "part"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
-            F.broadcast(T(spark, sf_dir, "supplier")),
+            T(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(T(spark, sf_dir, "nation")),
             F.col("c_nationkey") == F.col("n_nationkey"),
@@ -120,7 +122,8 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     product line selected by p_name substring. Documented deviation: the
     testdata has no partsupp table, so profit omits the
     `ps_supplycost * l_quantity` subtrahend (revenue-only profit).
-    Part filter is pushed below the join; dims broadcast."""
+    Part filter is pushed below the join; only the constant-size
+    nation dim is forced broadcast (SF-linear tables go through AQE)."""
     l = T(spark, sf_dir, "lineitem")
     red_parts = (
         T(spark, sf_dir, "part")
@@ -130,14 +133,14 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(
-            F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey")
+            red_parts, F.col("l_partkey") == F.col("p_partkey")
         )
         .join(
             T(spark, sf_dir, "orders"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(T(spark, sf_dir, "supplier")),
+            T(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(
@@ -229,7 +232,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(tot, "l_partkey")
         .filter(F.col("qty") > 0.15 * F.col("total_qty"))
         .join(
-            F.broadcast(T(spark, sf_dir, "supplier")),
+            T(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
