@@ -279,3 +279,35 @@ def test_malformed_envelope_quarantined(spark, tmp_path):
     quarantined = spark.read.parquet(os.path.join(root, "_quarantine", "s"))
     assert quarantined.count() == 1
     assert quarantined.collect()[0]["__ts_ms"] == 200
+
+
+def test_quarantine_off_reference_parity(spark, tmp_path):
+    """quarantine=False preserves the reference's behavior: the
+    malformed row's NULL key enters the table."""
+    import os
+
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+    schema_part = (
+        '{"type":"struct","fields":['
+        '{"field":"id","type":"int64","optional":false},'
+        '{"field":"v","type":"string","optional":true}]}'
+    )
+    rows = [
+        ('{"id": 1}',
+         '{"schema": ' + schema_part + ', "payload": {"id":1,"v":"a"}}',
+         "t.oms1.s", "s", "c", 100, "oms1"),
+        ('{"id": 2}', "NOT VALID JSON", "t.oms1.s", "s", "c", 200, "oms1"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key string, value string, __topic string, __table string,"
+        " __op string, __ts_ms long, __db string",
+    )
+    root = str(tmp_path / "lake_p")
+    eng = CdcEngine(spark, LakeConfig(root=root, quarantine=False))
+    eng.process_batch(df)
+    table = spark.read.parquet(os.path.join(root, "s"))
+    assert table.count() == 2
+    assert table.filter(table.id.isNull()).count() == 1
+    assert not os.path.exists(os.path.join(root, "_quarantine"))
