@@ -522,3 +522,45 @@ def pack_chunks_strict(
         return pdf
 
     return chunks.groupBy(*partition_cols).applyInPandas(pack, out_schema)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Decontamination scan: for every train document, count distinct
+    word n-grams it shares with ANY eval document (the standard
+    benchmark-leakage check — eval n-grams found verbatim in training
+    data). Output: (train id, n_hit_grams, n_eval_docs_matched); rows
+    only for contaminated documents.
+
+    Plan: positional n-grams on both sides (distinct per doc), one
+    equi-join on the gram — the eval side is tiny by construction and
+    broadcasts, so the scan over training grams is shuffle-free. At
+    100 TB the train grams stay where they were scanned; only counts
+    move.
+    """
+    # row-built grams (posexplode + lead), NOT explode-of-array-expr:
+    # projection barriers collapse and the generator child would be
+    # re-evaluated per output row (measured quadratic, see
+    # ngram_jaccard_pairs)
+    from data_engineering_spark.operators.minhash import shingle_rows
+
+    t_grams = shingle_rows(train, id_col, text_col, n).select(
+        F.col("doc").alias("t_id"), "g"
+    )
+    e_grams = shingle_rows(eval_df, id_col, text_col, n).select(
+        F.col("doc").alias("e_id"), "g"
+    )
+    return (
+        t_grams.join(F.broadcast(e_grams), "g")
+        .groupBy("t_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("e_id").alias("n_eval_docs_matched"),
+        )
+        .withColumnRenamed("t_id", id_col)
+    )

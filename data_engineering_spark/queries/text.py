@@ -453,3 +453,56 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("sfp").cast("bigint").alias("n_shared_fps"),
         )
     )
+
+
+@query(
+    "q_doc_contamination",
+    oracle="""
+    WITH ev_ids AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || 'd1'), 1, 15))::BIGINT, doc_id) AS rn
+        FROM documents) WHERE rn <= 5),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(len(t) - 3, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4]))) AS g
+      FROM tok WHERE len(t) >= 5),
+    e_grams AS (
+      SELECT doc_id AS e_id, g FROM grams
+      WHERE doc_id IN (SELECT doc_id FROM ev_ids)),
+    t_grams AS (
+      SELECT doc_id AS t_id, g FROM grams
+      WHERE doc_id NOT IN (SELECT doc_id FROM ev_ids))
+    SELECT t_id AS doc_id,
+           COUNT(DISTINCT t.g) AS n_hit_grams,
+           COUNT(DISTINCT e_id) AS n_eval_docs_matched
+    FROM t_grams t JOIN e_grams e ON t.g = e.g
+    GROUP BY t_id
+    """,
+)
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: a deterministic 5-docs-per-language eval
+    split, then every remaining (train) document that shares any
+    verbatim word 5-gram with an eval document — the benchmark-leakage
+    check every training pipeline runs. The eval gram set broadcasts;
+    the training-side scan is shuffle-free until the final per-doc
+    count (operators/text.ngram_contamination)."""
+    from data_engineering_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+    from data_engineering_spark.operators.text import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    ev = stratified_topk_sample(d, ["lang"], "doc_id", k=5, salt="d1")
+    ev_ids = ev.select("doc_id")
+    train = d.join(ev_ids, "doc_id", "left_anti")
+    return ngram_contamination(train, ev, "doc_id", "text", n=5)
