@@ -108,6 +108,53 @@ def test_round2_operators_plan_shapes(spark):
             assert "Generate" in plan, name
 
 
+def test_gemm_join_no_driver_materialization(spark, monkeypatch):
+    """The exact GEMM similarity join must never materialize the corpus
+    on the driver (round-2 verdict's one scale-killer): toPandas is
+    forbidden for the whole build+execute cycle. The only driver actions
+    allowed are the dim/count metadata probes."""
+    from pyspark.sql import DataFrame
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import (
+        cosine_similarity_join,
+    )
+
+    def _boom(self, *a, **k):
+        raise AssertionError(
+            "driver materialization: DataFrame.toPandas called"
+        )
+
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    emb = load_table(spark, SF, "embeddings")
+    out = cosine_similarity_join(emb, 0.45)
+    assert out.count() >= 0
+
+
+def test_gemm_join_matches_expr_reference(spark):
+    """Block-grid GEMM must produce exactly the pure-JVM expr join's
+    pairs — including across tile boundaries (the canonicalized
+    cross-tile emit path) — at several tile counts."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import (
+        cosine_similarity_join,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    want = sorted(
+        (r["id_a"], r["id_b"], r["cosine_r"])
+        for r in cosine_similarity_join(emb, 0.45, impl="expr").collect()
+    )
+    for tiles in (1, 3, 8):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["cosine_r"])
+            for r in cosine_similarity_join(
+                emb, 0.45, min_tiles=tiles
+            ).collect()
+        )
+        assert got == want, f"tiles={tiles}"
+
+
 def test_centroid_assign_broadcasts_seed_side(spark):
     """The 8-seed cross join must be a broadcast nested loop over the
     tiny side (never a CartesianProduct shuffle product)."""
