@@ -36,8 +36,8 @@ from data_engineering_spark.cdc.schema_evolution import (
     infer_partition_spec,
     partition_transform_column,
 )
-from data_engineering_spark.operators.dedup import keep_last
-from data_engineering_spark.operators.merge import MergeTable
+from data_engineering_spark.operators.dedup import keep_last, keep_last_agg
+from data_engineering_spark.operators.merge import MergeTable, with_retry
 
 
 @dataclass
@@ -53,6 +53,23 @@ class LakeConfig:
     # into one garbage record. The reference has no such guard (a bad
     # message poisons the merge); disable for strict parity.
     quarantine: bool = True
+    # Optimistic-commit retry around the keyed MERGE (reference
+    # :281-292: 10 attempts, 10 s apart). localCheckpoint staging in
+    # MergeTable relies on this loop to recover from executor/block
+    # loss mid-merge — the overwrite is idempotent, so a retry re-runs
+    # cleanly.
+    merge_attempts: int = 10
+    merge_retry_sleep_s: float = 10.0
+    # LWW compaction strategy. "window" = row_number per key (one task
+    # per key — fine for organic key distributions). "agg" = algebraic
+    # max(struct(ts, offset, payload)): map-side partial aggregation
+    # combines a hot key inside every input partition before the
+    # shuffle, so a single tenant owning 10% of a batch becomes
+    # map-parallel work instead of one straggler window task (AQE
+    # splits skewed joins, NOT skewed windows). Same result whenever
+    # (__ts_ms, __offset) totally orders a key's rows; residual ties
+    # resolve by lexicographic payload max — deterministic either way.
+    lww: str = "window"
 
 
 @dataclass
@@ -120,33 +137,50 @@ class CdcEngine:
             tiebreak = (
                 ["__offset"] if "__offset" in slice_df.columns else []
             )
-            slice_df = keep_last(
+            lww = keep_last_agg if self.config.lww == "agg" else keep_last
+            slice_df = lww(
                 slice_df, ["key", "__topic"], "__ts_ms", tiebreakers=tiebreak
             )
 
         parsed = parse_envelope_batch(slice_df, inferred)
         stamped = stamp_multitenant(parsed).drop("__deleted")
         persisted = None
+        quarantine = None
         if keys and self.config.quarantine:
-            # the quarantine probe and the merge both consume the parsed
+            # the quarantine path and the merge both consume the parsed
             # batch — persist it so the envelope parse (2× from_json)
-            # runs once, not per consumer
+            # runs once, not per consumer. The bad-row COUNT rides the
+            # merge's own actions via observe() instead of a dedicated
+            # isEmpty probe job — a clean batch (the common case) costs
+            # zero extra jobs; only batches that actually contain
+            # malformed rows pay for the quarantine write.
             from pyspark import StorageLevel
+            from pyspark.sql import Observation
 
             persisted = stamped.persist(StorageLevel.MEMORY_AND_DISK)
-            stamped = persisted
             bad_key = None
             for k in keys:
                 cond = F.col(k).isNull()
                 bad_key = cond if bad_key is None else (bad_key | cond)
-            bad = stamped.filter(bad_key)
-            if not bad.isEmpty():
-                bad.write.mode("append").parquet(
-                    os.path.join(self.config.root, "_quarantine", name)
+            obs = Observation()
+            stamped = (
+                persisted.observe(
+                    obs,
+                    F.sum(bad_key.cast("long")).alias("n_bad"),
                 )
-            stamped = stamped.filter(~bad_key)
+                .filter(~bad_key)
+            )
+            quarantine = (obs, bad_key)
         try:
             self._finish_table(name, keys, inferred, stamped)
+            if quarantine is not None:
+                # the merge has run actions over the observed plan, so
+                # this does not block; sum() over an empty batch is NULL
+                obs, bad_key = quarantine
+                if obs.get["n_bad"] or 0:
+                    persisted.filter(bad_key).write.mode("append").parquet(
+                        os.path.join(self.config.root, "_quarantine", name)
+                    )
         finally:
             if persisted is not None:
                 persisted.unpersist()
@@ -191,4 +225,12 @@ class CdcEngine:
 
         merge_keys = ["__rds_id", "__tenant_id", *keys]
         table = self.get_table(name, merge_keys, partition_by=partition_col)
-        table.merge(stamped, ts_guard=self.config.ts_guard)
+        # the reference wraps its MERGE in a 10-attempt optimistic retry
+        # (:281-292); this is also what makes the non-durable
+        # localCheckpoint staging in MergeTable safe under executor loss
+        batch = stamped
+        with_retry(
+            lambda: table.merge(batch, ts_guard=self.config.ts_guard),
+            attempts=self.config.merge_attempts,
+            sleep_s=self.config.merge_retry_sleep_s,
+        )

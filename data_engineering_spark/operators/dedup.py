@@ -47,6 +47,46 @@ def keep_last(
     )
 
 
+def keep_last_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-proof last-write-wins: `max(struct(order, tiebreakers,
+    payload))` per key instead of a `row_number` window.
+
+    Why it exists: window functions get ONE task per key — AQE splits
+    skewed shuffle JOINS but not skewed window partitions, so a hot CDC
+    key owning 10% of a batch pins a straggler under `keep_last`. `max`
+    is algebraic: partial (map-side) aggregation combines the hot key
+    within every input partition BEFORE the shuffle, so the reduce side
+    sees one row per (key, map task) — skew becomes map-parallel work.
+
+    Result is identical to `keep_last` whenever (order_col,
+    *tiebreakers) totally orders rows within a key; on residual ties
+    the lexicographic max of the remaining payload wins (deterministic,
+    engine-independent — the window variant's tie is resolved by the
+    same explicit ordering). Requires all columns to be orderable
+    (structs/arrays fine, maps are not).
+    """
+    key_set = set(keys)
+    payload = [c for c in df.columns if c not in key_set]
+    rest = [
+        c for c in payload if c != order_col and c not in set(tiebreakers)
+    ]
+    ordered = [order_col, *tiebreakers, *rest]
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("__s")
+    )
+    return out.select(
+        *[
+            F.col(c) if c in key_set else F.col(f"__s.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def keep_first(
     df: DataFrame,
     keys: Sequence[str],

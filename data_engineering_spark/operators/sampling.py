@@ -57,9 +57,12 @@ def stratified_topk_sample(
 
     Plan: one shuffle on the strata + a row_number window capped at k.
     """
+    # NULLS LAST explicitly: a NULL id hashes to NULL, which Spark sorts
+    # first ascending but DuckDB's ROW_NUMBER sorts last — pin the order
+    # both engines agree on so sample membership never diverges on NULLs
     c = F.concat(F.col(id_col).cast("string"), F.lit(salt))
     w = Window.partitionBy(*strata).orderBy(
-        F.asc(uniform_hash60(c)), F.asc(id_col)
+        F.asc_nulls_last(uniform_hash60(c)), F.asc_nulls_last(id_col)
     )
     return (
         df.withColumn("__srn", F.row_number().over(w))

@@ -53,9 +53,15 @@ def kmv_distinct(
     the group key; nothing is collected.
     """
     keys = list(group_cols)
-    hashed = df.select(
-        *keys, uniform_hash60(value_col).alias("__hv")
-    ).distinct()
+    # NULL values hash to NULL; drop them so the sketch counts DISTINCT
+    # non-NULL values (SQL COUNT(DISTINCT) semantics). Left in, a NULL
+    # hash would sort NULLS FIRST in Spark but NULLS LAST under DuckDB's
+    # ROW_NUMBER default — silently diverging sample membership.
+    hashed = (
+        df.select(*keys, uniform_hash60(value_col).alias("__hv"))
+        .filter(F.col("__hv").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(*keys).orderBy(F.asc("__hv"))
     kept = hashed.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k

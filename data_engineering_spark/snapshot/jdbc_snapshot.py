@@ -220,15 +220,23 @@ def record_audit(
 def snapshotted_tables(
     spark: SparkSession, lake_root: str, rds_id: int
 ) -> set[str]:
-    """Tables already recorded in the audit log (driver-side set, small
-    by construction — it's one row per table ever snapshotted)."""
+    """Schema-qualified ``db.table`` names already recorded in the audit
+    log (driver-side set, small by construction — one row per table ever
+    snapshotted). Qualification matters: with a multi-database pattern
+    like ``oms.*`` every database carries the same table names (the
+    reference's layout, sanpshot_script.py:257-262 compares
+    CONCAT(schema,'.',name)), so a bare-name set would silently skip
+    oms2.sales after oms1.sales was loaded."""
     import os
 
     path = os.path.join(lake_root, f"insert_log{rds_id}")
     if not os.path.exists(path):
         return set()
     return {
-        r["name"] for r in spark.read.parquet(path).select("name").collect()
+        f"{r['schema']}.{r['name']}"
+        for r in spark.read.parquet(path)
+        .select("schema", "name")
+        .collect()
     }
 
 
@@ -286,13 +294,22 @@ def snapshot_table(
         reader = table_reader(spark, cfg, database, table)
 
     df = reader.load()
-    if df.isEmpty():
-        return 0
     prepared = prepare_snapshot_frame(df, tenant_id=tenant_id, rds_id=rds_id)
-    dest = os.path.join(lake_root, database, table)
-    append_snapshot(prepared, dest, write_partitions)
-    record_audit(spark, lake_root, rds_id, database, table, dest)
-    return df.count()
+    # persist so the source is scanned exactly once: the old
+    # isEmpty-probe + write + count-after-write pattern hit the JDBC
+    # source three times, and the final count could disagree with the
+    # rows actually appended if the source changed between scans
+    prepared.persist()
+    try:
+        n = prepared.count()
+        if n == 0:
+            return 0
+        dest = os.path.join(lake_root, database, table)
+        append_snapshot(prepared, dest, write_partitions)
+        record_audit(spark, lake_root, rds_id, database, table, dest)
+        return n
+    finally:
+        prepared.unpersist()
 
 
 def run_snapshot(
@@ -319,7 +336,7 @@ def run_snapshot(
     results: dict[str, int] = {}
     for full_name in discovered:
         database, _, table = full_name.partition(".")
-        if table in done:
+        if full_name in done:
             continue
         results[full_name] = snapshot_table(
             spark, cfg, database, table, lake_root,

@@ -67,7 +67,12 @@ def test_audit_log_roundtrip(spark, tmp_path):
     assert snapshotted_tables(spark, root, 1) == set()
     record_audit(spark, root, 1, "oms1", "sales", "lake.sales")
     record_audit(spark, root, 1, "oms1", "orders", "lake.orders")
-    assert snapshotted_tables(spark, root, 1) == {"sales", "orders"}
+    # schema-qualified: oms2.sales must NOT look done after oms1.sales
+    # (multi-database patterns share table names across databases)
+    assert snapshotted_tables(spark, root, 1) == {
+        "oms1.sales", "oms1.orders"
+    }
+    assert "oms2.sales" not in snapshotted_tables(spark, root, 1)
     assert snapshotted_tables(spark, root, 2) == set()
 
 

@@ -311,3 +311,84 @@ def test_quarantine_off_reference_parity(spark, tmp_path):
     assert table.count() == 2
     assert table.filter(table.id.isNull()).count() == 1
     assert not os.path.exists(os.path.join(root, "_quarantine"))
+
+
+def _simple_envelope_batch(spark, ids, malformed=False):
+    schema_part = (
+        '{"type":"struct","fields":['
+        '{"field":"id","type":"int64","optional":false},'
+        '{"field":"v","type":"string","optional":true}]}'
+    )
+    rows = [
+        (
+            '{"id": %d}' % i,
+            '{"schema": ' + schema_part
+            + ', "payload": {"id":%d,"v":"x"}}' % i,
+            "t.oms1.s", "s", "c", 100 + i, "oms1",
+        )
+        for i in ids
+    ]
+    if malformed:
+        rows.append(
+            ('{"id": 99}', "NOT VALID JSON", "t.oms1.s", "s", "c", 999, "oms1")
+        )
+    return spark.createDataFrame(
+        rows,
+        "key string, value string, __topic string, __table string,"
+        " __op string, __ts_ms long, __db string",
+    )
+
+
+def test_clean_batch_creates_no_quarantine_dir(spark, tmp_path):
+    """quarantine=True on a clean batch must leave no _quarantine dir:
+    the bad-row count rides the merge's own actions (observe), so the
+    clean path — the common case — runs zero extra jobs and writes
+    nothing."""
+    import os
+
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+    root = str(tmp_path / "lake_clean")
+    eng = CdcEngine(spark, LakeConfig(root=root))
+    eng.process_batch(_simple_envelope_batch(spark, [1, 2, 3]))
+    assert spark.read.parquet(os.path.join(root, "s")).count() == 3
+    assert not os.path.exists(os.path.join(root, "_quarantine"))
+    # a later batch that IS malformed still quarantines through the
+    # same observed plan (merge happens first, quarantine write after)
+    eng.process_batch(_simple_envelope_batch(spark, [4], malformed=True))
+    q = spark.read.parquet(os.path.join(root, "_quarantine", "s"))
+    assert q.count() == 1 and q.collect()[0]["__ts_ms"] == 999
+    assert spark.read.parquet(os.path.join(root, "s")).count() == 4
+
+
+def test_merge_retried_on_transient_failure(spark, tmp_path):
+    """The keyed MERGE runs inside the reference's optimistic-commit
+    retry loop (incremental_kafka_s3_cdc.py:281-292): a transient
+    failure in the merge backend recovers without failing the batch —
+    this is also what makes non-durable localCheckpoint staging safe."""
+    import os
+
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+    from data_engineering_spark.operators.merge import MergeTable
+
+    calls = {"n": 0}
+
+    class Flaky(MergeTable):
+        def merge(self, *a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("transient commit conflict")
+            return super().merge(*a, **k)
+
+    root = str(tmp_path / "lake_retry")
+    eng = CdcEngine(spark, LakeConfig(root=root, merge_retry_sleep_s=0.0))
+    eng.tables["s"] = Flaky(
+        spark,
+        os.path.join(root, "s"),
+        ["__rds_id", "__tenant_id", "id"],
+        partition_by="__rds_id",
+    )
+    eng.process_batch(_simple_envelope_batch(spark, [1, 2]))
+    assert calls["n"] == 2  # failed once, retried, succeeded
+    table = spark.read.parquet(os.path.join(root, "s"))
+    assert {r["id"] for r in table.collect()} == {1, 2}

@@ -88,6 +88,6 @@ def test_snapshot_table_derby_end_to_end(spark, tmp_path):
     assert row["__op"] == "r" and row["__rds_id"] == 7
     assert row["__tenant_id"] == 3
     # audit log recorded -> discovery would skip this table next run
-    assert "items" in snapshotted_tables(spark, lake, 7)
+    assert "APP.items" in snapshotted_tables(spark, lake, 7)
     st.execute("DROP TABLE items")
     conn.commit()

@@ -65,6 +65,63 @@ def test_salted_agg_matches_plain(spark):
     assert salted == plain
 
 
+def test_keep_last_agg_matches_window_on_hot_key(spark):
+    """Skew-proof LWW (max-struct aggregation): on a batch where ONE key
+    owns 10% of all rows — the hot-tenant CDC case — the algebraic
+    variant returns exactly what the window variant returns. The skew
+    win is structural: max() partial-aggregates map-side, so the hot
+    key reduces inside every input partition instead of pinning one
+    window task (AQE splits skewed joins, not skewed windows)."""
+    from data_engineering_spark.operators.dedup import (
+        keep_last,
+        keep_last_agg,
+    )
+
+    rows = []
+    for i in range(5000):
+        # key "hot" takes every 10th row; 500 other keys take the rest
+        k = "hot" if i % 10 == 0 else f"k{i % 500}"
+        rows.append((k, "t1", i, i * 2, f"v{i}"))
+    df = spark.createDataFrame(
+        rows, "key string, __topic string, __ts_ms long, __offset long,"
+        " value string"
+    ).repartition(16)
+
+    w = keep_last(df, ["key", "__topic"], "__ts_ms", ["__offset"])
+    a = keep_last_agg(df, ["key", "__topic"], "__ts_ms", ["__offset"])
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, a.collect()))
+    assert a.columns == df.columns
+    # map-side combine present (partial_max BEFORE the exchange), and
+    # no window operator anywhere: skew reduces map-side by design
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan
+
+
+def test_cdc_engine_lww_agg_mode(spark, tmp_path):
+    """The pipeline's lww='agg' switch produces the same lake state as
+    the default window LWW on a batch with duplicate keyed updates."""
+    import os
+
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+    from tests.test_cdc import _simple_envelope_batch
+
+    outs = {}
+    for mode in ("window", "agg"):
+        root = str(tmp_path / f"lake_{mode}")
+        eng = CdcEngine(spark, LakeConfig(root=root, lww=mode))
+        batch = _simple_envelope_batch(spark, [1, 2, 3]).union(
+            _simple_envelope_batch(spark, [2, 3, 4])
+        )
+        eng.process_batch(batch)
+        outs[mode] = sorted(
+            (r["id"], r["v"])
+            for r in spark.read.parquet(os.path.join(root, "s")).collect()
+        )
+    assert outs["window"] == outs["agg"]
+    assert [i for i, _ in outs["agg"]] == [1, 2, 3, 4]
+
+
 def test_salted_broadcast_join_matches_plain(spark):
     big = spark.createDataFrame(
         [("hot" if i % 10 else f"k{i}", i) for i in range(5000)], ["k", "v"]
