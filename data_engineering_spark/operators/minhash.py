@@ -76,10 +76,17 @@ def minhash_near_dup_pairs(
     threshold: float = 0.6,
     num_hashes: int = 64,
     num_bands: int = 32,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs with exact-verified Jaccard >= threshold,
     candidates via banded MinHash-LSH. Output matches
-    text.ngram_jaccard_pairs: (doc_a, doc_b, common, jaccard_r)."""
+    text.ngram_jaccard_pairs: (doc_a, doc_b, common, jaccard_r).
+
+    ``release_cache=True``: eagerly materialize the (small) verified
+    pairs and unpersist the shingle/candidate caches before returning —
+    for long-lived sessions that must not accumulate cached blocks.
+    Default False keeps the plan lazy (the eager pass costs real time;
+    LRU eviction handles one-shot pipelines fine)."""
     assert num_hashes % num_bands == 0
     rows_per_band = num_hashes // num_bands
 
@@ -136,7 +143,7 @@ def minhash_near_dup_pairs(
     )
     sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
+    result = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -155,3 +162,9 @@ def minhash_near_dup_pairs(
             F.col("jaccard").alias("jaccard_r"),
         )
     )
+    if not release_cache:
+        return result
+    out = result.localCheckpoint(eager=True)
+    cands.unpersist()
+    sh.unpersist()
+    return out

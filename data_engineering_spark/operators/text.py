@@ -93,8 +93,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.6,
     prefix_filter: bool = True,
+    release_cache: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs, scalable formulation.
+
+    ``release_cache=True`` eagerly materializes the (small) verified
+    pairs via localCheckpoint and unpersists the intermediate caches
+    before returning — for long-lived sessions that call this
+    repeatedly and must not accumulate cached blocks. Default False:
+    the plan stays lazy and the persists are LRU-evicted by the block
+    manager (measured: the eager materialization costs a full extra
+    pass, so the default favors one-shot pipelines).
 
     Naive inverted-index pair counting costs Σ (docs-per-shingle)² — hot
     shingles (small vocabularies, boilerplate) blow it up. We use the
@@ -230,14 +239,20 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select(
+    result = verified.select(
         "doc_a",
         "doc_b",
         F.col("common").cast("long").alias("common"),
         # raw int/int division is bit-identical across engines;
-            # re-rounding it would reintroduce boundary divergence
-            F.col("jaccard").alias("jaccard_r"),
+        # re-rounding it would reintroduce boundary divergence
+        F.col("jaccard").alias("jaccard_r"),
     )
+    if not release_cache:
+        return result
+    out = result.localCheckpoint(eager=True)
+    cands.unpersist()
+    inv0.unpersist()
+    return out
 
 
 def language_score(col: Column | str, lang: str) -> Column:
@@ -489,6 +504,7 @@ def pack_chunks_strict(
     partition_cols: Sequence[str] = ("doc_id",),
     order_cols: Sequence[str] = ("chunk_idx",),
     tokens_col: str = "n_tokens",
+    shard_chunks: int | None = None,
 ) -> DataFrame:
     """Strict next-fit packing: bins NEVER exceed `budget_tokens`
     (except a single over-budget chunk, which gets its own bin) — the
@@ -496,6 +512,17 @@ def pack_chunks_strict(
     per-partition state via applyInPandas (Arrow-batched); use when the
     training stack requires a hard token ceiling per example, accept
     the Python-stage cost.
+
+    SCALE BOUND: packing is inherently sequential WITHIN a partition
+    key, so one giant group (e.g. partitioning by language with 90%
+    English) becomes one task. `shard_chunks` caps that: groups are
+    sub-sharded into runs of at most `shard_chunks` chunks (in packing
+    order), each shard packs independently in parallel, and bin ids are
+    renumbered to stay unique per original partition key. The only
+    semantic drift vs unsharded strict packing is that a bin never
+    spans a shard boundary — at most one under-filled bin per shard,
+    and every bin still respects the hard ceiling. Documented in
+    SCALE.md.
     """
     import pandas as pd
 
@@ -521,7 +548,45 @@ def pack_chunks_strict(
         pdf["pack_pos"] = pd.array(pack_pos, dtype="int32")
         return pdf
 
-    return chunks.groupBy(*partition_cols).applyInPandas(pack, out_schema)
+    if shard_chunks is None:
+        return chunks.groupBy(*partition_cols).applyInPandas(pack, out_schema)
+
+    from pyspark.sql import Window
+
+    parts = list(partition_cols)
+    wseq = Window.partitionBy(*parts).orderBy(*order)
+    sharded = chunks.withColumn(
+        "__shard",
+        ((F.row_number().over(wseq) - 1) / shard_chunks).cast("int"),
+    )
+
+    def pack_drop_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pack(pdf.drop(columns=["__shard"]))
+        out["__shard"] = pdf["__shard"].iloc[0]
+        return out
+
+    packed = sharded.groupBy(*parts, "__shard").applyInPandas(
+        pack_drop_shard, out_schema + ", __shard int"
+    )
+    # renumber: shard s's bins start after all bins of shards < s
+    bins = packed.groupBy(*parts, "__shard").agg(
+        (F.max("pack_id") + 1).alias("__nbins")
+    )
+    woff = (
+        Window.partitionBy(*parts)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bins.withColumn(
+        "__off", F.coalesce(F.sum("__nbins").over(woff), F.lit(0))
+    ).select(*parts, "__shard", "__off")
+    return (
+        packed.join(offsets, [*parts, "__shard"])
+        .withColumn(
+            "pack_id", (F.col("pack_id") + F.col("__off")).cast("int")
+        )
+        .drop("__shard", "__off")
+    )
 
 
 def ngram_contamination(

@@ -93,3 +93,46 @@ def test_pack_chunks_closed_form_vs_strict(spark):
     c_map = {(r["doc_id"], r["chunk_idx"]): r["pack_id"] for r in closed}
     s_map = {(r["doc_id"], r["chunk_idx"]): r["pack_id"] for r in strict}
     assert c_map == s_map
+
+
+def test_pack_chunks_strict_sharded(spark):
+    """shard_chunks parallelizes one giant partition key: the hard
+    token ceiling still holds for EVERY bin, pack ids stay unique and
+    dense per key, and bins never span a shard boundary (at most one
+    under-filled bin per shard)."""
+    from data_engineering_spark.operators.text import (
+        chunk_documents,
+        pack_chunks_strict,
+    )
+
+    text = " ".join(f"w{i}" for i in range(2000))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = chunk_documents(df, chunk_tokens=40, overlap=8)
+    n_chunks = chunks.count()
+
+    out = pack_chunks_strict(
+        chunks, budget_tokens=120, shard_chunks=13
+    ).collect()
+    assert len(out) == n_chunks
+    totals: dict[int, int] = {}
+    members: dict[int, list[int]] = {}
+    for r in out:
+        totals[r["pack_id"]] = totals.get(r["pack_id"], 0) + r["n_tokens"]
+        members.setdefault(r["pack_id"], []).append(r["chunk_idx"])
+    # hard ceiling survives sharding
+    assert all(t <= 120 for t in totals.values()), totals
+    # dense 0..n-1 ids after renumbering
+    assert sorted(totals) == list(range(len(totals)))
+    # bins hold consecutive chunk runs and never cross a shard edge:
+    # chunk_idx // 13 must be constant within a bin
+    for pid, idxs in members.items():
+        assert {i // 13 for i in idxs} and len({i // 13 for i in idxs}) == 1, (
+            pid, idxs
+        )
+        srt = sorted(idxs)
+        assert srt == list(range(srt[0], srt[0] + len(srt)))
+    # pack_pos is 0..k-1 within each bin
+    pos = {}
+    for r in out:
+        pos.setdefault(r["pack_id"], []).append(r["pack_pos"])
+    assert all(sorted(v) == list(range(len(v))) for v in pos.values())
