@@ -99,40 +99,241 @@ def byte_histogram_features(
 
 
 DECODED_IMAGE_SCHEMA = "id long, width int, height int, mode string"
+DECODED_PIXEL_SCHEMA = (
+    "id long, width int, height int, channels int, mode string,"
+    " pixels binary"
+)
+
+
+def _make_decoder():
+    """Build the dependency-free image decoder as a CLOSURE.
+
+    Deliberately a factory: Spark python workers unpickle UDFs in a
+    process that may not have this package on sys.path (the driver
+    harness owns the session). A module-level function would be
+    cloudpickled BY REFERENCE (import on the worker → crash); a
+    factory-made closure is pickled BY VALUE, so the decode logic
+    travels inside the serialized task like the inline lambdas do.
+    """
+
+    def _decode_pnm(data: bytes):
+        # Netpbm (P2/P3 ascii, P5/P6 binary; PGM/PPM) in pure numpy:
+        # returns (width, height, channels, mode, pixel_bytes),
+        # row-major 8-bit; None if not a PNM payload.
+        import numpy as np
+
+        if len(data) < 2 or data[0:1] != b"P" or data[1:2] not in b"2356":
+            return None
+        kind = data[1:2]
+        # header tokenizer: whitespace-separated ints, '#' comments
+        pos, toks = 2, []
+        while len(toks) < 3 and pos < len(data):
+            c = data[pos : pos + 1]
+            if c == b"#":
+                nl = data.find(b"\n", pos)
+                pos = len(data) if nl < 0 else nl + 1
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(data) and not data[end : end + 1].isspace():
+                    end += 1
+                toks.append(int(data[pos:end]))
+                pos = end
+        if len(toks) < 3:
+            return None
+        width, height, maxval = toks
+        if width <= 0 or height <= 0 or not (0 < maxval < 256):
+            return None
+        channels = 3 if kind in (b"3", b"6") else 1
+        n = width * height * channels
+        if kind in (b"5", b"6"):
+            pos += 1  # exactly one whitespace byte after maxval
+            raw = data[pos : pos + n]
+            if len(raw) < n:
+                return None
+            px = np.frombuffer(raw, dtype=np.uint8)
+        else:  # ascii samples
+            vals = data[pos:].split()
+            if len(vals) < n:
+                return None
+            px = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+        mode = "RGB" if channels == 3 else "L"
+        return width, height, channels, mode, px.tobytes()
+
+    def _decode_bmp(data: bytes):
+        # Uncompressed BMP (BITMAPINFOHEADER; 8-bit palette / 24-bit
+        # BGR) in pure numpy; same return shape as _decode_pnm.
+        import struct
+
+        import numpy as np
+
+        if len(data) < 54 or data[:2] != b"BM":
+            return None
+        pix_off = struct.unpack_from("<I", data, 10)[0]
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        if hdr_size < 40:  # BITMAPCOREHEADER etc. unsupported
+            return None
+        width, height_raw = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+        if compression != 0 or bpp not in (8, 24) or width <= 0:
+            return None
+        height, bottom_up = abs(height_raw), height_raw > 0
+        row_bytes = (width * bpp // 8 + 3) & ~3  # 4-byte aligned rows
+        need = row_bytes * height
+        if len(data) < pix_off + need:
+            return None
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=need, offset=pix_off
+        ).reshape(height, row_bytes)
+        if bottom_up:
+            rows = rows[::-1]
+        if bpp == 24:
+            img = rows[:, : width * 3].reshape(height, width, 3)
+            img = img[:, :, ::-1]  # BGR → RGB
+            return (
+                width, height, 3, "RGB",
+                np.ascontiguousarray(img).tobytes(),
+            )
+        # 8-bit: BGRA palette directly after the info header
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)
+        idx = rows[:, :width]
+        if bool(
+            (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()
+        ):
+            # grayscale palette → 'L'
+            px = pal[idx.reshape(-1), 0]
+            return width, height, 1, "L", px.tobytes()
+        px = pal[idx.reshape(-1)][:, [2, 1, 0]]  # BGR(A) → RGB
+        return width, height, 3, "RGB", np.ascontiguousarray(px).tobytes()
+
+    def decode_image_bytes(data: bytes):
+        out = _decode_pnm(data)
+        if out is None:
+            out = _decode_bmp(data)
+        if out is not None:
+            return out
+        try:  # pragma: no cover - env without PIL
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError:
+            raise NotImplementedError(
+                "unsupported image format (PPM/PGM/BMP decode natively;"
+                " others require pillow, absent in this environment)"
+            ) from None
+        img = Image.open(io.BytesIO(data))  # pragma: no cover
+        px = img.tobytes()
+        return img.width, img.height, len(img.getbands()), img.mode, px
+
+    return decode_image_bytes
+
+
+#: Dependency-free image decode: PPM/PGM (P2/P3/P5/P6) and uncompressed
+#: BMP in numpy; PIL fallback for other formats when installed.
+#: (width, height, channels, mode, pixel_bytes); NotImplementedError
+#: for formats this sandbox genuinely can't decode.
+decode_image_bytes = _make_decoder()
 
 
 def decode_images(
     df: DataFrame, id_col: str = "id", bin_col: str = "payload"
 ) -> DataFrame:
-    """Decode image dimensions via PIL when available.
-
-    STUB FALLBACK: PIL is not installed in this container — without it
-    this raises NotImplementedError at execution time. The mapInPandas
-    signature, schema and batching are the real interface and are
-    import-guard tested."""
+    """Decode image dimensions/mode per payload — executable in this
+    sandbox for PPM/PGM/BMP via the numpy decoders (PIL, when present,
+    widens the format set). mapInPandas over Arrow batches; binary
+    payloads stay in the scan partitions, only fixed-width metadata
+    comes out."""
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+    dec = _make_decoder()  # closure: travels inside the task, no import
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import io
-
-            from PIL import Image  # type: ignore[import-not-found]
-        except ImportError as e:  # pragma: no cover - env without PIL
-            raise NotImplementedError(
-                "image decode requires pillow (stubbed in this environment)"
-            ) from e
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf["id"], pdf["payload"]):
-                img = Image.open(io.BytesIO(bytes(buf)))
-                rows.append((i, img.width, img.height, img.mode))
+                w, h, _c, mode, _px = dec(bytes(buf))
+                rows.append((i, w, h, mode))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "mode"]
             )
 
     return src.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+def decode_image_pixels(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload"
+) -> DataFrame:
+    """Full decode: per payload emit (width, height, channels, mode,
+    pixels) with pixels as row-major 8-bit bytes — the input a resize /
+    feature-extract stage consumes. Same mapInPandas shape as
+    `decode_images`; pixel payloads never shuffle (downstream stages
+    aggregate or re-encode within the same scan)."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+    dec = _make_decoder()  # closure: travels inside the task, no import
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["payload"]):
+                w, h, c, mode, px = dec(bytes(buf))
+                rows.append((i, w, h, c, mode, px))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "channels", "mode", "pixels",
+                ],
+            )
+
+    return src.mapInPandas(decode, DECODED_PIXEL_SCHEMA)
+
+
+def resize_images_nearest(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Decode + nearest-neighbor resize to (out_w, out_h) — the
+    preprocessing step before a vision encoder, dependency-free
+    (numpy index arithmetic). Emits the resized pixel bytes with the
+    same schema as `decode_image_pixels`."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+    dec = _make_decoder()  # closure: travels inside the task, no import
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["payload"]):
+                w, h, c, mode, px = dec(bytes(buf))
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                out = img[yi][:, xi]
+                rows.append(
+                    (i, out_w, out_h, c, mode,
+                     np.ascontiguousarray(out).tobytes())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "channels", "mode", "pixels",
+                ],
+            )
+
+    return src.mapInPandas(resize, DECODED_PIXEL_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = "id long, frame_idx int, frame binary"

@@ -96,6 +96,68 @@ def q_multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_decode",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id, t, LEAST(length(t) // 8, 32) AS hh
+      FROM a WHERE length(t) >= 8)
+    SELECT doc_id, 8 AS width, CAST(hh AS INT) AS height, 'L' AS mode,
+           sha256(substr(t, 1, CAST(hh * 8 AS INT))) AS pixel_sha
+    FROM h
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTABLE image decode (no media library): each document's
+    printable-ASCII bytes become a synthetic 8-wide PGM (P5) payload;
+    the numpy decoder recovers dimensions, mode and the exact pixel
+    bytes, verified against the oracle via sha256 of the pixel buffer.
+    The decode itself runs in mapInPandas over Arrow batches — binary
+    in, fixed-width metadata + content hash out, nothing shuffles the
+    pixels."""
+    from data_engineering_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            F.regexp_replace("text", "[^ -~]", "").alias("__a"),
+        )
+        .withColumn(
+            "__h",
+            F.least(
+                F.floor(F.length("__a") / 8).cast("int"), F.lit(32)
+            ),
+        )
+        .filter(F.col("__h") >= 1)
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("P5\n8 "),
+            F.col("__h").cast("string"),
+            F.lit("\n255\n"),
+            F.expr("substr(__a, 1, __h * 8)"),
+        ),
+        "utf-8",
+    )
+    decoded = decode_image_pixels(
+        base.select("doc_id", payload.alias("payload")), id_col="doc_id"
+    )
+    # width 8 is a CONSTANT in the oracle; the decoded value must agree
+    return decoded.select(
+        F.col("id").alias("doc_id"),
+        "width",
+        "height",
+        "mode",
+        F.sha2("pixels", 256).alias("pixel_sha"),
+    )
+
+
+@query(
     "q_multimodal_frame_sample",
     oracle="""
     WITH d AS (

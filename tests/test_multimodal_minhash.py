@@ -68,7 +68,10 @@ def test_frame_sampling(bin_df):
     assert bytes(sorted(by_id[3], key=lambda r: r["frame_idx"])[0]["frame"]) == b"plai"
 
 
-def test_decode_images_stub_raises(bin_df):
+def test_decode_images_unsupported_format_raises(bin_df):
+    """Formats with no native decoder (jpeg/png here) still raise
+    NotImplementedError when Pillow is absent — but ONLY those; the
+    PPM/PGM/BMP decoders below are fully executable in this sandbox."""
     try:
         import PIL  # noqa: F401
 
@@ -80,6 +83,114 @@ def test_decode_images_stub_raises(bin_df):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def _bmp24(width, height, rgb_rows, bottom_up=True):
+    """Minimal uncompressed 24-bit BMP writer (test fixture)."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - width * 3)
+    rows = rgb_rows[::-1] if bottom_up else rgb_rows
+    body = b"".join(
+        b"".join(bytes((b_, g, r)) for (r, g, b_) in row) + pad
+        for row in rows
+    )
+    pix_off = 14 + 40
+    hdr = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(body), 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width,
+        height if bottom_up else -height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    return hdr + body
+
+
+def _bmp8_gray(width, height, idx_rows):
+    """Minimal 8-bit grayscale-palette BMP writer (test fixture)."""
+    import struct
+
+    row_bytes = (width + 3) & ~3
+    pad = b"\x00" * (row_bytes - width)
+    body = b"".join(bytes(row) + pad for row in idx_rows[::-1])
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    pix_off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack(
+        "<IHHI", pix_off + len(body), 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(body),
+        2835, 2835, 256, 0,
+    )
+    return hdr + pal + body
+
+
+def test_decode_pnm_and_bmp_pixels(spark):
+    """The numpy decoders recover exact dimensions, mode and pixel
+    bytes for P5/P6/P2 netpbm and 24/8-bit BMP — no media library."""
+    from data_engineering_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    gray = bytes(range(12))  # 4x3 grayscale
+    rgb = bytes(range(36))  # 4x3 rgb
+    rgb_rows = [
+        [tuple(rgb[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3]) for x in range(4)]
+        for y in range(3)
+    ]
+    rows = [
+        (1, b"P5\n# comment\n4 3\n255\n" + gray),
+        (2, b"P6 4 3 255\n" + rgb),
+        (3, b"P2\n4 3\n255\n" + " ".join(str(b) for b in gray).encode()),
+        (4, _bmp24(4, 3, rgb_rows, bottom_up=True)),
+        (5, _bmp24(4, 3, rgb_rows, bottom_up=False)),
+        (6, _bmp8_gray(4, 3, [list(gray[y * 4 : y * 4 + 4]) for y in range(3)])),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in decode_image_pixels(df).collect()}
+    for i in range(1, 7):
+        assert (out[i]["width"], out[i]["height"]) == (4, 3), i
+    for i, mode, want in [
+        (1, "L", gray), (2, "RGB", rgb), (3, "L", gray),
+        (4, "RGB", rgb), (5, "RGB", rgb), (6, "L", gray),
+    ]:
+        assert out[i]["mode"] == mode, i
+        assert bytes(out[i]["pixels"]) == want, i
+    # metadata-only twin agrees
+    meta = {r["id"]: r for r in decode_images(df).collect()}
+    assert meta[2]["mode"] == "RGB" and meta[6]["mode"] == "L"
+
+
+def test_resize_images_nearest(spark):
+    from data_engineering_spark.operators.multimodal import (
+        resize_images_nearest,
+    )
+
+    # 2x2 grayscale PGM upscaled 2x: each source pixel becomes 2x2
+    src = b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    df = spark.createDataFrame([(1, src)], "id long, payload binary")
+    out = resize_images_nearest(df, 4, 4).collect()[0]
+    assert (out["width"], out["height"], out["channels"]) == (4, 4, 1)
+    import numpy as np
+
+    img = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(4, 4)
+    assert (img[:2, :2] == 10).all() and (img[:2, 2:] == 20).all()
+    assert (img[2:, :2] == 30).all() and (img[2:, 2:] == 40).all()
+
+
+def test_near_dup_release_cache_equivalent(spark):
+    """release_cache=True (long-lived-session mode: eager materialize +
+    unpersist) returns the same pairs as the default lazy plan."""
+    d = load_table(spark, SF, "documents")
+    as_set = lambda df: {  # noqa: E731
+        (r["doc_a"], r["doc_b"], r["common"]) for r in df.collect()
+    }
+    assert as_set(
+        minhash_near_dup_pairs(d, threshold=0.6, release_cache=True)
+    ) == as_set(minhash_near_dup_pairs(d, threshold=0.6))
+    assert as_set(
+        ngram_jaccard_pairs(d, threshold=0.6, release_cache=True)
+    ) == as_set(ngram_jaccard_pairs(d, threshold=0.6))
 
 
 # --- MinHash ---------------------------------------------------------------

@@ -63,6 +63,7 @@ def test_no_python_in_relational_hot_path(spark):
         # mapInPandas is the point there (documented Arrow-batch ops)
         "q_multimodal_histogram",
         "q_multimodal_frame_sample",
+        "q_multimodal_decode",
         # exact GEMM similarity join: BLAS matmul beats carrying vectors
         # through a pair join (see operators/similarity.py)
         "q_embedding_similarity_join",
