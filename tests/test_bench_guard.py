@@ -1,0 +1,83 @@
+"""Bench regression guard (VERDICT r2 #8).
+
+Times every headline query at sf0.01 (a fast proxy for the driver's
+sf0.1 bench) and fails if any exceeds its recorded baseline by more
+than the noise allowance — so new operators can't silently regress the
+round-2 wins. The baseline (tests/bench_guard_baseline.json) is
+regenerated with `python tests/gen_bench_baseline.py` whenever a
+headline query is intentionally changed.
+
+Allowance: 1.5x the baseline plus a 0.4 s absolute floor — wide enough
+for scheduler noise at sub-second scale, tight enough to catch the
+class of regression that matters (a plan that got 2-3x slower, e.g. a
+lost persist or a broadcast that became a shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(__file__), "bench_guard_baseline.json"
+)
+SF_DIR = "/root/testdata/sf0.01"
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _baseline() -> dict[str, float]:
+    with open(BASELINE_PATH) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def timings(spark):
+    from bench import HEADLINE
+    from data_engineering_spark.queries import QUERIES
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("sf0.01 testdata not present")
+    # codegen warmup per shape at the smaller SF (same rationale as
+    # bench.py: steady-state execution is what we guard)
+    for name in HEADLINE:
+        QUERIES[name](spark, WARM_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = best
+    return out
+
+
+def test_headline_queries_within_budget(timings):
+    base = _baseline()
+    over = {
+        name: (round(t, 3), base[name])
+        for name, t in timings.items()
+        if name in base and t > base[name] * 1.5 + 0.4
+    }
+    assert not over, (
+        "headline queries regressed beyond 1.5x + 0.4s of baseline "
+        f"(measured, baseline): {over} — if intentional, regenerate "
+        "tests/bench_guard_baseline.json via tests/gen_bench_baseline.py"
+    )
+
+
+def test_baseline_covers_headline():
+    from bench import HEADLINE
+
+    missing = set(HEADLINE) - set(_baseline())
+    assert not missing, (
+        f"baseline missing headline queries {missing}; regenerate via "
+        "tests/gen_bench_baseline.py"
+    )
