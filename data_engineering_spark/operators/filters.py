@@ -1,0 +1,166 @@
+"""Corpus quality / hygiene filters (SURVEY.md §2.11 extension).
+
+The standard cheap pre-training filters — Gopher-style document
+quality rules, repetition detection, PII scrubbing, deterministic
+train/val/test split assignment. All pure-JVM column expressions
+(tokenize once, aggregate over the token array), so every filter runs
+inside the scan stage's codegen span: at 100 TB these are one pass
+over the corpus with zero shuffles.
+
+References (public): Gopher (Rae et al. 2021) §A1.1 quality
+heuristics; C4 (Raffel et al. 2020) line/document filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.sketches import uniform_hash60
+from data_engineering_spark.operators.text import tokens
+
+# word-character regex shared by gopher_metrics and its oracle: a token
+# "has alpha" if it contains at least one ascii letter
+_ALPHA_RE = "[a-zA-Z]"
+
+# PII patterns — deliberately simple enough to mean the same thing in
+# Java regex (Spark) and RE2 (DuckDB): no lookaround, no \b at pattern
+# edges with varying semantics, character classes + quantifiers only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ \t\n]+"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def gopher_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style per-document quality signals + keep flag.
+
+    Emits: n_tokens, mean_word_len (chars per token over the token
+    array), frac_alpha_tokens (tokens containing >=1 ascii letter),
+    ends_with_punct, and `keep` = the Gopher rule band
+    (50 <= n_tokens <= 100000, 3 <= mean_word_len <= 10,
+    frac_alpha >= 0.8). One projection, no shuffle; ratios are
+    int/int divisions (bit-identical across engines — see
+    cross-engine determinism rules in registry.py).
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.col(text_col).alias("__x"),
+    )
+    n_tokens = F.size("__t")
+    char_sum = F.aggregate(
+        F.transform("__t", lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter("__t", lambda w: w.rlike(_ALPHA_RE)))
+    mean_word_len = char_sum / F.greatest(n_tokens, F.lit(1))
+    frac_alpha = n_alpha / F.greatest(n_tokens, F.lit(1))
+    keep = (
+        (n_tokens >= 50)
+        & (n_tokens <= 100000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (frac_alpha >= 0.8)
+    )
+    return base.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        char_sum.cast("long").alias("char_sum"),
+        mean_word_len.alias("mean_word_len"),
+        n_alpha.cast("long").alias("n_alpha_tokens"),
+        frac_alpha.alias("frac_alpha"),
+        F.col("__x").rlike(r"[.!?]$").alias("ends_with_punct"),
+        keep.alias("keep"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Duplicate n-gram mass per document — the C4/Gopher repetition
+    filter: rep_ratio = 1 - distinct_ngrams / total_ngrams. A document
+    that repeats boilerplate has high duplicate-gram mass even when no
+    single line repeats. Zero-shuffle: positional grams and their
+    distinct count both come from the one token array.
+
+    Emits (id, n_grams, n_distinct, rep_ratio); documents shorter than
+    `n` tokens emit n_grams = 0 and rep_ratio = 0.0.
+    """
+    from data_engineering_spark.operators.text import shingles_from_tokens
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    total = F.greatest(F.size("__t") - (n - 1), F.lit(0))
+    distinct = F.size(shingles_from_tokens("__t", n))
+    ratio = F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+    return base.select(
+        F.col(id_col),
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct"),
+        ratio.alias("rep_ratio"),
+    )
+
+
+def scrub_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count + redact PII-shaped spans (emails, URLs, phone numbers).
+
+    Emits (id, n_emails, n_urls, n_phones, clean_text, clean_len) with
+    spans replaced by typed tags. Pure regexp expressions in the scan
+    stage — the 100 TB shape is "one pass, no shuffle"; swap the
+    regexes for a real PII model via mapInPandas without changing the
+    plan around it.
+    """
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split1",
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = md5-hash(id ||
+    salt) mod 100. A document's split is a pure function of its id and
+    the salt — stable across runs, engines, partitionings and corpus
+    growth (new docs never move old ones between splits, unlike any
+    percentile- or count-based split). Pure projection, no shuffle;
+    engine-portable hash (see operators/sketches.uniform_hash60).
+    """
+    bucket = F.pmod(
+        uniform_hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return df.withColumn("bucket", bucket.cast("int")).withColumn(
+        "split", split
+    )

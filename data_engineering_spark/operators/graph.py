@@ -1,0 +1,135 @@
+"""Distributed connected components — dedup-cluster assignment.
+
+Near-duplicate detection (minhash/jaccard) emits PAIRS; a training
+pipeline needs CLUSTERS (keep one document per component). This is the
+classic iterative min-label propagation over the pair graph:
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated until no label changes. Converges in O(diameter) rounds;
+near-dup components are dense (diameter 2-3 in practice), so the loop
+is short. Each round is one join + one aggregation — shuffle keyed on
+vertex ids, nothing driver-side except the per-round convergence count
+(a metadata-sized action, the standard shape for iterative algorithms
+on Spark — same as GraphX/GraphFrames' own CC).
+
+At 100 TB the edge set is the near-dup PAIR list — orders of magnitude
+smaller than the corpus — so the loop runs over a small frame while
+the corpus is touched only by the final label join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label per vertex of the undirected edge set.
+
+    Returns (vertex, component) where `component` is the MINIMUM vertex
+    id in the connected component — a canonical, engine-independent
+    cluster id. Only vertices that appear in at least one edge are
+    returned (isolated documents are their own trivial cluster and
+    don't need a join to find out).
+
+    Raises RuntimeError if not converged after `max_iter` rounds —
+    near-dup graphs converge in a handful; hitting the cap means the
+    input is not the expected pair list.
+    """
+    # undirected: keep both directions so one join propagates both ways.
+    # localCheckpoint (eager) rather than persist: an iterative loop's
+    # lineage otherwise grows by one join+agg per round and each
+    # convergence action replans the whole history — measured driver
+    # heap OOM at sf0.01 without truncation. Checkpointing each round's
+    # labels keeps the plan depth constant.
+    e = (
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        )
+        .union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # step 1 — edge propagation: for each vertex, min label among
+        # its neighbors, then min(own, incoming)
+        incoming = (
+            e.join(labels, e["u"] == labels["vertex"])
+            .select(F.col("v").alias("vertex"), "component")
+            .groupBy("vertex")
+            .agg(F.min("component").alias("__inc"))
+        )
+        prop = labels.join(incoming, "vertex", "left").select(
+            "vertex",
+            F.least(
+                F.col("component"), F.coalesce("__inc", F.col("component"))
+            ).alias("component"),
+        )
+        # step 2 — pointer jumping: component <- component[component].
+        # Plain propagation moves a label ONE hop per round (a k-vertex
+        # chain needs k rounds); the shortcut halves chain depth every
+        # round, giving the textbook O(log n) convergence that 100 TB
+        # pair graphs need.
+        a, b = prop.alias("a"), prop.alias("b")
+        jumped = (
+            a.join(b, F.col("a.component") == F.col("b.vertex"), "left")
+            .select(
+                F.col("a.vertex").alias("vertex"),
+                F.least(
+                    F.col("a.component"),
+                    F.coalesce(F.col("b.component"), F.col("a.component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("vertex", "component")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pairs → cluster assignment: (doc_id, cluster_id,
+    cluster_size, is_canonical). `cluster_id` = min doc id in the
+    component; `is_canonical` marks the single document per cluster a
+    dedup pass would keep."""
+    cc = connected_components(pairs, src_col, dst_col)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sizes, "component")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("vertex") == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -7,6 +7,7 @@ Importing this package registers every query + oracle into
 from data_engineering_spark.queries import (  # noqa: F401
     collections,
     events_cdc,
+    llm_filters,
     multimodal,
     relational,
     relational2,

@@ -1,0 +1,310 @@
+"""Corpus-hygiene queries: quality filters, PII scrub, splits, dedup
+clusters (SURVEY.md §2.11 extension; operators/filters.py, graph.py).
+
+Every query is DuckDB-oracle-checked. Determinism notes: all ratios
+are int/int divisions or correctly-rounded double mul/div (bit-exact
+across engines — registry.py policy); no transcendental functions in
+emitted values (ln/log are NOT guaranteed ulp-identical across libm
+implementations, so "linear idf" tf*(N/df) replaces tf*ln(N/df) where
+the value is part of the checked output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.filters import (
+    gopher_metrics,
+    repetition_metrics,
+    scrub_pii,
+    split_assign,
+)
+from data_engineering_spark.registry import query
+
+
+@query(
+    "q_doc_gopher_filters",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             len(toks) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS BIGINT) AS char_sum,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS n_alpha
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           char_sum,
+           char_sum / GREATEST(n_tokens, 1) AS mean_word_len,
+           CAST(n_alpha AS BIGINT) AS n_alpha_tokens,
+           n_alpha / GREATEST(n_tokens, 1) AS frac_alpha,
+           regexp_matches(text, '[.!?]$') AS ends_with_punct,
+           (n_tokens BETWEEN 50 AND 100000)
+             AND (char_sum / GREATEST(n_tokens, 1) BETWEEN 3 AND 10)
+             AND (n_alpha / GREATEST(n_tokens, 1) >= 0.8) AS keep
+    FROM m
+    """,
+)
+def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality band (token count, mean word
+    length, alpha-token fraction, terminal punctuation) + keep flag —
+    one shuffle-free projection over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return gopher_metrics(d)
+
+
+@query(
+    "q_doc_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             GREATEST(len(t) - 2, 0) AS n_grams,
+             len(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct
+      FROM t)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(CASE WHEN n_grams > 0 THEN n_distinct ELSE 0 END
+                AS BIGINT) AS n_distinct,
+           CASE WHEN n_grams > 0 THEN 1 - n_distinct / n_grams
+                ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+    FROM g
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher repetition filter: duplicate 3-gram mass per document
+    (1 - distinct/total positional grams). Zero shuffles — both counts
+    come from one token array in the scan stage."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(d, n=3)
+
+
+@query(
+    "q_doc_pii_scrub",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or https://ex.org/d/'
+                  || CAST(doc_id AS VARCHAR) || ' or call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS text
+      FROM documents),
+    scrub AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS n_emails,
+             len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
+             len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+               AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 'https?://[^ \t\n]+', '<URL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+      FROM base)
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           sha256(clean_text) AS clean_sha,
+           CAST(length(clean_text) AS BIGINT) AS clean_len
+    FROM scrub
+    """,
+)
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents salted with synthetic emails/URLs/
+    phone numbers (deterministic per doc id, mirrored in the oracle):
+    counts + redacted text verified via sha256. Pure regexp projection
+    — patterns chosen to mean the same thing in Java regex and RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(salted)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_urls",
+        "n_phones",
+        F.sha2("clean_text", 256).alias("clean_sha"),
+        "clean_len",
+    )
+
+
+@query(
+    "q_doc_split_assign",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split1'),
+              1, 15))::BIGINT % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < 1 THEN 'test'
+                WHEN bucket < 2 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+    """,
+)
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (98/1/1): the split is a
+    pure function of (doc id, salt) via the engine-portable md5 hash —
+    stable under corpus growth, reruns and repartitioning. Projection
+    only, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return split_assign(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "bucket", "split"
+    )
+
+
+@query(
+    "q_doc_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf_lin,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                        tf.w ASC) AS rank
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf_lin, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by LINEAR tf-idf
+    (tf * N/df — mul/div are correctly-rounded IEEE ops, so the score
+    is bit-identical across engines, unlike ln-based idf). Plan: one
+    tokenize fan-out, two aggregations, a broadcast-sized df join, one
+    per-doc window. The term-frequency join is the only data-sized
+    shuffle — keyed on the term, exactly what a 100 TB BM25 index
+    build does."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.text import tokens
+
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # one metadata-sized action; a constant per SF
+    scored = (
+        tf.join(df, "term")
+        .withColumn(
+            "tfidf_lin",
+            F.col("tf") * (F.lit(float(n_docs)) / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_lin"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "tfidf_lin",
+            "rank",
+        )
+    )
+
+
+# the exact-jaccard pair list (same SQL as q_doc_ngram_jaccard_pairs'
+# oracle) feeding the recursive-CTE transitive closure
+_PAIRS_CTE = """
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    dup AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE common * 1.0 / (na + nb - common) >= 0.6)
+"""
+
+
+@query(
+    "q_doc_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    ed AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION SELECT doc_b, doc_a FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM ed
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, c.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """,
+)
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: iterative min-label propagation
+    (operators/graph.connected_components) over the exact-jaccard pair
+    graph; the oracle recomputes the same components with a recursive
+    CTE. cluster_id = min doc id in the component; is_canonical marks
+    the keeper. The iterative loop runs over the pair list (tiny vs the
+    corpus); per-round actions are metadata-sized."""
+    from data_engineering_spark.operators.graph import dedup_clusters
+    from data_engineering_spark.operators.text import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    # release_cache: materialize the pair list once and free the big
+    # shingle/candidate subtree BEFORE iterating — the loop must not
+    # re-execute (or hold cached) the whole near-dup pipeline per round
+    pairs = ngram_jaccard_pairs(d, threshold=0.6, release_cache=True)
+    return dedup_clusters(pairs)

@@ -1,0 +1,125 @@
+"""Tests: corpus-hygiene filters (operators/filters.py) and
+connected-components dedup clustering (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.filters import (
+    gopher_metrics,
+    repetition_metrics,
+    scrub_pii,
+    split_assign,
+)
+from data_engineering_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_gopher_metrics_known_doc(spark):
+    good = " ".join(["alpha beta gamma delta"] * 20)  # 80 tokens, alpha
+    short = "too short"
+    symbols = " ".join(["### !!! $$$"] * 30)  # 90 tokens, no alpha
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in gopher_metrics(df).collect()}
+    assert out[1]["n_tokens"] == 80 and out[1]["keep"]
+    assert out[1]["frac_alpha"] == 1.0
+    assert out[2]["n_tokens"] == 2 and not out[2]["keep"]
+    assert out[3]["n_alpha_tokens"] == 0 and not out[3]["keep"]
+    assert out[3]["frac_alpha"] == 0.0
+
+
+def test_repetition_metrics(spark):
+    rep = " ".join(["spam ham eggs"] * 10)  # 30 tokens, heavy repeats
+    uniq = " ".join(f"w{i}" for i in range(30))
+    tiny = "a b"  # shorter than n
+    df = spark.createDataFrame(
+        [(1, rep), (2, uniq), (3, tiny)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df, n=3).collect()}
+    assert out[1]["n_grams"] == 28
+    assert out[1]["n_distinct"] == 3  # the 3 rotations of the motif
+    assert out[1]["rep_ratio"] == pytest.approx(1 - 3 / 28)
+    assert out[2]["rep_ratio"] == 0.0 and out[2]["n_distinct"] == 28
+    assert out[3]["n_grams"] == 0 and out[3]["rep_ratio"] == 0.0
+
+
+def test_scrub_pii(spark):
+    text = (
+        "mail bob@corp.example.org or alice.smith@x.io, "
+        "see https://a.example.com/page?q=1 then call 555-123-4567 done"
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = scrub_pii(df).collect()[0]
+    assert r["n_emails"] == 2 and r["n_urls"] == 1 and r["n_phones"] == 1
+    assert "<EMAIL>" in r["clean_text"] and "<URL>" in r["clean_text"]
+    assert "<PHONE>" in r["clean_text"]
+    assert "bob@" not in r["clean_text"] and "555-123" not in r["clean_text"]
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], ["doc_id"])
+    out = split_assign(df, "doc_id")
+    rows = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+    again = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in split_assign(df, "doc_id").collect()
+    }
+    assert rows == again  # pure function of (id, salt)
+    splits = [s for _, s in rows.values()]
+    n = len(splits)
+    # 98/1/1 within generous tolerance at n=5000
+    assert 0.95 < splits.count("train") / n < 0.99
+    assert 0.003 < splits.count("val") / n < 0.03
+    assert 0.003 < splits.count("test") / n < 0.03
+    # a different salt reshuffles assignments
+    other = split_assign(df, "doc_id", salt="other")
+    moved = (
+        out.alias("a")
+        .join(other.alias("b"), "doc_id")
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_connected_components_known_graph(spark):
+    # component {1,2,3,4} as a path (needs >1 round), {10,11}, isolated
+    # vertices don't appear
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    cc = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path(spark):
+    # a 40-vertex path exercises multi-round label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["doc_a", "doc_b"]
+    )
+    cc = connected_components(edges)
+    comps = {r["component"] for r in cc.collect()}
+    assert comps == {0}
+    assert cc.count() == 41
+
+
+def test_dedup_clusters_shape(spark):
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 30)], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(edges).collect()}
+    assert out[5]["cluster_id"] == 5 and out[5]["is_canonical"]
+    assert out[9]["cluster_id"] == 5 and not out[9]["is_canonical"]
+    assert out[7]["cluster_size"] == 3
+    assert out[20]["is_canonical"] and out[30]["cluster_size"] == 2
+    # exactly one canonical doc per cluster
+    canon = [r for r in out.values() if r["is_canonical"]]
+    assert len(canon) == 2
