@@ -16,6 +16,8 @@ reference has no vector ops; these are designed Spark-first for the
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -258,6 +260,94 @@ def cosine_similarity_join(
 
     return exploded.groupBy("__bi", "__bj").applyInPandas(
         score_block, "id_a long, id_b long, cosine_r double"
+    )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    seed_ids: Sequence[int],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplication (Abbas et al. 2023,
+    public): assign every vector to its nearest seed by inner product
+    (the coarse quantizer), then find exact cosine pairs ONLY within
+    each bucket — n²/k work instead of n², the same blocking idea as
+    IVF applied to dedup.
+
+    Assignment is the explicit left-associated dot chain (bit-identical
+    across engines — see queries/similarity.q_embedding_centroid_assign);
+    bucket scoring is one BLAS matmul per bucket inside applyInPandas,
+    vectors re-attached by a hash join so the argmax window never
+    carries them. Output: (id_a, id_b, bucket, cosine_r), pairs a < b
+    within the same bucket at cosine >= threshold.
+
+    Scale: one corpus scan for assignment (seeds broadcast), one
+    shuffle keyed on the bucket; per-bucket matrices are n/k × dim —
+    executor-bounded by choosing enough seeds. Pairs across buckets are
+    deliberately not scored (that is SemDeDup's accepted recall trade;
+    the exact join is the correctness baseline).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    dim = vector_dim(vectors, vec_col)
+    if dim is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, bucket long, cosine_r double"
+        )
+
+    seeds = vectors.filter(F.col(id_col).isin(*seed_ids)).select(
+        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("__s")
+    )
+    raw = vectors.select(F.col(id_col).alias("id"), F.col(vec_col))
+    dot = None
+    for i in range(1, dim + 1):
+        term = F.element_at(vec_col, i).cast("double") * F.element_at(
+            "__s", i
+        ).cast("double")
+        dot = term if dot is None else dot + term
+    scored = raw.crossJoin(F.broadcast(seeds)).select(
+        "id", "seed_id", dot.alias("__dot")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__dot"), F.asc("seed_id"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "seed_id")
+    )
+
+    u = with_unit_vector(vectors, vec_col).select(
+        F.col(id_col).alias("id"), F.col("__uv")
+    )
+    bucketed = assigned.join(u, "id")
+
+    def score_bucket(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "bucket": pd.Series(dtype="int64"),
+                "cosine_r": pd.Series(dtype="float64"),
+            })
+        ids = pdf["id"].to_numpy()
+        M = np.stack(pdf["__uv"].to_numpy())
+        S = M @ M.T
+        ii, jj = np.nonzero(S >= threshold)
+        keep = ids[ii] < ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame({
+            "id_a": ids[ii],
+            "id_b": ids[jj],
+            "bucket": np.full(len(ii), int(key[0]), dtype="int64"),
+            "cosine_r": np.round(S[ii, jj], 6),
+        })
+
+    return bucketed.groupBy("seed_id").applyInPandas(
+        score_bucket, "id_a long, id_b long, bucket long, cosine_r double"
     )
 
 

@@ -137,6 +137,45 @@ _DOT_SQL = " + ".join(
 
 
 @query(
+    "q_embedding_semdedup",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id AS seed_id, embedding FROM embeddings
+      WHERE vec_id IN {_SEEDS}),
+    scored AS (
+      SELECT e.vec_id, s.seed_id, {_DOT_SQL} AS dot
+      FROM embeddings e CROSS JOIN s),
+    best AS (
+      SELECT vec_id, seed_id FROM (
+        SELECT vec_id, seed_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, seed_id) AS rn
+        FROM scored) WHERE rn = 1),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+    SELECT ba.vec_id AS id_a, bb.vec_id AS id_b,
+           CAST(ba.seed_id AS BIGINT) AS bucket,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine_r
+    FROM best ba
+    JOIN best bb ON ba.seed_id = bb.seed_id AND ba.vec_id < bb.vec_id
+    JOIN e ea ON ea.vec_id = ba.vec_id
+    JOIN e eb ON eb.vec_id = bb.vec_id
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {_SIM_THRESHOLD}
+    """,
+)
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding near-dup: nearest-seed coarse buckets
+    (explicit-order dot, bit-identical across engines), then exact
+    cosine pairs scored ONLY within buckets — n²/k work, one BLAS
+    matmul per bucket in applyInPandas. The oracle reproduces both the
+    assignment and the within-bucket pair scan."""
+    from data_engineering_spark.operators.similarity import semdedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_pairs(e, _SEEDS, _SIM_THRESHOLD)
+
+
+@query(
     "q_embedding_centroid_assign",
     oracle=f"""
     WITH s AS (

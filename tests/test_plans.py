@@ -67,6 +67,8 @@ def test_no_python_in_relational_hot_path(spark):
         # exact GEMM similarity join: BLAS matmul beats carrying vectors
         # through a pair join (see operators/similarity.py)
         "q_embedding_similarity_join",
+        # SemDeDup: per-bucket GEMM via applyInPandas, same rationale
+        "q_embedding_semdedup",
         # LSH bucket assignment is a sign-GEMM over Arrow batches
         "q_embedding_lsh_join",
         # IVF probes are assigned driver-side/numpy by design

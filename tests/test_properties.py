@@ -86,6 +86,28 @@ def test_lsh_join_recall(spark):
         assert len(approx) / len(exact) >= 0.7
 
 
+def test_semdedup_pairs_subset_of_exact(spark):
+    """SemDeDup scores only within coarse buckets: its pairs must be a
+    subset of the exact join's (identical cosines where present), with
+    both endpoints in the same bucket by construction."""
+    from data_engineering_spark.operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_r"]
+        for r in cosine_similarity_join(emb, 0.45).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"]): r["cosine_r"]
+        for r in semdedup_pairs(
+            emb, (0, 5, 11, 17, 23, 31, 37, 43), 0.45
+        ).collect()
+    }
+    assert set(sem) <= set(exact)
+    for pair, cos in sem.items():
+        assert cos == exact[pair], pair
+
+
 def test_language_guess_on_real_sentences(spark):
     """The driver's synthetic documents share one vocabulary across all
     `lang` labels (verified: no label-distinctive words exist), so
