@@ -1,0 +1,92 @@
+"""File-format source/sink helpers beyond parquet (SURVEY.md §2.1/§2.2).
+
+The lake core is parquet; real pipelines also land CSV/JSON drops and
+exchange ORC. These helpers pin the options that make those formats
+safe at scale:
+
+- **Explicit schema on read** for CSV/JSON — schema inference is a
+  full extra pass over the data (a non-starter at 100 TB) and type
+  drift between files silently corrupts columns. `FAILFAST` so a
+  malformed row fails the job instead of becoming a NULL island
+  (pair with the CDC quarantine pattern when dead-lettering is
+  wanted).
+- **ORC** is full-fidelity and supports predicate pushdown + column
+  pruning like parquet (asserted in tests/test_formats.py on the
+  plan, not assumed).
+- **Avro** ships as an external Spark module; this sandbox has no jar
+  and no network, so `read`/`write` with fmt="avro" raise a clear
+  NotImplementedError (import-gated, same policy as PIL/protobuf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SUPPORTED = ("parquet", "orc", "csv", "json", "text")
+
+_CSV_DEFAULTS = {
+    "header": "true",
+    "mode": "FAILFAST",
+    # ISO-8601 with microseconds: round-trips Spark timestamps exactly
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "escape": '"',
+}
+_JSON_DEFAULTS = {
+    "mode": "FAILFAST",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
+
+def _check_fmt(fmt: str) -> None:
+    if fmt == "avro":
+        raise NotImplementedError(
+            "avro needs the external spark-avro module (not in this "
+            "environment; no network to fetch it) — use orc/parquet"
+        )
+    if fmt not in SUPPORTED:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED}")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write `df` as `fmt` with scale-safe defaults (see module doc)."""
+    _check_fmt(fmt)
+    opts = dict(_CSV_DEFAULTS) if fmt == "csv" else (
+        dict(_JSON_DEFAULTS) if fmt == "json" else {}
+    )
+    opts.update(options)
+    w = df.write.format(fmt).mode("overwrite").options(**opts)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read `path` as `fmt`. CSV/JSON REQUIRE a schema — inference is a
+    second full scan and is nondeterministic under type drift."""
+    _check_fmt(fmt)
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(
+            f"{fmt} read requires an explicit schema: inference costs a "
+            "full extra pass and drifts under mixed-type files"
+        )
+    opts = dict(_CSV_DEFAULTS) if fmt == "csv" else (
+        dict(_JSON_DEFAULTS) if fmt == "json" else {}
+    )
+    opts.update(options)
+    r = spark.read.format(fmt).options(**opts)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
