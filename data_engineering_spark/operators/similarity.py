@@ -351,6 +351,41 @@ def semdedup_pairs(
     )
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v_i|,
+    q_i = floor(v_i / scale * levels + 0.5) in [-levels, levels].
+
+    The storage/bandwidth lever for embedding tables: 4x smaller than
+    float32, and the dequantized dot product (scale_a * scale_b / L² *
+    <q_a, q_b>) is exact integer arithmetic until the final two
+    multiplies. Pure JVM transform/aggregate in the scan stage.
+
+    Rounding is floor(x + 0.5) — NOT a library round(): half-up-toward
+    +inf has identical semantics in every engine, while round() is
+    HALF_UP BigDecimal in Spark and a libm rounding in others (the
+    cross-engine determinism rule in registry.py). Zero vectors emit
+    scale 0 and all-zero codes.
+    """
+    v = as_double_vec(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x / scale * levels + F.lit(0.5)).cast("int"),
+        )
+    )
+    return vectors.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+    )
+
+
 def cosine_pandas_udf():
     """Arrow-vectorized cosine as a scalar pandas_udf — the alternate
     implementation path for when similarity math outgrows builtin

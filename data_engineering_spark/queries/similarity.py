@@ -176,6 +176,62 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM v),
+    q AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x ->
+                    CAST(floor(x / scale * 127 + CAST(0.5 AS DOUBLE))
+                         AS INT))
+             END AS q
+      FROM s)
+    SELECT vec_id, scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT)
+             AS q_l1,
+           CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT)
+             AS n_saturated
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding table, verified by
+    EXACT integer aggregates of the codes (sum, L1 mass, saturation
+    count — order-independent, so bit-identical across engines; the
+    codes themselves are list-typed and lists can't ride the driver's
+    canonicalizer). floor(x+0.5) rounding, not round() — library
+    rounding modes differ across engines."""
+    from data_engineering_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    agg = F.aggregate
+    return q.select(
+        "vec_id",
+        "scale",
+        agg("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        agg(
+            "q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.size(F.filter("q", lambda x: F.abs(x) == 127))
+        .cast("long")
+        .alias("n_saturated"),
+    )
+
+
+@query(
     "q_embedding_centroid_assign",
     oracle=f"""
     WITH s AS (

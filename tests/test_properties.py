@@ -86,6 +86,36 @@ def test_lsh_join_recall(spark):
         assert len(approx) / len(exact) >= 0.7
 
 
+def test_quantize_embeddings_error_bound(spark):
+    """int8 codes reconstruct each component within scale/(2*127) (half
+    a quantization step), codes stay in [-127, 127], zero vectors are
+    all-zero with scale 0."""
+    from data_engineering_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(50)
+    )
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    out = quantize_embeddings(emb.unionByName(zero)).collect()
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    src[999999] = [0.0] * 64
+    for r in out:
+        v, scale, q = src[r["vec_id"]], r["scale"], r["q"]
+        assert all(-127 <= c <= 127 for c in q)
+        if scale == 0:
+            assert all(c == 0 for c in q)
+            continue
+        step = scale / 127
+        for x, c in zip(v, q):
+            assert abs(c * step - float(x)) <= step / 2 + 1e-9
+
+
 def test_semdedup_pairs_subset_of_exact(spark):
     """SemDeDup scores only within coarse buckets: its pairs must be a
     subset of the exact join's (identical cosines where present), with
