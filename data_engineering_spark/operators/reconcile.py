@@ -1,0 +1,91 @@
+"""Reconciliation + incremental aggregate maintenance.
+
+`reconcile` is the anti-entropy audit between a source snapshot and a
+CDC-maintained lake table (the operational companion to
+snapshot/jdbc_snapshot + cdc/pipeline): one NULL-safe full-outer
+comparison keyed on the primary key, emitting exactly the divergent
+rows. `merge_agg_state` is incremental materialized-view maintenance:
+algebraic aggregates merge state + delta without rescanning history.
+
+Both are one-shuffle designs: reconcile shuffles both sides on the key
+(the same cost as the MERGE that maintains the table); agg merge
+shuffles state+delta on the group key, and partial aggregation makes
+the delta side map-combine before it moves.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reconcile(
+    expected: DataFrame,
+    actual: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level drift between two keyed tables.
+
+    Returns (keys..., status) for every divergent key:
+    - 'missing'  — in `expected`, absent from `actual`
+    - 'extra'    — in `actual`, absent from `expected`
+    - 'mismatch' — present in both, at least one compare column differs
+      (NULL-safe: NULL == NULL, NULL != value)
+
+    Clean keys emit nothing, so at 100 TB the output is the drift, not
+    the table. One full-outer shuffle on the key.
+    """
+    key_list = list(keys)
+    cmp = [
+        c
+        for c in (compare_cols or expected.columns)
+        if c not in set(key_list)
+    ]
+    e = expected.select(
+        *key_list, *[F.col(c).alias(f"__e_{c}") for c in cmp]
+    ).withColumn("__e", F.lit(1))
+    a = actual.select(
+        *key_list, *[F.col(c).alias(f"__a_{c}") for c in cmp]
+    ).withColumn("__a", F.lit(1))
+    j = e.join(a, key_list, "full_outer")
+
+    differs = F.lit(False)
+    for c in cmp:
+        differs = differs | ~F.col(f"__e_{c}").eqNullSafe(F.col(f"__a_{c}"))
+    status = (
+        F.when(F.col("__a").isNull(), "missing")
+        .when(F.col("__e").isNull(), "extra")
+        .when(differs, "mismatch")
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_list, "status")
+    )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Merge two algebraic aggregate states (same schema: keys +
+    sum-able columns — sums, counts, min/max need their own combiner).
+
+    This is the incremental refresh of a materialized aggregate: the
+    nightly 100 TB rescan becomes state ⊎ today's partial — cost
+    proportional to the DELTA, which is the entire point. Works because
+    sum/count are commutative monoids; compose with decimal-accumulated
+    sums (registry.dec) for cross-engine-exact doubles.
+    """
+    key_list = list(keys)
+    u = state.select(*key_list, *sum_cols).unionByName(
+        delta.select(*key_list, *sum_cols)
+    )
+    return u.groupBy(*key_list).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

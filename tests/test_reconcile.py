@@ -1,0 +1,79 @@
+"""Tests: reconcile (anti-entropy) + incremental aggregate merge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.reconcile import (
+    merge_agg_state,
+    reconcile,
+)
+
+
+def test_reconcile_statuses(spark):
+    expected = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "id long, name string, v long",
+    )
+    actual = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "id long, name string, v long",
+    )
+    out = {r["id"]: r["status"] for r in reconcile(
+        expected, actual, ["id"]
+    ).collect()}
+    # 1 clean (absent), 2 mismatch, 3 missing, 4 clean (NULL==NULL), 5 extra
+    assert out == {2: "mismatch", 3: "missing", 5: "extra"}
+
+
+def test_reconcile_null_vs_value_is_mismatch(spark):
+    e = spark.createDataFrame([(1, "x")], "id long, name string")
+    a = spark.createDataFrame([(1, None)], "id long, name string")
+    out = reconcile(e, a, ["id"]).collect()
+    assert [(r["id"], r["status"]) for r in out] == [(1, "mismatch")]
+
+
+def test_reconcile_compare_cols_subset(spark):
+    e = spark.createDataFrame([(1, "x", 5)], "id long, name string, v long")
+    a = spark.createDataFrame([(1, "y", 5)], "id long, name string, v long")
+    # name differs but only v is compared -> clean
+    assert reconcile(e, a, ["id"], compare_cols=["v"]).count() == 0
+
+
+def test_merge_agg_state_equals_recompute(spark):
+    rows = [(i % 7, i, float(i) * 1.5) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, id long, x double")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(18,2)")).alias("s"),
+        )
+
+    full = {r["k"]: (r["n"], r["s"]) for r in agg(df).collect()}
+    merged = merge_agg_state(
+        agg(df.filter(F.col("id") % 2 == 0)),
+        agg(df.filter(F.col("id") % 2 == 1)),
+        ["k"],
+        ["n", "s"],
+    )
+    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    assert got == full
+
+
+def test_merge_agg_state_associative(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], "k long, v long"
+    )
+    a = df.filter(F.col("v") == 10).groupBy("k").agg(F.sum("v").alias("v"))
+    b = df.filter(F.col("v") == 20).groupBy("k").agg(F.sum("v").alias("v"))
+    c = df.filter(F.col("v") == 5).groupBy("k").agg(F.sum("v").alias("v"))
+    ab_c = merge_agg_state(
+        merge_agg_state(a, b, ["k"], ["v"]), c, ["k"], ["v"]
+    )
+    a_bc = merge_agg_state(
+        a, merge_agg_state(b, c, ["k"], ["v"]), ["k"], ["v"]
+    )
+    assert sorted(map(tuple, ab_c.collect())) == sorted(
+        map(tuple, a_bc.collect())
+    ) == [(1, 30), (2, 5)]
