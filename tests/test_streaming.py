@@ -113,3 +113,65 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched_out").collect()
     }
     assert rows == {10: "gold", 11: "silver", 12: "gold", 13: None}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-range bound —
+    the streaming twin of operators/timeseries.interval_join: clicks
+    matched to purchases by the same user within 10 minutes after the
+    click. Both sides watermarked so state is bounded (the 100 TB
+    requirement: unbounded join state is a leak, not a feature)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+    spark.createDataFrame(
+        [(1, ts(0)), (2, ts(5)), (3, ts(10))],
+        "user_id long, click_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(clicks_dir))
+    spark.createDataFrame(
+        # user 1 buys 4 min after click (match), user 2 buys 25 min
+        # after (outside the 10-min bound), user 3 buys 2 min BEFORE
+        # the click (no match: purchases must follow clicks)
+        [(1, ts(4)), (2, ts(30)), (3, ts(8))],
+        "user_id long, buy_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(buys_dir))
+
+    clicks = (
+        spark.readStream.schema("user_id long, click_ts timestamp")
+        .parquet(str(clicks_dir))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        spark.readStream.schema("user_id long, buy_ts timestamp")
+        .parquet(str(buys_dir))
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks["user_id"] == buys["user_id"])
+        & (buys["buy_ts"] >= clicks["click_ts"])
+        & (
+            buys["buy_ts"]
+            <= clicks["click_ts"] + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "inner",
+    ).select(clicks["user_id"], "click_ts", "buy_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM ss_join_out").collect()
+    assert [(r["user_id"], r["buy_ts"]) for r in out] == [(1, ts(4))]
