@@ -247,6 +247,140 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("data", "stream", "spark", "query")
+
+# saturation term as one shared formula string: both engines build the
+# same expression tree, and every op is a correctly-rounded IEEE
+# mul/div/add, so identical tree => identical doubles. Constants are
+# CAST(... AS DOUBLE) because DuckDB parses bare decimals as DECIMAL.
+_BM25_SAT_SQL = (
+    "(s.tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) / "
+    "(s.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + "
+    "CAST(0.75 AS DOUBLE) * (s.dl / avgdl)))"
+)
+
+
+@query(
+    "q_doc_bm25_linear",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM tok),
+    stats AS (
+      SELECT CAST(SUM(len(t)) AS DOUBLE) / COUNT(*) AS avgdl,
+             CAST(COUNT(*) AS DOUBLE) AS n_docs
+      FROM tok),
+    tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS w FROM tok)
+      WHERE w IN {_BM25_TERMS}
+      GROUP BY 1, 2),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT s.doc_id, s.term,
+             (n_docs / df.df) * {_BM25_SAT_SQL} AS part
+      FROM (SELECT tf.doc_id, tf.term, tf.tf, dl.dl
+            FROM tf JOIN dl ON tf.doc_id = dl.doc_id) s
+      JOIN df ON s.term = df.term
+      CROSS JOIN stats),
+    pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN term = 'data'   THEN part END),
+                      CAST(0 AS DOUBLE)) AS p0,
+             COALESCE(MAX(CASE WHEN term = 'stream' THEN part END),
+                      CAST(0 AS DOUBLE)) AS p1,
+             COALESCE(MAX(CASE WHEN term = 'spark'  THEN part END),
+                      CAST(0 AS DOUBLE)) AS p2,
+             COALESCE(MAX(CASE WHEN term = 'query'  THEN part END),
+                      CAST(0 AS DOUBLE)) AS p3
+      FROM scored GROUP BY 1),
+    ranked AS (
+      SELECT doc_id, ROUND(((p0 + p1) + p2) + p3, 6) AS score,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(((p0 + p1) + p2) + p3, 6) DESC, doc_id)
+               AS rank
+      FROM pivoted)
+    SELECT doc_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (k1=1.2, b=0.75) for the fixed query
+    {data, stream, spark, query}, with LINEAR idf (N/df — no log: libm
+    ln differs across engines in the last ulp; every op here is a
+    correctly-rounded IEEE mul/div/add evaluated in an identical tree,
+    so scores hash-match bit-exactly). Per-term parts are pivoted into
+    fixed columns and added in a FIXED order — a groupBy SUM over terms
+    would be order-nondeterministic across engines. Plan: one tokenize
+    fan-out filtered to the query terms (tiny), doc-length agg, df agg,
+    broadcast-sized joins, global top-10."""
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens("text").alias("__t"))
+    dl = tok.select(
+        "doc_id", F.size("__t").cast("double").alias("dl")
+    )
+    stats = tok.agg(
+        (
+            F.sum(F.size("__t")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    words = tok.select(
+        "doc_id", F.explode("__t").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    k1, one = F.lit(1.2), F.lit(1.0)
+    quarter, b = F.lit(0.25), F.lit(0.75)
+    s = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    sat = (F.col("tf") * (k1 + one)) / (
+        F.col("tf")
+        + k1 * (quarter + b * (F.col("dl") / F.col("avgdl")))
+    )
+    part = (F.col("n_docs") / F.col("df")) * sat
+    scored = s.select("doc_id", "term", part.alias("part"))
+    zero = F.lit(0.0)
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("part"))), zero
+            ).alias(f"p{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    # ROUND(.,6): the per-part arithmetic is last-ulp sensitive to FMA
+    # contraction differences between engines (measured: 2/10 docs off
+    # by one ulp at ~8.0); 6 decimals is 9 orders of magnitude above
+    # that noise and far below score granularity — same precedent as
+    # cosine_r in the similarity queries
+    score = F.round(
+        ((F.col("p0") + F.col("p1")) + F.col("p2")) + F.col("p3"), 6
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pivoted.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "score", "rank")
+    )
+
+
 # the exact-jaccard pair list (same SQL as q_doc_ngram_jaccard_pairs'
 # oracle) feeding the recursive-CTE transitive closure
 _PAIRS_CTE = """
