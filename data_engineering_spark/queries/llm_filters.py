@@ -247,6 +247,63 @@ def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_doc_url_domains",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             text || ' via https://d' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example.'
+                  || CASE doc_id % 3 WHEN 0 THEN 'com'
+                                     WHEN 1 THEN 'org'
+                                     ELSE 'net' END
+                  || '/p/' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             regexp_extract(text, 'https?://([^/ ]+)', 1) AS domain
+      FROM b)
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM d GROUP BY 1
+    """,
+)
+def q_doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus statistics (the C4 domain-filtering
+    primitive): extract the registrable host from each document's URL
+    (synthesized deterministically per doc id in both engines), count
+    docs per domain. Downstream, a blocklist join or per-domain quota
+    uses exactly this frame. Regexp capture-group extraction means the
+    same thing in Java regex and RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net")
+    )
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://d"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example."),
+            tld,
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    dom = salted.select(
+        "doc_id",
+        F.regexp_extract("text", r"https?://([^/ ]+)", 1).alias("domain"),
+    )
+    return dom.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
 _BM25_TERMS = ("data", "stream", "spark", "query")
 
 # saturation term as one shared formula string: both engines build the
