@@ -87,3 +87,61 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
+# ---- round-3 corpus filters vs plain-python models ------------------------
+
+_WORDS = st.lists(
+    st.text(alphabet="abcXY.!?#12", min_size=1, max_size=6),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _py_gopher(text: str):
+    toks = text.split()
+    if not toks:
+        # tokens() on empty/whitespace text yields [''] (split of '')
+        toks = [""]
+    n = len(toks)
+    return (
+        n,
+        sum(len(w) for w in toks),
+        sum(1 for w in toks if any(c.isalpha() and c.isascii() for c in w)),
+    )
+
+
+def _py_repetition(text: str, ngram: int = 3):
+    toks = text.split() or [""]
+    grams = [
+        " ".join(toks[i : i + ngram])
+        for i in range(len(toks) - ngram + 1)
+    ]
+    return len(grams), len(set(grams))
+
+
+@given(st.lists(_WORDS, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_filters_match_python_model(spark, docs_words):
+    """gopher_metrics / repetition_metrics equal the obvious python
+    models on arbitrary generated token lists (including empties and
+    punctuation-only tokens)."""
+    from data_engineering_spark.operators.filters import (
+        gopher_metrics,
+        repetition_metrics,
+    )
+    texts = [" ".join(ws) for ws in docs_words]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    g = {r["doc_id"]: r for r in gopher_metrics(df).collect()}
+    r_ = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    for i, t in enumerate(texts):
+        n, chars, alpha = _py_gopher(t.strip())
+        assert g[i]["n_tokens"] == n, (t, g[i])
+        assert g[i]["char_sum"] == chars, (t, g[i])
+        assert g[i]["n_alpha_tokens"] == alpha, (t, g[i])
+        total, distinct = _py_repetition(t.strip())
+        assert r_[i]["n_grams"] == max(total, 0), t
+        if total > 0:
+            assert r_[i]["n_distinct"] == distinct, t
