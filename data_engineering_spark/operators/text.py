@@ -174,8 +174,8 @@ def ngram_jaccard_pairs(
                 "doc_a", "doc_b",
                 F.col("common").cast("long").alias("common"),
                 # raw int/int division is bit-identical across engines;
-            # re-rounding it would reintroduce boundary divergence
-            F.col("jaccard").alias("jaccard_r"),
+                # re-rounding it would reintroduce boundary divergence
+                F.col("jaccard").alias("jaccard_r"),
             )
         )
 
