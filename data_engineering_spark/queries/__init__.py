@@ -9,6 +9,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     events_cdc,
     llm_filters,
     multimodal,
+    prune_skew,
     reconcile,
     relational,
     relational2,

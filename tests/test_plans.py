@@ -190,3 +190,70 @@ def test_centroid_assign_broadcasts_seed_side(spark):
     plan = plan_string(QUERIES["q_embedding_centroid_assign"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" in plan
+
+
+def test_semi_join_reduce_plan_shape(spark):
+    """The semi-join reduction must show as a broadcast LEFT SEMI on the
+    fact side before the wide join, with the dimension filter pushed to
+    the orders scan — i.e. the wide lineitem columns never shuffle for
+    rows a selective filter would drop."""
+    df = QUERIES["q_semi_reduced_revenue"](spark, SF)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "o_orderpriority" in pushed_filters(df)
+
+
+def test_salted_agg_is_two_stage_no_window(spark):
+    """Salted aggregation = two hash-agg stages (keys+salt, then keys);
+    no window operator (windows can't split a hot key) and no more than
+    stage-1 + stage-2 + final-sort exchanges."""
+    import re
+
+    df = QUERIES["q_salted_user_stats"](spark, SF)
+    plan = plan_string(df)
+    assert "Window" not in plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange <= 3, n_exchange
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """tune_runtime_bloom with test-scale thresholds makes Catalyst
+    inject a might_contain runtime filter on the fact side of a shuffle
+    join (InjectRuntimeFilter): the 100 TB prune path when even the
+    distinct key set is too large to broadcast exactly."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.prune import tune_runtime_bloom
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        tune_runtime_bloom(
+            spark,
+            creation_side_threshold="10MB",
+            application_side_threshold="0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = plan_string(j)
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
