@@ -125,16 +125,58 @@ def dedup_exact(
     fingerprint of the concatenated content columns so the shuffle key is
     fixed-width regardless of document size.
     """
-    # Boundary- and NULL-unambiguous encoding: join on a \x01 unit
-    # separator (('ab','c') != ('a','bc')) and encode NULL as a \x00
-    # sentinel distinct from '' (concat_ws alone silently skips NULLs,
-    # so ('a', NULL) would collide with ('a', '')).
+    keyed = df.withColumn("__fp", fingerprint_expr(content_cols))
+    winners = keep_first(keyed, ["__fp"], id_col)
+    sizes = keyed.groupBy("__fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    return winners.join(sizes, "__fp").drop("__fp")
+
+
+def fingerprint_expr(content_cols: Sequence[str]) -> Column:
+    """Boundary- and NULL-unambiguous content fingerprint expression.
+
+    Joins columns on a \\x01 unit separator (('ab','c') != ('a','bc'))
+    and encodes NULL as a \\x00 sentinel distinct from '' (concat_ws
+    alone silently skips NULLs, so ('a', NULL) would collide with
+    ('a', '')).
+    """
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
         for c in content_cols
     ]
-    fingerprint = content_hash(F.concat_ws("\u0001", *parts))
-    keyed = df.withColumn("__fp", fingerprint)
-    winners = keep_first(keyed, ["__fp"], id_col)
-    sizes = keyed.groupBy("__fp").agg(F.count(F.lit(1)).alias("n_copies"))
-    return winners.join(sizes, "__fp").drop("__fp")
+    return content_hash(F.concat_ws("\u0001", *parts))
+
+
+def fingerprint_store(df: DataFrame, content_cols: Sequence[str]) -> DataFrame:
+    """Distinct fingerprints of a corpus: the persistent 'seen' set an
+    incremental ingest pipeline carries between batches. 64 bytes per
+    distinct document regardless of document size — at 100 TB of text
+    the store is a few hundred GB of hashes, a normal parquet table."""
+    return df.select(fingerprint_expr(content_cols).alias("__fp")).distinct()
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Incremental exact dedup of an incoming batch against a historical
+    fingerprint store (`seen`, as produced by `fingerprint_store`).
+
+    Two stages, both keyed on the fixed-width fingerprint:
+    1. within-batch: lowest-`id_col` row survives per fingerprint
+       (keep_first — re-crawled copies inside one batch collapse);
+    2. cross-corpus: LEFT ANTI join against `seen` drops anything the
+       corpus already contains.
+
+    Scale: the anti join shuffles 64-byte hashes, never documents. When
+    the batch is small relative to the store, `prune.tune_runtime_bloom`
+    lets Catalyst build a bloom of the batch fingerprints and prune the
+    store scan at runtime; false positives only cost shuffle rows (the
+    anti join re-checks equality). Unioning the survivors' fingerprints
+    into `seen` yields the next batch's store, making the pipeline
+    idempotent: re-running a batch produces zero survivors.
+    """
+    keyed = new_df.withColumn("__fp", fingerprint_expr(content_cols))
+    batch_winners = keep_first(keyed, ["__fp"], id_col)
+    return batch_winners.join(seen, "__fp", "left_anti").drop("__fp")

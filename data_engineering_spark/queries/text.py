@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 from data_engineering_spark.catalog import load_table
 from data_engineering_spark.operators import text as X
-from data_engineering_spark.operators.dedup import dedup_exact
+from data_engineering_spark.operators.dedup import (
+    dedup_exact,
+    dedup_incremental,
+    fingerprint_store,
+)
 from data_engineering_spark.registry import query
 
 _EN_STOP = ("the", "a", "of", "and", "to")
@@ -110,6 +114,64 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         F.col("doc_id").alias("kept_doc_id"), F.col("n_copies")
     )
+
+
+@query(
+    "q_doc_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT * FROM documents WHERE doc_id % 4 = 0),
+    incoming AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 4 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source, n_chars
+      FROM hist WHERE doc_id % 8 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 10 = 3),
+    batch_first AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM incoming)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM batch_first b
+    WHERE rn = 1
+      AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = b.text)
+    ORDER BY doc_id
+    """,
+)
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against a historical
+    fingerprint store: docs with doc_id%4==0 are the 'already ingested'
+    corpus (carried as 64-byte sha2 fingerprints), the rest plus
+    synthetic re-crawls (copies of historical docs, new ids) and
+    within-batch duplicates form the incoming batch. Survivors =
+    batch-first occurrences whose content the corpus has never seen.
+    Spark side anti-joins fixed-width fingerprints; the oracle
+    recomputes the same with raw text + NOT EXISTS. Identical up to
+    SHA-256 collision."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    hist = d.filter(F.col("doc_id") % 4 == 0)
+    base = d.filter(F.col("doc_id") % 4 != 0).select(*cols)
+    recrawl = (
+        hist.filter(F.col("doc_id") % 8 == 0)
+        .select(*cols)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    batch_dup = base.filter(F.col("doc_id") % 10 == 3).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    )
+    incoming = base.unionByName(recrawl).unionByName(batch_dup)
+    seen = fingerprint_store(hist, ["text"])
+    out = dedup_incremental(incoming, seen, ["text"], "doc_id")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
 
 
 @query(

@@ -69,6 +69,32 @@ def test_dedup_exact_keeps_min_id(spark):
     assert out == {"x": (1, 3), "y": (3, 1)}
 
 
+def test_dedup_incremental_is_idempotent(spark):
+    """Batch survivors vanish on re-ingest once their fingerprints are
+    folded into the store; NULL and '' contents are distinct."""
+    from data_engineering_spark.operators.dedup import (
+        dedup_incremental,
+        fingerprint_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], ["id", "t"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "a"), (11, "c"), (12, "c"), (13, ""), (14, None)],
+        ["id", "t"],
+    )
+    seen = fingerprint_store(corpus, ["t"])
+    out = dedup_incremental(batch, seen, ["t"], "id")
+    got = sorted((r["id"], r["t"]) for r in out.collect())
+    # 10 dup of corpus 'a'; 12 in-batch dup of 11; 14 dup of corpus NULL
+    assert got == [(11, "c"), (13, "")]
+    # fold survivors in → re-running the same batch yields nothing
+    seen2 = seen.union(fingerprint_store(out, ["t"])).distinct()
+    again = dedup_incremental(batch, seen2, ["t"], "id")
+    assert again.count() == 0
+
+
 def test_lsh_join_recall(spark):
     """LSH blocking is approximate; at 8 hyperplanes over 64-dim data it
     must still find most exact pairs and introduce none below threshold."""
