@@ -629,3 +629,63 @@ def ngram_contamination(
         )
         .withColumnRenamed("t_id", id_col)
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+) -> DataFrame:
+    """Duplicated-span statistics: for each document, how many of its
+    `window`-token spans occur anywhere else in the corpus (another
+    document OR repeated within the same one) — the span-granular
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": their
+    suffix-array pass finds 50-token verbatim repeats; at window
+    granularity the same signal is a pure shuffle-on-key plan with no
+    suffix array).
+
+    Output: (doc, n_windows, n_dup_windows) — positional spans, NOT a
+    distinct set: a span repeated 3× inside one doc contributes 3
+    duplicated windows, matching the substring-dedup semantics.
+
+    Plan: row-built spans (posexplode + lead — see ngram_jaccard_pairs
+    for why explode-of-array is quadratic), md5-hashed to a fixed-width
+    group key so the global-count shuffle and the count-back join move
+    32-byte keys, never span text. Three exchanges total; each is
+    keyed on hash or doc id, so it scales horizontally and hot spans
+    (boilerplate headers at 100 TB) are an AQE skew-join case, not a
+    correctness one. md5 (not xxhash64) so the DuckDB oracle can build
+    the identical key (q_doc_dup_spans).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    )
+    wspec = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", j).over(wspec) for j in range(1, window)
+    ]
+    wins = (
+        tok.select(
+            "doc",
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+            F.lead("w", window - 1).over(wspec).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc", "h")
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("g_cnt"))
+    return (
+        wins.join(counts, "h")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("g_cnt") > 1, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )

@@ -117,6 +117,51 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_doc_dup_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1)),
+                 i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                          || t[i+3]))) AS h
+      FROM tok),
+    g AS (SELECT h, COUNT(*) AS g_cnt FROM wins GROUP BY h),
+    per AS (
+      SELECT w.doc_id,
+             COUNT(*) AS n_windows,
+             SUM(CASE WHEN g.g_cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM wins w JOIN g USING (h) GROUP BY w.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_dup AS BIGINT) AS n_dup_windows,
+           CAST(n_dup AS DOUBLE) / n_windows AS dup_frac
+    FROM per ORDER BY doc_id
+    """,
+)
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile (exact-substring-dedup signal at
+    4-token window granularity): positional spans, global occurrence
+    counts, per-doc duplicated-window fraction. dup_frac is an
+    int-derived double (bit-identical across engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = X.dup_span_stats(d, "doc_id", "text", window=4)
+    return (
+        out.select(
+            F.col("doc").cast("bigint").alias("doc_id"),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("n_dup_windows").cast("bigint").alias("n_dup_windows"),
+            (
+                F.col("n_dup_windows").cast("double") / F.col("n_windows")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q_doc_incremental_dedup",
     oracle="""
     WITH hist AS (
