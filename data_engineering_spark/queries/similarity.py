@@ -107,6 +107,19 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=_K)
 
 
+@query("q_embedding_ivf_topk_sq8")
+def q_embedding_ivf_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8: the IVF probe stage scores symmetric int8 codes instead
+    of float vectors — 4× less index data read per probe, the memory-
+    bandwidth lever at 10⁹ vectors. No SQL oracle (approximate and
+    model-dependent); pytest bounds recall against exact top-k."""
+    from data_engineering_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    return ivf_topk(e, q, k=_K, quantized=True)
+
+
 @query("q_embedding_lsh_join")
 def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via banded sign-LSH — the 100 TB

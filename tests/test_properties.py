@@ -225,3 +225,27 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(e, q, k=5).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivf_topk_sq8_tracks_float_path(spark):
+    """int8-quantized probe scoring (IVF-SQ8) must agree with the float
+    IVF path on nearly all neighbors (same probes, 127-level codes) and
+    its cosines must stay within quantization error of the float ones."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    fl = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_r"]
+        for r in ivf_topk(e, q, k=5).collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_r"]
+        for r in ivf_topk(e, q, k=5, quantized=True).collect()
+    }
+    overlap = set(fl) & set(q8)
+    assert len(overlap) / len(fl) >= 0.8, (len(overlap), len(fl))
+    for key in overlap:
+        assert abs(fl[key] - q8[key]) < 0.02, (key, fl[key], q8[key])
