@@ -15,9 +15,14 @@ Scale design:
   windowed aggregation, safe at 100 TB with AQE skew handling.
 - `interval_join` requires an equi-key and turns the time bound into a
   post-join filter: Catalyst plans the equi part as a hash/SMJ join
-  (never a broadcast-nested-loop cross product). For keyless range
-  joins, bucketize time into bins and equi-join on the bin ± 1 — not
-  provided here because every driver workload has a key.
+  (never a broadcast-nested-loop cross product).
+- `binned_range_join` covers the KEYLESS case (point-in-interval with
+  no shared column), which Spark would otherwise plan as a
+  broadcast-nested-loop: time is bucketized into fixed bins, intervals
+  fan out to every bin they cover, and the join becomes an equi-join
+  on the bin with a residual range filter. Each (point, interval) pair
+  meets in exactly one bin — the point's — so the output needs no
+  dedup pass.
 - `hypertable_rollup` computes all granularities in ONE scan and ONE
   shuffle: each row fans out to (grain, truncated-bucket) pairs via a
   generator whose child is a cheap struct of date_truncs (generators
@@ -139,6 +144,61 @@ def interval_join(
     joined = left.join(right, key_eq + [cond], how)
     # drop the duplicate right-side key columns
     return joined.drop(*[right[k] for k in on])
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_ms: int = 86_400_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Keyless point-in-interval join, `[start_ts, end_ts)` exclusive
+    upper bound, planned as a shuffle equi-join instead of the
+    broadcast-nested-loop Spark picks for a bare range predicate.
+
+    Each interval is exploded to the time bins it covers
+    (`sequence(floor(start/W), floor((end-1)/W))` — a cheap arithmetic
+    generator child); each point carries its single bin; the bin
+    equi-join then meets every qualifying pair exactly once (the
+    point's bin), so the residual range filter is the only correction
+    and no distinct pass exists in the plan.
+
+    Scale: shuffle keys are int64 bins; fanout per interval is
+    `len/W + 1` rows of only the interval's columns, so pick
+    `bin_width_ms` near the typical interval length (default 1 day).
+    Hot bins (many concurrent intervals) are an AQE skew-join case.
+    Column names must not collide between the two sides — alias before
+    joining.
+    """
+    w = F.lit(int(bin_width_ms))
+
+    def ms(col: str) -> Column:
+        # tolerate timestamp_ntz inputs (parquet TIMESTAMP loads as NTZ);
+        # the cast interprets in session tz — binning only needs the
+        # same monotonic mapping on both sides, and queries pin UTC
+        return F.unix_millis(F.col(col).cast("timestamp"))
+
+    pb = points.withColumn("__bin", F.floor(ms(point_ts) / w))
+    ib = intervals.filter(F.col(end_ts) > F.col(start_ts)).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(ms(start_ts) / w),
+                F.floor((ms(end_ts) - 1) / w),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "__bin", how)
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("__bin")
+    )
 
 
 def hypertable_rollup(

@@ -189,3 +189,50 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_orders_in_promo_windows",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey AS point_key, o_orderdate AS pt
+      FROM orders WHERE o_orderkey % 7 = 3),
+    iv AS (
+      SELECT o_orderkey AS window_key,
+             o_orderdate AS w_start,
+             o_orderdate + INTERVAL 3 DAY AS w_end
+      FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT p.point_key, i.window_key,
+           CAST(epoch_ms(p.pt) AS BIGINT) AS pt_ms,
+           CAST(epoch_ms(i.w_start) AS BIGINT) AS w_start_ms
+    FROM pts p JOIN iv i
+      ON p.pt >= i.w_start AND p.pt < i.w_end
+    ORDER BY point_key, window_key
+    """,
+)
+def q_orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join: orders (points) matched to 3-day promo
+    windows derived from other orders — no shared column, the case a
+    bare range predicate would plan as a broadcast-nested-loop.
+    Spark side uses binned_range_join (1-day bins, equi-join on bin +
+    residual filter; plan-asserted loop-free); DuckDB plans the plain
+    range predicate with its native IEJoin. Identical output."""
+    from data_engineering_spark.operators.timeseries import binned_range_join
+
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        F.col("o_orderkey").alias("point_key"),
+        F.col("o_orderdate").alias("pt"),
+    )
+    iv = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("window_key"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+    )
+    out = binned_range_join(pts, iv, "pt", "w_start", "w_end")
+    return out.select(
+        "point_key",
+        "window_key",
+        F.unix_millis(F.col("pt").cast("timestamp")).alias("pt_ms"),
+        F.unix_millis(F.col("w_start").cast("timestamp")).alias("w_start_ms"),
+    ).orderBy("point_key", "window_key")

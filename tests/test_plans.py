@@ -257,3 +257,40 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_binned_range_join_is_equi_join(spark):
+    """The keyless point-in-interval join must plan as an equi-join on
+    the time bin — never a broadcast nested loop or cartesian product —
+    and must return identical pairs at several bin widths (pair-meets-
+    exactly-once property is width-independent)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.timeseries import binned_range_join
+    from pyspark.sql import functions as F
+
+    plan = plan_string(QUERIES["q_orders_in_promo_windows"](spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+    o = load_table(spark, SF, "orders")
+    pts = o.filter(F.col("o_orderkey") % 7 == 3).select(
+        F.col("o_orderkey").alias("pk"), F.col("o_orderdate").alias("pt")
+    )
+    iv = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("wk"),
+        F.col("o_orderdate").alias("ws"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("we"),
+    )
+    want = None
+    for width in (3_600_000, 86_400_000, 7 * 86_400_000):
+        got = sorted(
+            (r["pk"], r["wk"])
+            for r in binned_range_join(
+                pts, iv, "pt", "ws", "we", bin_width_ms=width
+            ).collect()
+        )
+        if want is None:
+            want = got
+            assert len(want) > 0
+        else:
+            assert got == want, f"width={width}"
