@@ -13,6 +13,8 @@ heuristics; C4 (Raffel et al. 2020) line/document filters.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -163,4 +165,36 @@ def split_assign(
     )
     return df.withColumn("bucket", bucket.cast("int")).withColumn(
         "split", split
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Domain capping (C4/Gopher recipe): keep at most `n` rows per
+    group, best-first by `order_col` — bounds any one domain's share of
+    the corpus so boilerplate-heavy sites can't dominate training data.
+
+    One keyed shuffle + rank window. A domain hot enough to straggle
+    the window (10⁸ pages on one host) should be pre-pruned by a
+    cheaper groupBy count filter first; the window then ranks only
+    groups that can exceed the cap.
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ]
+    if tiebreaker:
+        order.append(F.col(tiebreaker).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n)
+        .drop("__rank")
     )

@@ -499,3 +499,38 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-execute (or hold cached) the whole near-dup pipeline per round
     pairs = ngram_jaccard_pairs(d, threshold=0.6, release_cache=True)
     return dedup_clusters(pairs)
+
+
+@query(
+    "q_doc_domain_cap",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars
+    FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    ORDER BY source, lang, n_chars DESC, doc_id
+    """,
+)
+def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most 5 docs per (source, lang), longest
+    first with a doc_id tiebreaker (total order — the LIMIT rule of
+    registry.py). The C4-style bound on any one domain's corpus
+    share."""
+    from data_engineering_spark.operators.filters import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(
+        d.select("doc_id", "source", "lang", "n_chars"),
+        ["source", "lang"],
+        "n_chars",
+        5,
+        tiebreaker="doc_id",
+    )
+    return capped.orderBy(
+        "source", "lang", F.col("n_chars").desc(), "doc_id"
+    )
