@@ -86,7 +86,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer `div`, not `/`: ns epoch values exceed double's 2^53
         # exact-integer range, float division would corrupt timestamps
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _normalize_ntz(spark, df, path)
+
+
+def _normalize_ntz(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Micros-without-timezone parquet columns infer as TIMESTAMP_NTZ on
+    Spark 4 (`spark.sql.parquet.inferTimestampNTZ.enabled` defaults true),
+    which breaks epoch functions (`unix_millis`) and streaming watermarks.
+    DuckDB reads the same column as plain TIMESTAMP, so for oracle parity we
+    re-read with an explicit TimestampType schema — the stored micros are
+    taken as-is (same wall values, verified vs DuckDB), the scan keeps
+    pushdown/pruning, and no per-row cast is added to the plan."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if not any(isinstance(f.dataType, TimestampNTZType) for f in df.schema.fields):
+        return df
+    schema = df.schema
+    for f in schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            f.dataType = TimestampType()
+    return spark.read.schema(schema).parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
