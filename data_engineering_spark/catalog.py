@@ -82,11 +82,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # NTZ normalization must run on the RAW read schema, where nanos columns
+    # are still LongType (nanosAsLong): re-reading with the post-conversion
+    # schema would declare them TimestampType and the physical INT64 pages
+    # would fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
+    df = _normalize_ntz(spark, df, path)
     for c in ns_cols:
         # integer `div`, not `/`: ns epoch values exceed double's 2^53
         # exact-integer range, float division would corrupt timestamps
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return _normalize_ntz(spark, df, path)
+    return df
 
 
 def _normalize_ntz(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -95,16 +100,41 @@ def _normalize_ntz(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     which breaks epoch functions (`unix_millis`) and streaming watermarks.
     DuckDB reads the same column as plain TIMESTAMP, so for oracle parity we
     re-read with an explicit TimestampType schema — the stored micros are
-    taken as-is (same wall values, verified vs DuckDB), the scan keeps
-    pushdown/pruning, and no per-row cast is added to the plan."""
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    taken as-is, the scan keeps pushdown/pruning, and no per-row cast is
+    added to the plan.
+
+    Preconditions / limits:
+    - Oracle parity for tz-dependent renderings (hour, date_trunc, cast to
+      string) holds because `registry.tune` pins
+      spark.sql.session.timeZone=UTC; a non-UTC session would see shifted
+      wall values from these functions.
+    - Only top-level fields are rewritten. A TIMESTAMP_NTZ nested inside a
+      struct/array/map passes through unnormalized — fine for the flat
+      TPC-H/events tables this loader serves."""
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
     if not any(isinstance(f.dataType, TimestampNTZType) for f in df.schema.fields):
         return df
-    schema = df.schema
-    for f in schema.fields:
-        if isinstance(f.dataType, TimestampNTZType):
-            f.dataType = TimestampType()
+    # build a fresh StructType: df.schema is cached on the DataFrame and
+    # mutating its fields in place would alias that cache
+    schema = StructType(
+        [
+            StructField(
+                f.name,
+                TimestampType()
+                if isinstance(f.dataType, TimestampNTZType)
+                else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in df.schema.fields
+        ]
+    )
     return spark.read.schema(schema).parquet(path)
 
 

@@ -107,15 +107,17 @@ class CdcEngine:
         raw = raw.dropna(subset=["__op", "value", "__table", "__db"])
         raw = raw.cache()  # multi-action batch (reference :392)
         try:
-            if raw.isEmpty():
-                return []
-            tables = [
+            # one driver action, not two: the distinct-tables collect IS
+            # the emptiness probe (an empty batch collects an empty list).
+            # At 40 concurrent streams per-batch driver actions serialize,
+            # so every job here counts.
+            tables = sorted(
                 r["__table"]
                 for r in raw.select("__table").distinct().collect()
-            ]
-            for name in sorted(tables):
+            )
+            for name in tables:
                 self._process_table(raw.filter(F.col("__table") == name), name)
-            return sorted(tables)
+            return tables
         finally:
             raw.unpersist()
 

@@ -278,22 +278,27 @@ class MergeTable:
         ts_col: str,
         ts_guard: bool,
     ) -> None:
-        from pyspark import StorageLevel
-
         p = self.partition_by
         src_parts = source.select(p).distinct()
-        moved_parts = (
-            target.join(
-                source.select(*self.key_columns).distinct(),
-                self.key_columns,
-                "left_semi",
+        if p in self.key_columns:
+            # identity partition on a merge key (e.g. the __rds_id
+            # fallback): a key determines its partition, so an update can
+            # never move a row across partitions — the batch's own
+            # partitions are exactly the affected set. Skips a full
+            # target scan (the moved-keys semi-join) per merge.
+            all_parts = src_parts
+        else:
+            moved_parts = (
+                target.join(
+                    source.select(*self.key_columns).distinct(),
+                    self.key_columns,
+                    "left_semi",
+                )
+                .select(p)
+                .distinct()
             )
-            .select(p)
-            .distinct()
-        )
-        parts = [
-            r[p] for r in src_parts.union(moved_parts).distinct().collect()
-        ]
+            all_parts = src_parts.union(moved_parts).distinct()
+        parts = [r[p] for r in all_parts.collect()]
         if not parts:  # empty batch → nothing to rewrite
             return
         # Spark (rightly) refuses to overwrite a path its own plan reads
@@ -318,33 +323,35 @@ class MergeTable:
             pruned_target = target.filter(F.col(p).isin(parts)).localCheckpoint(
                 eager=True
             )
+        from pyspark.sql import Observation
+
         merged = merge_frames(
             pruned_target, source, self.key_columns, op_col, ts_col, ts_guard
         ).filter(F.col(p).isin(parts))
-        # persisted: consumed twice (the overwrite + the survivors
-        # collect) and its lineage contains the merge join
-        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            # dynamic partition overwrite replaces exactly the partitions
-            # present in `merged`; a partition whose rows were all deleted
-            # would be absent from `merged` and thus survive stale — write
-            # an explicit empty frame for it? No: overwrite it by unioning
-            # nothing is impossible, so delete those partition dirs directly.
-            # Per-write option, NOT a session-conf toggle: many streams share
-            # one SparkSession (streaming/runner.start_streams), and a
-            # set/restore race would let a concurrent merge run under
-            # 'static' — a static overwrite with partitionBy deletes every
-            # untouched partition. The writer option is race-free and takes
-            # precedence over the session conf.
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(p)
-                .parquet(self.path)
-            )
-            surviving = {r[p] for r in merged.select(p).distinct().collect()}
-        finally:
-            merged.unpersist()
+        # The surviving-partitions set rides the overwrite action via
+        # observe(collect_set) — no second job, no persist of the merged
+        # frame. Partition counts are metadata-sized (bounded by `parts`),
+        # well within driver collect_set limits.
+        obs = Observation()
+        merged = merged.observe(obs, F.collect_set(F.col(p)).alias("parts"))
+        # dynamic partition overwrite replaces exactly the partitions
+        # present in `merged`; a partition whose rows were all deleted
+        # would be absent from `merged` and thus survive stale — write
+        # an explicit empty frame for it? No: overwrite it by unioning
+        # nothing is impossible, so delete those partition dirs directly.
+        # Per-write option, NOT a session-conf toggle: many streams share
+        # one SparkSession (streaming/runner.start_streams), and a
+        # set/restore race would let a concurrent merge run under
+        # 'static' — a static overwrite with partitionBy deletes every
+        # untouched partition. The writer option is race-free and takes
+        # precedence over the session conf.
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(p)
+            .parquet(self.path)
+        )
+        surviving = set(obs.get["parts"] or [])
         for stale in set(parts) - surviving:
             shutil.rmtree(
                 os.path.join(self.path, f"{p}={stale}"), ignore_errors=True

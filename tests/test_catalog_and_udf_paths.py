@@ -76,6 +76,33 @@ def test_audit_log_roundtrip(spark, tmp_path):
     assert snapshotted_tables(spark, root, 2) == set()
 
 
+def test_load_table_mixed_nanos_and_ntz(spark, tmp_path):
+    """A table with BOTH a TIMESTAMP(NANOS) column and a micros
+    no-timezone column must load: NTZ normalization has to happen on the
+    raw schema (ns column still LongType under nanosAsLong), otherwise the
+    explicit re-read schema mismatches the physical INT64 pages."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = pa.array([1_700_000_000_123_456_789, 1_700_000_001_000_000_000],
+                  type=pa.timestamp("ns"))
+    us = pa.array([1_700_000_000_000_001, 1_700_000_002_000_002],
+                  type=pa.timestamp("us"))
+    table = pa.table({"ts_ns": ns, "ts_us": us, "k": pa.array([1, 2])})
+    path = str(tmp_path / "mixed.parquet")
+    pq.write_table(table, path)
+
+    df = load_table(spark, str(tmp_path), "mixed")
+    types = dict(df.dtypes)
+    assert types["ts_ns"] == "timestamp"
+    assert types["ts_us"] == "timestamp"
+    rows = {r["k"]: r for r in df.collect()}
+    # nanos truncate to micros; micros pass through unchanged
+    assert rows[1]["ts_ns"].microsecond == 123456
+    assert rows[1]["ts_us"].microsecond == 1
+    assert rows[2]["ts_us"].microsecond == 2
+
+
 def test_pandas_udf_cosine_matches_builtin(spark):
     e = load_table(spark, SF, "embeddings").limit(50)
     a = e.select(

@@ -392,3 +392,27 @@ def test_merge_retried_on_transient_failure(spark, tmp_path):
     assert calls["n"] == 2  # failed once, retried, succeeded
     table = spark.read.parquet(os.path.join(root, "s"))
     assert {r["id"] for r in table.collect()} == {1, 2}
+
+
+def test_driver_jobs_per_batch_bounded(spark, engine):
+    """Per-batch driver-action budget guard: at 40 concurrent streams the
+    driver serializes job submission, so each micro-batch must stay lean.
+    Round-4 cuts (fold isEmpty into the distinct-tables collect, skip the
+    moved-keys target scan for identity-key partitions, ride the surviving
+    -partitions set on the overwrite via observe) took an update batch
+    from 21 jobs to 14 on local[32]. Bound at 16 to leave AQE headroom
+    while still catching a regression to the old shape."""
+    engine.process_batch(envelope_frame(spark, [
+        sale(spark, i, i, 1.0, op="c", ts_ms=1000) for i in range(5)
+    ]))
+    sc = spark.sparkContext
+    sc.setJobGroup("cdc_job_budget", "jobs-per-batch guard")
+    try:
+        engine.process_batch(envelope_frame(spark, [
+            sale(spark, 1, 99, 2.0, op="u", ts_ms=2000),
+            sale(spark, 2, 98, 2.0, op="d", ts_ms=2001),
+        ]))
+        jobs = len(sc.statusTracker().getJobIdsForGroup("cdc_job_budget"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs <= 16, f"CDC micro-batch submitted {jobs} driver jobs"
