@@ -36,6 +36,13 @@ HEADLINE = [
     "q_embedding_similarity_join",
     "q_events_tumbling_window",
     "q07_nation_trade_flows",
+    # round-3 operators (VERDICT r3 #6): quality filtering, dedup
+    # clustering, bloom-pruned join reduction, lake reconciliation —
+    # benched so regressions in them are visible round-over-round
+    "q_doc_gopher_filters",
+    "q_doc_dedup_clusters",
+    "q_semi_reduced_revenue",
+    "q_reconcile_drift",
 ]
 
 

@@ -60,16 +60,20 @@ class LakeConfig:
     # cleanly.
     merge_attempts: int = 10
     merge_retry_sleep_s: float = 10.0
-    # LWW compaction strategy. "window" = row_number per key (one task
-    # per key — fine for organic key distributions). "agg" = algebraic
+    # LWW compaction strategy. "agg" (default) = algebraic
     # max(struct(ts, offset, payload)): map-side partial aggregation
     # combines a hot key inside every input partition before the
     # shuffle, so a single tenant owning 10% of a batch becomes
     # map-parallel work instead of one straggler window task (AQE
-    # splits skewed joins, NOT skewed windows). Same result whenever
-    # (__ts_ms, __offset) totally orders a key's rows; residual ties
-    # resolve by lexicographic payload max — deterministic either way.
-    lww: str = "window"
+    # splits skewed joins, NOT skewed windows). Measured on the
+    # 33%-hot-key 8M-row fixture: 3.3 s vs the window's 8.0 s cold,
+    # tied warm at local[32] — the default because its worst case is
+    # strictly better (SCALE.md "Skew"). "window" = row_number per key
+    # (one task per key — fine for organic key distributions). Same
+    # result whenever (__ts_ms, __offset) totally orders a key's rows;
+    # residual ties resolve by lexicographic payload max —
+    # deterministic either way.
+    lww: str = "agg"
 
 
 @dataclass

@@ -168,6 +168,58 @@ def split_assign(
     )
 
 
+def corpus_vocab(
+    df: DataFrame, text_col: str = "text", size: int = 100
+) -> DataFrame:
+    """Top-`size` corpus vocabulary by token frequency (ties break to
+    the lexicographically smallest token — deterministic across
+    engines/partitionings).
+
+    Scale shape: explode → count is one keyed shuffle with map-side
+    partial counts; the ordered LIMIT is TakeOrdered (per-partition
+    top-`size`, merged on the driver) — never a global sort of the
+    distinct-token set. Returns (token, freq).
+    """
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc("token")).limit(size)
+
+
+def oov_metrics(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document — the vocabulary-coverage
+    quality filter (a document whose tokens rarely appear in the
+    corpus-wide vocabulary is likely garbled/non-target-language).
+
+    `vocab` is a (token, ...) frame, e.g. from `corpus_vocab` — small
+    by construction, so it broadcasts into the probe join. Exact
+    integer counts (n_tokens, n_oov) keep the oracle bit-exact; the
+    ratio is int/int division per the cross-engine rules.
+
+    Scale: one explode (no shuffle), one broadcast LEFT join, one
+    groupBy keyed on the document id.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    marked = tok.join(
+        F.broadcast(vocab.select("token").withColumn("__in", F.lit(1))),
+        "token",
+        "left",
+    )
+    n_tokens = F.count(F.lit(1))
+    n_oov = F.sum(F.col("__in").isNull().cast("long"))
+    return marked.groupBy(id_col).agg(
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov / F.greatest(n_tokens, F.lit(1))).alias("oov_ratio"),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -373,3 +373,103 @@ def sample_frames(
             )
 
     return src.mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = (
+    "id long, sample_rate int, n_channels int, bits int, n_frames long, "
+    "duration_ms long, rms_milli long, peak int"
+)
+
+
+def decode_wav(
+    df: DataFrame, id_col: str = "id", bin_col: str = "payload"
+) -> DataFrame:
+    """Decode RIFF/WAVE PCM payloads (8/16-bit, any channel count) —
+    the audio leg of the multimodal pipeline, implemented directly on
+    the container format with numpy (no audio library needed: WAV PCM
+    is a fixed 44-ish-byte header + interleaved little-endian samples).
+
+    Emits per item: sample_rate, n_channels, bits, n_frames,
+    duration_ms, rms_milli (root-mean-square amplitude of the first
+    channel scaled to milli-units of full scale, integer-rounded so
+    aggregates of it stay cross-engine deterministic), peak (max abs
+    sample, first channel). Malformed/non-WAV payloads emit NULL
+    metadata instead of failing the batch (same quarantine philosophy
+    as the CDC envelope parse).
+
+    Plan shape: mapInPandas over the scan's Arrow batches — payload
+    bytes never shuffle; only fixed-width metadata leaves the stage.
+    A real model front-end (spectrogram, codec) swaps into this exact
+    slot without changing the plan around it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+
+    def parse_one(buf: bytes):
+        if len(buf) < 44 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            return None
+        # walk chunks: fmt then data (other chunks may intervene)
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt = int.from_bytes(fmt[0:2], "little")
+        n_ch = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+            return None  # PCM only; compressed codecs are out of scope
+        bytes_per = bits // 8
+        n_frames = len(data) // (bytes_per * n_ch)
+        if bits == 16:
+            arr = np.frombuffer(
+                data[: n_frames * n_ch * 2], dtype="<i2"
+            ).reshape(-1, n_ch)
+            centered = arr[:, 0].astype(np.int64)
+            ch0 = centered.astype(np.float64) / 32768.0
+        else:  # 8-bit WAV is unsigned, midpoint 128
+            arr = np.frombuffer(
+                data[: n_frames * n_ch], dtype=np.uint8
+            ).reshape(-1, n_ch)
+            centered = arr[:, 0].astype(np.int64) - 128
+            ch0 = centered.astype(np.float64) / 128.0
+        rms = float(np.sqrt(np.mean(ch0 * ch0))) if n_frames else 0.0
+        peak = int(np.max(np.abs(centered))) if n_frames else 0
+        return (
+            rate,
+            n_ch,
+            bits,
+            n_frames,
+            (n_frames * 1000) // max(rate, 1),
+            int(rms * 1000 + 0.5),
+            peak,
+        )
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["payload"]):
+                meta = parse_one(bytes(buf))
+                if meta is None:
+                    rows.append((i, None, None, None, None, None, None, None))
+                else:
+                    rows.append((i, *meta))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample_rate", "n_channels", "bits", "n_frames",
+                    "duration_ms", "rms_milli", "peak",
+                ],
+            )
+
+    return src.mapInPandas(decode, DECODED_AUDIO_SCHEMA)

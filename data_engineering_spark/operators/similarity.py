@@ -414,6 +414,48 @@ def cosine_pandas_udf():
     return pandas_udf(_cos, "double")
 
 
+def _assign_probes_distributed(
+    qframe: DataFrame,
+    centroids,
+    n_probe: int,
+    query_id_col: str,
+    probe_schema: str,
+) -> DataFrame:
+    """Executor-side query→cluster assignment: the n_clusters·dim
+    centroid matrix (tiny) is broadcast into an Arrow-batched
+    mapInPandas over the query frame; each batch does one numpy matmul
+    and explodes to (query, probed cluster) rows. No query data ever
+    reaches the driver."""
+    import numpy as np
+    import pandas as pd
+
+    bc = qframe.sparkSession.sparkContext.broadcast(np.asarray(centroids))
+
+    def assign(batches):
+        cents = bc.value
+        c2 = (cents**2).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qmat = np.stack(pdf["__qv"].to_numpy())
+            d2 = (
+                (qmat**2).sum(1)[:, None] - 2 * qmat @ cents.T + c2[None, :]
+            )
+            # stable sort: identical tie-breaking to the driver path
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(
+                        pdf[query_id_col].to_numpy(), n_probe
+                    ),
+                    "__qv": np.repeat(pdf["__qv"].to_numpy(), n_probe),
+                    "__cluster": idx.reshape(-1).astype("int32"),
+                }
+            )
+
+    return qframe.mapInPandas(assign, probe_schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -426,6 +468,7 @@ def ivf_topk(
     seed: int = 42,
     quantized: bool = False,
     levels: int = 127,
+    driver_assign_limit: int = 65536,
 ) -> DataFrame:
     """IVF approximate top-k: KMeans-partition the corpus, search only
     each query's `n_probe` nearest clusters.
@@ -433,10 +476,17 @@ def ivf_topk(
     The 10⁹-corpus ANN path: the corpus is scanned/shuffled ONCE at
     index-build time (cluster assignment); each query then touches
     n_probe/n_clusters of the data. Centroids live on the driver
-    (n_clusters·dim doubles — tiny); queries are small by definition
-    and are assigned driver-side with numpy. Recall/latency trades via
-    (n_clusters, n_probe); pytest bounds recall against the exact
-    top-k.
+    (n_clusters·dim doubles — tiny). Query-to-cluster assignment is
+    two-mode: up to `driver_assign_limit` queries (interactive lookups)
+    are assigned driver-side with one numpy matmul and the probe frame
+    is broadcast into the join; beyond it ("find neighbors for every
+    new document this hour" — query side at corpus scale) the centroid
+    matrix is broadcast into a mapInPandas over the query frame, so
+    assignment is executor-parallel, nothing query-sized ever reaches
+    the driver, and the probe join shuffles on __cluster instead of
+    broadcasting. Recall/latency trades via (n_clusters, n_probe);
+    pytest bounds recall against the exact top-k and asserts the two
+    assignment paths agree.
 
     `quantized=True` scores probes against symmetric int8 codes
     instead of the float vectors (IVF-SQ8): the probe stage reads 4×
@@ -461,34 +511,48 @@ def ivf_topk(
     assigned = model.transform(feat).drop("__fv")
     centroids = np.stack([c for c in model.clusterCenters()])
 
-    qpdf = queries.select(
+    qframe = queries.select(
         F.col(id_col).alias(query_id_col),
         as_double_vec(vec_col).alias("__qv"),
-    ).toPandas()
-    if not len(qpdf):
-        return vectors.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, rank int, neighbor_id long, cosine_r double"
-        )
-    qmat = np.stack(qpdf["__qv"].to_numpy())
-    # nearest clusters by euclidean distance to centroid (KMeans metric)
-    d2 = (
-        (qmat**2).sum(1)[:, None]
-        - 2 * qmat @ centroids.T
-        + (centroids**2).sum(1)[None, :]
     )
-    probe_rows = [
-        (
-            int(qpdf[query_id_col][i]),
-            [float(x) for x in qpdf["__qv"][i]],
-            int(c),
+    probe_schema = f"{query_id_col} long, __qv array<double>, __cluster int"
+    # limit(N+1).count() stops scanning once the threshold is exceeded —
+    # a cheap size probe, never a full count of a corpus-scale query side
+    n_small = qframe.limit(driver_assign_limit + 1).count()
+    broadcast_probes = n_small <= driver_assign_limit
+    if broadcast_probes:
+        qpdf = qframe.toPandas()
+        if not len(qpdf):
+            return vectors.sparkSession.createDataFrame(
+                [],
+                f"{query_id_col} long, rank int, neighbor_id long, "
+                "cosine_r double",
+            )
+        qmat = np.stack(qpdf["__qv"].to_numpy())
+        # nearest clusters by euclidean distance to centroid (KMeans
+        # metric); stable sort so tie-breaking matches the distributed
+        # path exactly
+        d2 = (
+            (qmat**2).sum(1)[:, None]
+            - 2 * qmat @ centroids.T
+            + (centroids**2).sum(1)[None, :]
         )
-        for i in range(len(qpdf))
-        for c in np.argsort(d2[i])[:n_probe]
-    ]
-    probes = vectors.sparkSession.createDataFrame(
-        probe_rows,
-        f"{query_id_col} long, __qv array<double>, __cluster int",
-    )
+        probe_rows = [
+            (
+                int(qpdf[query_id_col][i]),
+                [float(x) for x in qpdf["__qv"][i]],
+                int(c),
+            )
+            for i in range(len(qpdf))
+            for c in np.argsort(d2[i], kind="stable")[:n_probe]
+        ]
+        probes = vectors.sparkSession.createDataFrame(
+            probe_rows, probe_schema
+        )
+    else:
+        probes = _assign_probes_distributed(
+            qframe, centroids, n_probe, query_id_col, probe_schema
+        )
 
     from pyspark.sql import Window
 
@@ -511,8 +575,12 @@ def ivf_topk(
         score = cosine(F.col("__q"), F.col("__qv"))
     else:
         score = cosine(F.col("__qv"), F.col("__cv"))
+    # small query side: broadcast the probe frame (corpus never moves);
+    # corpus-scale query side: shuffle join on __cluster — AQE splits a
+    # hot cluster, and n_clusters should be sized >= target parallelism
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
     scored = (
-        assigned.join(F.broadcast(probes), "__cluster")
+        assigned.join(probe_side, "__cluster")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", score)
     )

@@ -689,3 +689,82 @@ def dup_span_stats(
             ),
         )
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 16,
+) -> DataFrame:
+    """Corpus-wide exact span deduplication at fixed block granularity —
+    the TRANSFORM counterpart of `dup_span_stats` (which only reports):
+    every document is cut into non-overlapping `block`-token blocks, and
+    of all verbatim copies of a block anywhere in the corpus only the
+    FIRST occurrence (lowest (doc id, block index)) survives; documents
+    are reassembled from their surviving blocks. This is the span-removal
+    recipe of Lee et al. 2022 ("Deduplicating Training Data...") at
+    block granularity: boilerplate repeated across pages is kept once,
+    globally.
+
+    Output: (id, n_blocks, n_kept_blocks, clean_text). Documents whose
+    every block was deduplicated away stay in the output with
+    clean_text = '' (the caller decides whether to drop empties).
+
+    Plan/scale: first-occurrence selection is an ALGEBRAIC
+    min(struct(doc, idx)) per block — map-side partial aggregation, so a
+    boilerplate block with 10⁸ copies combines inside each input
+    partition instead of pinning one window task (same argument as
+    dedup.keep_last_agg); the count-back join on block text is an AQE
+    skew-join case. Three shuffles total (block agg, block join, doc
+    reassembly), all keyed on block text or doc id — no global sort, no
+    driver materialization.
+    """
+    toks_df = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n_blocks = F.ceil(F.size("__t") / F.lit(block)).cast("int")
+    blocks = toks_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_blocks, F.lit(1)) - 1),
+                lambda i: F.array_join(
+                    F.slice("__t", i * block + 1, block), " "
+                ),
+            )
+        ).alias("block_idx", "block_text"),
+    )
+    first = blocks.groupBy("block_text").agg(
+        F.min(F.struct(F.col(id_col), F.col("block_idx"))).alias("__first")
+    )
+    kept = blocks.join(first, "block_text").filter(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("block_idx") == F.col("__first.block_idx"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept_blocks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("block_idx", "block_text"))
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = blocks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_kept_blocks", F.lit(0))
+            .cast("long")
+            .alias("n_kept_blocks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -534,3 +534,43 @@ def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.orderBy(
         "source", "lang", F.col("n_chars").desc(), "doc_id"
     )
+
+
+@query(
+    "q_doc_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM counts ORDER BY freq DESC, token ASC LIMIT 25),
+    per AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           n_oov / GREATEST(n_tokens, 1) AS oov_ratio
+    FROM per
+    """,
+)
+def q_doc_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage filter: top-25 corpus vocabulary (frequency
+    desc, token asc — deterministic ties), then each document's exact
+    out-of-vocabulary token count and ratio. The vocab is TakeOrdered
+    (never a global sort) and broadcasts into the probe join; counts
+    are exact integers so the oracle comparison is bit-exact."""
+    from data_engineering_spark.operators.filters import (
+        corpus_vocab,
+        oov_metrics,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = corpus_vocab(d, "text", size=25)
+    return oov_metrics(d, vocab, "doc_id", "text")

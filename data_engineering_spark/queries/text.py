@@ -613,3 +613,58 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_ids = ev.select("doc_id")
     train = d.join(ev_ids, "doc_id", "left_anti")
     return ngram_contamination(train, ev, "doc_id", "text", n=5)
+
+
+@query(
+    "q_doc_span_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(unnest(range(GREATEST(
+                 CAST(ceil(len(toks)/4.0) AS BIGINT), 1))) AS INT)
+               AS block_idx,
+             toks
+      FROM t),
+    s AS (
+      SELECT doc_id, block_idx,
+             array_to_string(toks[(block_idx*4+1):((block_idx+1)*4)], ' ')
+               AS block_text
+      FROM b),
+    k AS (
+      SELECT doc_id, block_idx, block_text
+      FROM (SELECT *, row_number() OVER (
+                PARTITION BY block_text
+                ORDER BY doc_id, block_idx) AS rn FROM s)
+      WHERE rn = 1),
+    r AS (
+      SELECT doc_id, COUNT(*) AS n_kept_blocks,
+             string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text
+      FROM k GROUP BY doc_id),
+    c AS (SELECT doc_id, COUNT(*) AS n_blocks FROM s GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_blocks, 0) AS BIGINT) AS n_blocks,
+           CAST(COALESCE(r.n_kept_blocks, 0) AS BIGINT) AS n_kept_blocks,
+           sha256(COALESCE(r.clean_text, '')) AS clean_sha
+    FROM documents d
+    LEFT JOIN c ON d.doc_id = c.doc_id
+    LEFT JOIN r ON d.doc_id = r.doc_id
+    """,
+)
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact span dedup at 4-token block granularity (the
+    Lee et al. 2022 span-removal transform): only the globally-first
+    occurrence of each verbatim block survives, documents are rebuilt
+    from surviving blocks, and the rebuilt text is verified by sha256.
+    First-occurrence selection is an algebraic min-struct aggregate
+    (map-side combine — hot boilerplate blocks never pin one task)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = X.span_dedup(d, "doc_id", "text", block=4)
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept_blocks",
+        F.sha2("clean_text", 256).alias("clean_sha"),
+    )

@@ -36,6 +36,14 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # --- shuffle sizing ---
         "spark.sql.shuffle.partitions": str(sp),
+        # --- heap: in local mode the driver JVM hosts every executor
+        #     thread, so the 1g default starves 32 concurrent tasks
+        #     (parquet writers scale row groups down, GC dominates).
+        #     Honored only at JVM launch; under spark-submit the
+        #     submitted --driver-memory wins ---
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "16g"
+        ),
         # --- scan sizing: 128 MB splits keep partitions memory-friendly ---
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         # --- Arrow for pandas interchange (extension operators only) ---

@@ -59,13 +59,37 @@ def timings(spark):
     return out
 
 
-def test_headline_queries_within_budget(timings):
+def test_headline_queries_within_budget(timings, spark):
+    from bench import HEADLINE
+    from data_engineering_spark.queries import QUERIES
+
     base = _baseline()
+    budget = {n: base[n] * 1.5 + 0.4 for n in base}
     over = {
         name: (round(t, 3), base[name])
         for name, t in timings.items()
-        if name in base and t > base[name] * 1.5 + 0.4
+        if name in base and t > budget[name]
     }
+    # A real plan regression reproduces; a GC pause / concurrent-JVM
+    # blip does not. Re-time only the offenders (best of 2 more runs)
+    # before flagging — keeps the guard tight on sub-second baselines
+    # without false-failing the whole suite on one noisy measurement.
+    if over:
+        retimed = {}
+        for name in over:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            retimed[name] = best
+        over = {
+            name: (round(t, 3), base[name])
+            for name, t in retimed.items()
+            if t > budget[name]
+        }
     assert not over, (
         "headline queries regressed beyond 1.5x + 0.4s of baseline "
         f"(measured, baseline): {over} — if intentional, regenerate "

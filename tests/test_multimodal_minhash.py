@@ -222,3 +222,56 @@ def test_minhash_matches_exact_join(spark):
         for r in minhash_near_dup_pairs(d, threshold=0.6).collect()
     }
     assert lsh == exact
+
+
+def test_decode_wav_pcm16_and_pcm8(spark):
+    """WAV decode: stdlib-written PCM16 stereo + PCM8 mono payloads
+    decode to the known rate/channels/frames/duration; a full-scale
+    square wave has rms ~= 1000 milli-units; garbage bytes yield NULL
+    metadata instead of failing the batch."""
+    import io
+    import struct
+    import wave
+
+    from data_engineering_spark.operators.multimodal import decode_wav
+
+    def wav_bytes(rate, n_ch, bits, frames):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(n_ch)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(frames)
+        w.close()
+        return buf.getvalue()
+
+    # full-scale square wave, 100 frames of PCM16 stereo at 8 kHz
+    sq = b"".join(
+        struct.pack(
+            "<hh", 32000 if i % 2 else -32000, 16000 if i % 2 else -16000
+        )
+        for i in range(100)
+    )
+    # PCM8 mono at 16 kHz: constant midpoint (silence) => rms 0
+    silence = bytes([128] * 160)
+    rows = [
+        (1, wav_bytes(8000, 2, 16, sq)),
+        (2, wav_bytes(16000, 1, 8, silence)),
+        (3, b"not a wav at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r["id"]: r for r in decode_wav(df).collect()}
+
+    r1 = out[1]
+    assert (r1["sample_rate"], r1["n_channels"], r1["bits"]) == (8000, 2, 16)
+    assert r1["n_frames"] == 100
+    assert r1["duration_ms"] == 100 * 1000 // 8000
+    assert abs(r1["rms_milli"] - round(32000 / 32768 * 1000)) <= 1
+    assert r1["peak"] == 32000
+
+    r2 = out[2]
+    assert (r2["sample_rate"], r2["n_channels"], r2["bits"]) == (16000, 1, 8)
+    assert r2["n_frames"] == 160
+    assert r2["rms_milli"] == 0 and r2["peak"] == 0
+
+    assert out[3]["sample_rate"] is None and out[3]["n_frames"] is None

@@ -227,6 +227,39 @@ def test_ivf_topk_recall(spark):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_ivf_distributed_assignment_matches_driver_path(
+    spark, monkeypatch
+):
+    """Above driver_assign_limit, query→cluster assignment runs
+    executor-side (mapInPandas over the query frame). The two paths must
+    produce identical results — and the distributed one must never
+    materialize the query side on the driver (toPandas is banned for the
+    duration of the call)."""
+    import pyspark.sql
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    want = sorted(
+        map(tuple, ivf_topk(e, q, k=5).collect())
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError(
+            "driver-side toPandas on the distributed assignment path"
+        )
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", boom)
+    # driver_assign_limit=0 forces every query through the distributed path
+    got_df = ivf_topk(e, q, k=5, driver_assign_limit=0)
+    got = sorted(map(tuple, got_df.collect()))
+    monkeypatch.undo()
+    assert got == want
+
+
 def test_ivf_topk_sq8_tracks_float_path(spark):
     """int8-quantized probe scoring (IVF-SQ8) must agree with the float
     IVF path on nearly all neighbors (same probes, 127-level codes) and
