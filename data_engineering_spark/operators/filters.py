@@ -220,6 +220,47 @@ def oov_metrics(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation and have at least
+    ``min_words`` words; drop boilerplate markers (lorem ipsum, cookie
+    notices, javascript warnings); a document survives only if at least
+    ``min_kept_lines`` lines remain.
+
+    Emits (id, n_lines, n_kept_lines, clean_text, keep). Pure array
+    expressions over `split(text, '\\n')` — runs inside the scan
+    stage's codegen span, zero shuffles at any scale.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    word_count = lambda l: F.regexp_count(l, F.lit(r"\S+"))
+    is_boiler = lambda l: (
+        F.lower(l).contains("lorem ipsum")
+        | F.lower(l).contains("cookie")
+        | F.lower(l).contains("javascript")
+    )
+    good = lambda l: (
+        (word_count(l) >= min_words)
+        & F.trim(l).rlike(r"[.!?]$")
+        & ~is_boiler(l)
+    )
+    base = df.select(F.col(id_col), lines.alias("__lines"))
+    kept = F.filter("__lines", good)
+    n_kept = F.size(kept)
+    return base.select(
+        F.col(id_col),
+        F.size("__lines").cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (n_kept >= min_kept_lines).alias("keep"),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

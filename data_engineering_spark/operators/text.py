@@ -696,6 +696,7 @@ def span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     block: int = 16,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Corpus-wide exact span deduplication at fixed block granularity —
     the TRANSFORM counterpart of `dup_span_stats` (which only reports):
@@ -719,7 +720,16 @@ def span_dedup(
     skew-join case. Three shuffles total (block agg, block join, doc
     reassembly), all keyed on block text or doc id — no global sort, no
     driver materialization.
+
+    The blocks frame feeds three plan branches (first-occurrence agg,
+    the kept join, per-doc totals); it is persisted so the corpus is
+    tokenized/exploded ONCE, not three times (same policy as
+    ngram_jaccard_pairs). One-shot pipelines keep the lazy default;
+    long-lived sessions pass ``release_cache=True`` to eagerly
+    materialize the result and unpersist.
     """
+    from pyspark import StorageLevel
+
     toks_df = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
     n_blocks = F.ceil(F.size("__t") / F.lit(block)).cast("int")
     blocks = toks_df.select(
@@ -732,7 +742,7 @@ def span_dedup(
                 ),
             )
         ).alias("block_idx", "block_text"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     first = blocks.groupBy("block_text").agg(
         F.min(F.struct(F.col(id_col), F.col("block_idx"))).alias("__first")
     )
@@ -755,7 +765,7 @@ def span_dedup(
     totals = blocks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_blocks")
     )
-    return (
+    result = (
         docs.select(F.col(id_col))
         .join(totals, id_col, "left")
         .join(rebuilt, id_col, "left")
@@ -768,3 +778,8 @@ def span_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+    if not release_cache:
+        return result
+    out = result.localCheckpoint(eager=True)
+    blocks.unpersist()
+    return out

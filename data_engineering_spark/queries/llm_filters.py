@@ -574,3 +574,75 @@ def q_doc_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     vocab = corpus_vocab(d, "text", size=25)
     return oov_metrics(d, vocab, "doc_id", "text")
+
+
+@query(
+    "q_doc_c4_lines",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    lined AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 range(CAST(ceil(len(toks)/8.0) AS BIGINT)),
+                 i -> array_to_string(toks[(i*8+1):((i+1)*8)], ' ')
+                      || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END),
+               chr(10)) AS text
+      FROM t),
+    f AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS ls
+      FROM lined),
+    k AS (
+      SELECT doc_id, ls,
+             list_filter(ls, l ->
+               len(regexp_extract_all(l, '\\S+')) >= 5
+               AND regexp_matches(trim(l), '[.!?]$')
+               AND NOT contains(lower(l), 'lorem ipsum')
+               AND NOT contains(lower(l), 'cookie')
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM f)
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           sha256(array_to_string(kept, chr(10))) AS clean_sha,
+           len(kept) >= 3 AS keep
+    FROM k
+    """,
+)
+def q_doc_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning over line-structured text: documents are
+    deterministically re-lined (8 tokens per line, every other line
+    given terminal punctuation — mirrored exactly in the oracle), then
+    the Raffel et al. §2.2 rules apply: >=5 words, terminal
+    punctuation, no boilerplate markers, >=3 surviving lines. Rebuilt
+    text verified by sha256; the whole query is scan-stage array math
+    with zero shuffles."""
+    from data_engineering_spark.operators.filters import c4_line_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+                lambda i: F.concat(
+                    F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+                    F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = c4_line_filter(lined, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.sha2("clean_text", 256).alias("clean_sha"),
+        "keep",
+    )

@@ -90,3 +90,75 @@ def read_table(
     if schema is not None:
         r = r.schema(schema)
     return r.load(path)
+
+
+def read_text_documents(
+    spark: SparkSession,
+    path: str,
+    wholetext: bool = True,
+    line_sep: str | None = None,
+    path_glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-text document ingestion — the front door of an LLM data
+    pipeline (a directory/bucket of .txt/.md/.html files → one row per
+    document, or one row per line with ``wholetext=False``).
+
+    Built on Spark's native `text` source, so listing, split planning
+    and predicate-free scans are all JVM-side. ``wholetext=True`` makes
+    each FILE one row (document semantics; files are not split, so a
+    single 10 GB file caps parallelism — shard upstream). The document
+    id is the file path (`input_file_name` is unstable under task
+    retries on some stores; `_metadata.file_path` is the committed
+    value).
+
+    Returns (doc_path, text [, line_no when wholetext=False — the
+    within-file ordinal built from _metadata positions]).
+    """
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("text").option("wholetext", str(wholetext).lower())
+    if line_sep is not None:
+        r = r.option("lineSep", line_sep)
+    if path_glob is not None:
+        r = r.option("pathGlobFilter", path_glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    df = r.load(path)
+    return df.select(
+        F.col("_metadata.file_path").alias("doc_path"),
+        F.col("value").alias("text"),
+    )
+
+
+def read_binary_documents(
+    spark: SparkSession,
+    path: str,
+    path_glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Opaque-binary ingestion via Spark's native `binaryFile` source —
+    the multimodal front door (a bucket of images/audio/video → rows of
+    (path, length, mod_time, content) that feed `multimodal.decode_*`).
+
+    Scale notes: binary files are never split (one file = one row in
+    one task) — parallelism equals file count, so millions of small
+    objects are the good case and giant archives should be unpacked
+    upstream; `spark.sql.files.maxPartitionBytes` governs how many
+    small files coalesce into one task. Filter on `length` BEFORE
+    decoding (it comes from the file listing, so a size cap prunes
+    without reading payloads).
+    """
+    r = spark.read.format("binaryFile")
+    if path_glob is not None:
+        r = r.option("pathGlobFilter", path_glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    from pyspark.sql import functions as F
+
+    return r.load(path).select(
+        F.col("path").alias("doc_path"),
+        F.col("length").alias("byte_size"),
+        F.col("modificationTime").alias("mod_time"),
+        F.col("content").alias("payload"),
+    )

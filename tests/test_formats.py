@@ -94,3 +94,71 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert q.count() == src.filter(F.col("o_year") == 1995).count()
+
+
+def test_read_text_documents_wholetext_and_lines(spark, tmp_path):
+    from data_engineering_spark.sources.formats import read_text_documents
+
+    (tmp_path / "a.txt").write_text("alpha line one\nalpha line two\n")
+    (tmp_path / "b.txt").write_text("beta doc\n")
+    (tmp_path / "skip.md").write_text("not matched\n")
+
+    docs = read_text_documents(
+        spark, str(tmp_path), wholetext=True, path_glob="*.txt"
+    )
+    rows = {r["doc_path"].rsplit("/", 1)[-1]: r["text"] for r in docs.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["a.txt"] == "alpha line one\nalpha line two\n"
+
+    lines = read_text_documents(
+        spark, str(tmp_path), wholetext=False, path_glob="a.txt"
+    )
+    assert sorted(r["text"] for r in lines.collect()) == [
+        "alpha line one", "alpha line two",
+    ]
+
+
+def test_read_binary_documents_feeds_wav_decode(spark, tmp_path):
+    """End-to-end multimodal ingestion: a directory of WAV files read
+    through the binaryFile source and decoded — listing-level columns
+    (byte_size) available for pre-decode pruning."""
+    import io
+    import wave
+
+    from data_engineering_spark.operators.multimodal import decode_wav
+    from data_engineering_spark.sources.formats import (
+        read_binary_documents,
+    )
+
+    def wav_bytes(rate, frames_b):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames_b)
+        w.close()
+        return buf.getvalue()
+
+    (tmp_path / "one.wav").write_bytes(wav_bytes(8000, b"\x00\x00" * 80))
+    (tmp_path / "two.wav").write_bytes(wav_bytes(16000, b"\x00\x00" * 320))
+    (tmp_path / "noise.bin").write_bytes(b"junk")
+
+    raw = read_binary_documents(spark, str(tmp_path), path_glob="*.wav")
+    assert raw.count() == 2
+    assert {c for c in raw.columns} == {
+        "doc_path", "byte_size", "mod_time", "payload"
+    }
+
+    src = raw.select(
+        F.row_number()
+        .over(__import__("pyspark.sql.window", fromlist=["Window"])
+              .Window.orderBy("doc_path"))
+        .cast("long")
+        .alias("id"),
+        "payload",
+    )
+    out = {r["sample_rate"]: r for r in decode_wav(src).collect()}
+    assert out[8000]["n_frames"] == 80
+    assert out[16000]["n_frames"] == 320
+    assert out[16000]["duration_ms"] == 320 * 1000 // 16000

@@ -123,3 +123,33 @@ def test_dedup_clusters_shape(spark):
     # exactly one canonical doc per cluster
     canon = [r for r in out.values() if r["is_canonical"]]
     assert len(canon) == 2
+
+
+def test_c4_line_filter(spark):
+    from data_engineering_spark.operators.filters import c4_line_filter
+
+    doc1 = "\n".join([
+        "This is a proper sentence with enough words here.",
+        "short line.",                           # < 5 words
+        "No terminal punctuation on this line",  # no [.!?]$
+        "Please accept our cookie policy to continue browsing now.",
+        "Another good line that ends with a question mark?",
+        "And one more complete sentence to pass the minimum!",
+    ])
+    doc2 = "Lorem ipsum dolor sit amet consectetur."  # boiler + 1 line
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 6
+    # kept: line 1, question-mark line, exclamation line (cookie line
+    # is boilerplate, short/unpunctuated lines fail the word/punct rules)
+    assert r1["n_kept_lines"] == 3 and r1["keep"]
+    assert r1["clean_text"].splitlines()[0].startswith("This is a proper")
+    assert "cookie" not in r1["clean_text"]
+
+    r2 = out[2]
+    assert r2["n_kept_lines"] == 0 and not r2["keep"]
+    assert r2["clean_text"] == ""

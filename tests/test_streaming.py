@@ -175,3 +175,50 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(180)
     out = spark.sql("SELECT * FROM ss_join_out").collect()
     assert [(r["user_id"], r["buy_ts"]) for r in out] == [(1, ts(4))]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-once dedup via dropDuplicatesWithinWatermark —
+    the at-least-once-source companion to the CDC LWW compaction: a
+    re-delivered event inside the watermark horizon is dropped even
+    when its duplicate arrives in a LATER micro-batch, and state is
+    bounded by the watermark (the 100 TB requirement — a plain
+    dropDuplicates on a stream keys state forever)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch file 1: events A(1), B(2) + in-batch duplicate of A
+    spark.createDataFrame(
+        [(1, ts(0)), (2, ts(1)), (1, ts(0))],
+        "event_id long, ev_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    # batch file 2: cross-batch re-delivery of A and B + new C
+    spark.createDataFrame(
+        [(1, ts(0)), (2, ts(1)), (3, ts(2))],
+        "event_id long, ev_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("event_id long, ev_ts timestamp")
+        .parquet(str(src))
+        .withWatermark("ev_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("maxFilesPerTrigger", "1")  # force separate micro-batches
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT event_id FROM dedup_wm_out").collect()
+    assert sorted(r["event_id"] for r in out) == [1, 2, 3]
