@@ -60,6 +60,13 @@ class LakeConfig:
     # cleanly.
     merge_attempts: int = 10
     merge_retry_sleep_s: float = 10.0
+    # Tables processed concurrently within one micro-batch. Spark job
+    # submission is thread-safe and per-table merges are independent
+    # (disjoint target paths), so a multi-table topic-pattern batch
+    # overlaps its driver round-trips instead of serializing them —
+    # the per-batch driver-action constant is the CDC throughput
+    # ceiling at high stream counts. 1 = serial (reference behavior).
+    table_parallelism: int = 4
     # LWW compaction strategy. "agg" (default) = algebraic
     # max(struct(ts, offset, payload)): map-side partial aggregation
     # combines a hot key inside every input partition before the
@@ -119,8 +126,32 @@ class CdcEngine:
                 r["__table"]
                 for r in raw.select("__table").distinct().collect()
             )
-            for name in tables:
-                self._process_table(raw.filter(F.col("__table") == name), name)
+            par = max(1, self.config.table_parallelism)
+            if par == 1 or len(tables) <= 1:
+                for name in tables:
+                    self._process_table(
+                        raw.filter(F.col("__table") == name), name
+                    )
+                return tables
+            # independent per-table pipelines (disjoint target dirs)
+            # submitted from a thread pool: driver actions for table A
+            # overlap cluster work for table B. get_table is pre-warmed
+            # serially below only through the dict — MergeTable creation
+            # happens inside _finish_table under each thread, and dict
+            # writes are GIL-atomic; distinct tables never share an entry.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=par) as pool:
+                futures = {
+                    name: pool.submit(
+                        self._process_table,
+                        raw.filter(F.col("__table") == name),
+                        name,
+                    )
+                    for name in tables
+                }
+                for name, fut in futures.items():
+                    fut.result()  # propagate the first failure
             return tables
         finally:
             raw.unpersist()

@@ -346,3 +346,67 @@ def q_debezium_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_days_to_date(epoch_days).alias("date_roundtrip"),
         micros_of_day_to_seconds(us).alias("second_of_day"),
     )
+
+
+@query(
+    "q_events_value_trend",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST((epoch_ms(ts) // 1000) - 1700000000 AS HUGEINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+      FROM events),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(x * x) AS sxx,
+             SUM(yc) AS sy,
+             SUM(x * yc) AS sxy
+      FROM p GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den,
+           CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END
+             AS slope
+    FROM s
+    """,
+)
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (slope of value over event time) with
+    EXACT integer arithmetic: x = centered epoch seconds (FLOOR of the
+    millisecond epoch in both engines — DuckDB's epoch() returns
+    fractional seconds whose cast ROUNDS, a real cross-engine trap),
+    y = value in cents (double → decimal(18,2) cast — the one
+    cross-engine-consistent rounding point, same as registry.dec —
+    then ×100 to an exact integer). Every sum/product is integral (decimal(38,0) on the Spark
+    side, HUGEINT in DuckDB), so slope_num/slope_den are
+    order-independent exact witnesses; slope divides them once in
+    double (correctly rounded, bit-identical) and rescales the cents.
+    Centering x keeps n·Σx² − (Σx)² inside 38 digits at 6e8-row scale.
+    One scan + one keyed shuffle (map-side partial sums)."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1_700_000_000)).cast("decimal(12,0)")
+    yc = (F.col("value").cast("decimal(18,2)") * 100).cast("decimal(14,0)")
+    p = e.select("event_type", x.alias("x"), yc.alias("yc"))
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(11,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        num.cast("double").alias("slope_num"),
+        den.cast("double").alias("slope_den"),
+        F.when(den == F.lit(0), F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double") / F.lit(100.0))
+        .alias("slope"),
+    )

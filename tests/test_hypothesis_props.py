@@ -145,3 +145,95 @@ def test_filters_match_python_model(spark, docs_words):
         assert r_[i]["n_grams"] == max(total, 0), t
         if total > 0:
             assert r_[i]["n_distinct"] == distinct, t
+
+
+def _py_span_dedup(texts: dict[int, str], block: int):
+    """Sequential model of text.span_dedup: global first occurrence of
+    each verbatim token block (by (doc_id, block_idx)) survives."""
+    blocks = {}
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].strip().split() or [""]
+        n = max(-(-len(toks) // block), 1)
+        for idx in range(n):
+            bt = " ".join(toks[idx * block : (idx + 1) * block])
+            blocks.setdefault(bt, (doc_id, idx))
+    out = {}
+    for doc_id in sorted(texts):
+        toks = texts[doc_id].strip().split() or [""]
+        n = max(-(-len(toks) // block), 1)
+        kept = [
+            " ".join(toks[idx * block : (idx + 1) * block])
+            for idx in range(n)
+            if blocks[" ".join(toks[idx * block : (idx + 1) * block])]
+            == (doc_id, idx)
+        ]
+        out[doc_id] = (n, len(kept), " ".join(kept))
+    return out
+
+
+@given(st.lists(_WORDS, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None)
+def test_span_dedup_matches_python_model(spark, docs_words):
+    from data_engineering_spark.operators.text import span_dedup
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs_words)}
+    df = spark.createDataFrame(
+        list(texts.items()), ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept_blocks"], r["clean_text"])
+        for r in span_dedup(df, block=2).collect()
+    }
+    assert got == _py_span_dedup(texts, block=2)
+
+
+def _py_c4(text: str, min_words=5, min_kept=3):
+    import re
+
+    lines = text.split("\n")
+    kept = [
+        l for l in lines
+        if len(re.findall(r"\S+", l)) >= min_words
+        and re.search(r"[.!?]$", l.strip())
+        and "lorem ipsum" not in l.lower()
+        and "cookie" not in l.lower()
+        and "javascript" not in l.lower()
+    ]
+    return len(lines), len(kept), "\n".join(kept), len(kept) >= min_kept
+
+
+@given(
+    st.lists(
+        st.lists(_WORDS.map(lambda ws: " ".join(ws)), max_size=1),
+        min_size=1,
+        max_size=6,
+    ),
+    st.data(),
+)
+@settings(max_examples=10, deadline=None)
+def test_c4_line_filter_matches_python_model(spark, docs, data):
+    from data_engineering_spark.operators.filters import c4_line_filter
+
+    # build docs of 0-4 lines; randomly punctuate/boilerplate lines
+    texts = []
+    for i, _ in enumerate(docs):
+        n_lines = data.draw(st.integers(0, 4))
+        lines = []
+        for _ in range(n_lines):
+            ws = data.draw(_WORDS)
+            line = " ".join(ws)
+            if data.draw(st.booleans()):
+                line += "."
+            if data.draw(st.integers(0, 5)) == 0:
+                line += " please accept our Cookie policy"
+            lines.append(line)
+        texts.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_kept_lines"], r["clean_text"], r["keep"]
+        )
+        for r in c4_line_filter(df).collect()
+    }
+    for i, t in texts:
+        assert got[i] == _py_c4(t), (t, got[i])
