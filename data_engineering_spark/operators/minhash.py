@@ -68,6 +68,173 @@ def minhash_signatures(
     return shingle_df.groupBy("doc").agg(*aggs)
 
 
+def band_rows(
+    sigs: DataFrame, num_hashes: int, num_bands: int
+) -> DataFrame:
+    """(doc, band, bucket) LSH band rows from a signature frame: each
+    band's `num_hashes/num_bands` consecutive signature values hash to
+    one bucket id. 3 longs per (doc, band) regardless of document size
+    — this is the storable representation (see minhash_band_index)."""
+    rows_per_band = num_hashes // num_bands
+    return (
+        sigs.select(
+            "doc",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[
+                            F.col(f"h{b * rows_per_band + j}")
+                            for j in range(rows_per_band)
+                        ]).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ])
+            ).alias("bb"),
+        ).select(
+            "doc",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    num_bands: int = 32,
+) -> DataFrame:
+    """Build the persistent LSH index of a corpus: (doc, band, bucket),
+    `num_bands` fixed-width rows per document. Write it out as a normal
+    parquet table (partition/bucket by `band` for co-located probe
+    joins); incremental ingest then near-dup-checks each new batch
+    against 100 TB of corpus WITHOUT touching corpus text again
+    (minhash_incremental_pairs). Deterministic: same seeds, same
+    banding as minhash_near_dup_pairs, so index entries are stable
+    across runs and Spark versions."""
+    assert num_hashes % num_bands == 0
+    sh = shingle_rows(docs, id_col, text_col, n)
+    return band_rows(
+        minhash_signatures(sh, num_hashes), num_hashes, num_bands
+    )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    num_bands: int = 32,
+    release_cache: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs of an incoming batch against an INDEXED
+    corpus (plus within-batch pairs) — the daily-ingest shape of the
+    100 TB dedup path.
+
+    `corpus_index` is (doc, band, bucket) from `minhash_band_index`
+    (typically read back from its parquet table). The corpus text
+    (`corpus_docs`) is touched exactly once, through a semi-join
+    pruned scan that shingles ONLY candidate docs for the exact
+    verify; everything else about the corpus flows through the
+    fixed-width index. New/corpus doc ids must be disjoint.
+
+    Output matches minhash_near_dup_pairs: (doc_a, doc_b, common,
+    jaccard_r) exact-verified at `threshold`, where each pair has at
+    least one new doc (corpus-internal pairs were the index build's
+    job). Pair orientation: doc_a < doc_b, same as the full operator.
+    """
+    assert num_hashes % num_bands == 0
+    from pyspark import StorageLevel
+
+    sh_new = shingle_rows(new_docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands_new = band_rows(
+        minhash_signatures(sh_new, num_hashes), num_hashes, num_bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    nn_a = bands_new.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    nn_b = bands_new.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    within = (
+        nn_a.join(nn_b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cross = (
+        bands_new.select(F.col("doc").alias("new_doc"), "band", "bucket")
+        .join(
+            corpus_index.select(
+                F.col("doc").alias("corpus_doc"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select(
+            F.least("new_doc", "corpus_doc").alias("doc_a"),
+            F.greatest("new_doc", "corpus_doc").alias("doc_b"),
+        )
+    )
+    cands = (
+        within.union(cross)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc"))
+        .union(cands.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    # corpus text scanned once, pruned to candidate docs before the
+    # expensive shingle/collect stage
+    sh_corpus_cands = shingle_rows(
+        corpus_docs.join(
+            cand_ids.withColumnRenamed("doc", id_col), id_col, "left_semi"
+        ),
+        id_col,
+        text_col,
+        n,
+    )
+    sets = (
+        sh_new.join(cand_ids, "doc", "left_semi")
+        .union(sh_corpus_cands)
+        .groupBy("doc")
+        .agg(F.collect_list("g").alias("sh"))
+    )
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    result = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("common").cast("long").alias("common"),
+            F.col("jaccard").alias("jaccard_r"),
+        )
+    )
+    if not release_cache:
+        return result
+    out = result.localCheckpoint(eager=True)
+    cands.unpersist()
+    bands_new.unpersist()
+    sh_new.unpersist()
+    return out
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -88,7 +255,6 @@ def minhash_near_dup_pairs(
     Default False keeps the plan lazy (the eager pass costs real time;
     LRU eviction handles one-shot pipelines fine)."""
     assert num_hashes % num_bands == 0
-    rows_per_band = num_hashes // num_bands
 
     # two consumers (signatures + verify sets) → persist, same rationale
     # as text.ngram_jaccard_pairs
@@ -98,24 +264,7 @@ def minhash_near_dup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs = minhash_signatures(sh, num_hashes)
-
-    bands = sigs.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[
-                        F.col(f"h{b * rows_per_band + j}")
-                        for j in range(rows_per_band)
-                    ]).alias("bucket"),
-                )
-                for b in range(num_bands)
-            ])
-        ).alias("bb"),
-    ).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = band_rows(sigs, num_hashes, num_bands)
 
     a = bands.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc").alias("doc_b"), "band", "bucket")

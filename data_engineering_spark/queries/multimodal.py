@@ -191,3 +191,74 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame")).alias("sampled_bytes"),
     )
+
+
+@query(
+    "q_multimodal_wav",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+      FROM documents),
+    h AS (SELECT doc_id, t, length(t) AS n FROM a WHERE length(t) >= 1)
+    SELECT doc_id,
+           8000 AS sample_rate, 1 AS n_channels, 8 AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_max(list_transform(range(1, n + 1),
+                i -> abs(ord(substr(t, CAST(i AS INT), 1)) - 128)))
+             AS INT) AS peak
+    FROM h
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTABLE audio decode (no media library): each document's
+    printable-ASCII bytes become the PCM8 sample stream of a synthetic
+    8 kHz mono WAV, assembled byte-for-byte in JVM expressions (binary
+    concat + unhex little-endian header fields — no Python in the
+    build). decode_wav recovers rate/channels/frames/duration and the
+    exact integer peak amplitude, all oracle-checked; RMS is emitted by
+    the operator but excluded here (float mean is summation-order
+    dependent, the one non-portable field)."""
+    from data_engineering_spark.operators.multimodal import decode_wav
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            F.regexp_replace("text", "[^ -~]", "").alias("__a"),
+        )
+        .withColumn("__n", F.length("__a"))
+        .filter(F.col("__n") >= 1)
+    )
+
+    def le(v, width):
+        """little-endian `width`-byte binary of int expression v."""
+        bs = [
+            F.lpad(
+                F.hex(F.expr(f"shiftright({v}, {8 * i})") % 256), 2, "0"
+            )
+            for i in range(width)
+        ]
+        return F.unhex(F.concat(*bs))
+
+    ascii_ = lambda s: F.encode(F.lit(s), "utf-8")
+    payload = F.concat(
+        ascii_("RIFF"), le("__n + 36", 4), ascii_("WAVE"),
+        ascii_("fmt "), le("16", 4),
+        F.unhex(F.lit("0100")),          # PCM
+        F.unhex(F.lit("0100")),          # mono
+        le("8000", 4),                   # sample rate
+        le("8000", 4),                   # byte rate (8-bit mono)
+        F.unhex(F.lit("0100")),          # block align
+        F.unhex(F.lit("0800")),          # bits per sample
+        ascii_("data"), le("__n", 4),
+        F.encode(F.col("__a"), "utf-8"),
+    )
+    decoded = decode_wav(
+        base.select("doc_id", payload.alias("payload")), id_col="doc_id"
+    )
+    return decoded.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate", "n_channels", "bits", "n_frames", "duration_ms",
+        "peak",
+    )

@@ -668,3 +668,48 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept_blocks",
         F.sha2("clean_text", 256).alias("clean_sha"),
     )
+
+
+@query(
+    "q_doc_minhash_incremental",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           common * 1.0 / (na + nb - common) AS jaccard_r
+    FROM pairs
+    WHERE common * 1.0 / (na + nb - common) >= 0.6
+      AND (doc_a >= 400 OR doc_b >= 400)
+    """,
+)
+def q_doc_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH ingest: docs >= 400 arrive as the new
+    batch, the rest are the indexed corpus (the index is built here for
+    the test; in production it is read back from parquet). Candidates
+    come from the new batch's bands probed against the stored corpus
+    index — corpus text is only scanned semi-join-pruned to candidate
+    docs for the exact verify. Oracle = exact Jaccard pairs touching
+    the new batch (banding recall at 0.6 is ~1-1e-6, same argument as
+    q_doc_minhash_neardup)."""
+    from data_engineering_spark.operators.minhash import (
+        minhash_band_index,
+        minhash_incremental_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    index = minhash_band_index(corpus)
+    return minhash_incremental_pairs(new, corpus, index)

@@ -275,3 +275,34 @@ def test_decode_wav_pcm16_and_pcm8(spark):
     assert r2["rms_milli"] == 0 and r2["peak"] == 0
 
     assert out[3]["sample_rate"] is None and out[3]["n_frames"] is None
+
+
+def test_minhash_incremental_equals_full_run(spark):
+    """The incremental path (new batch vs stored band index) must find
+    exactly the full operator's pairs that touch the new batch — same
+    hash family, same banding, so candidates and verdicts agree
+    bit-for-bit."""
+    from data_engineering_spark.operators.minhash import (
+        minhash_band_index,
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    d = load_table(spark, SF, "documents")
+    corpus = d.filter(F.col("doc_id") < 350)
+    new = d.filter(F.col("doc_id") >= 350)
+
+    full = {
+        (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard_r"])
+        for r in minhash_near_dup_pairs(d).collect()
+    }
+    expected = {
+        k: v for k, v in full.items() if k[0] >= 350 or k[1] >= 350
+    }
+    index = minhash_band_index(corpus)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard_r"])
+        for r in minhash_incremental_pairs(new, corpus, index).collect()
+    }
+    assert got == expected
+    assert all(a >= 350 or b >= 350 for a, b in got)
