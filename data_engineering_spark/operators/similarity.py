@@ -496,6 +496,51 @@ def ivf_topk(
     multiply is needed and the plan stays pure JVM. Adds quantization
     error on top of probe misses; tests/test_properties.py bounds the
     combined recall.
+
+    This convenience form REBUILDS the index per call; production
+    pipelines build once with `build_ivf_index`, persist both frames
+    as parquet (partition assignments by __cluster), and serve every
+    query batch through `ivf_topk_from_index`.
+    """
+    centroids_df, assigned = build_ivf_index(
+        vectors, id_col, vec_col, n_clusters, seed, quantized, levels
+    )
+    return ivf_topk_from_index(
+        centroids_df,
+        assigned,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        k=k,
+        n_probe=n_probe,
+        driver_assign_limit=driver_assign_limit,
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    quantized: bool = False,
+    levels: int = 127,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent IVF index: one corpus scan + KMeans.
+
+    Returns (centroids, assignments):
+    - centroids: (cluster int, centroid array<double>) — n_clusters
+      rows, the coarse quantizer. Tiny; collected per query batch.
+    - assignments: (neighbor_id, __cluster, __cv) — or (…, __q) int8
+      codes when ``quantized`` (codes are computed at BUILD time, so
+      the stored index is the 4×-smaller artifact, not a runtime
+      projection).
+
+    Both are plain DataFrames: write them as parquet (partition
+    assignments by __cluster so a probe touches only its clusters'
+    files) and read them back for `ivf_topk_from_index` — the corpus
+    is never re-scanned or re-clustered per query batch.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -509,7 +554,52 @@ def ivf_topk(
         k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__cluster"
     ).fit(feat)
     assigned = model.transform(feat).drop("__fv")
+    if quantized:
+        # floor(x+0.5) rounding per the cross-engine rule in
+        # quantize_embeddings; per-vector scale cancels out of cosine
+        scale = F.array_max(F.transform(F.col("__cv"), lambda x: F.abs(x)))
+        codes = F.when(
+            scale == 0, F.transform(F.col("__cv"), lambda x: F.lit(0.0))
+        ).otherwise(
+            F.transform(
+                F.col("__cv"),
+                lambda x: F.floor(x / scale * levels + F.lit(0.5)).cast(
+                    "double"
+                ),
+            )
+        )
+        assigned = assigned.withColumn("__q", codes).drop("__cv")
     centroids = np.stack([c for c in model.clusterCenters()])
+    spark = vectors.sparkSession
+    centroids_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    return centroids_df, assigned
+
+
+def ivf_topk_from_index(
+    centroids_df: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 8,
+    driver_assign_limit: int = 65536,
+) -> DataFrame:
+    """Serve an IVF top-k query batch from a prebuilt index (see
+    build_ivf_index) — no KMeans, no corpus scan beyond the probed
+    clusters. Detects the SQ8 variant by the stored ``__q`` column.
+    Assignment-path selection and plan shape are identical to
+    ivf_topk's documentation."""
+    import numpy as np
+
+    cent_rows = sorted(
+        centroids_df.collect(), key=lambda r: r["cluster"]
+    )
+    centroids = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
 
     qframe = queries.select(
         F.col(id_col).alias(query_id_col),
@@ -523,7 +613,7 @@ def ivf_topk(
     if broadcast_probes:
         qpdf = qframe.toPandas()
         if not len(qpdf):
-            return vectors.sparkSession.createDataFrame(
+            return queries.sparkSession.createDataFrame(
                 [],
                 f"{query_id_col} long, rank int, neighbor_id long, "
                 "cosine_r double",
@@ -546,7 +636,7 @@ def ivf_topk(
             for i in range(len(qpdf))
             for c in np.argsort(d2[i], kind="stable")[:n_probe]
         ]
-        probes = vectors.sparkSession.createDataFrame(
+        probes = queries.sparkSession.createDataFrame(
             probe_rows, probe_schema
         )
     else:
@@ -556,22 +646,9 @@ def ivf_topk(
 
     from pyspark.sql import Window
 
-    if quantized:
-        # int8 codes replace the float vectors in the searched index;
-        # floor(x+0.5) rounding per the cross-engine rule in
-        # quantize_embeddings
-        scale = F.array_max(F.transform(F.col("__cv"), lambda x: F.abs(x)))
-        codes = F.when(
-            scale == 0, F.transform(F.col("__cv"), lambda x: F.lit(0.0))
-        ).otherwise(
-            F.transform(
-                F.col("__cv"),
-                lambda x: F.floor(x / scale * levels + F.lit(0.5)).cast(
-                    "double"
-                ),
-            )
-        )
-        assigned = assigned.withColumn("__q", codes).drop("__cv")
+    # the stored index carries either float vectors (__cv) or int8
+    # codes (__q, the SQ8 build) — scoring switches on what was built
+    if "__q" in assignments.columns:
         score = cosine(F.col("__q"), F.col("__qv"))
     else:
         score = cosine(F.col("__qv"), F.col("__cv"))
@@ -580,7 +657,7 @@ def ivf_topk(
     # hot cluster, and n_clusters should be sized >= target parallelism
     probe_side = F.broadcast(probes) if broadcast_probes else probes
     scored = (
-        assigned.join(probe_side, "__cluster")
+        assignments.join(probe_side, "__cluster")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn("cosine", score)
     )

@@ -73,6 +73,9 @@ def test_no_python_in_relational_hot_path(spark):
         "q_embedding_lsh_join",
         # IVF probes are assigned driver-side/numpy by design
         "q_embedding_ivf_topk",
+        # WAV decode is an Arrow-batched binary parser (mapInPandas) —
+        # the payload build around it stays JVM
+        "q_multimodal_wav",
     }
     for name, fn in QUERIES.items():
         if name in ARROW_BATCH_OK:

@@ -282,3 +282,42 @@ def test_ivf_topk_sq8_tracks_float_path(spark):
     assert len(overlap) / len(fl) >= 0.8, (len(overlap), len(fl))
     for key in overlap:
         assert abs(fl[key] - q8[key]) < 0.02, (key, fl[key], q8[key])
+
+
+def test_ivf_index_parquet_roundtrip_matches_direct(spark, tmp_path):
+    """Index-persistence contract: build_ivf_index written to parquet
+    and read back must serve identical results to the one-shot
+    ivf_topk (both float and SQ8 variants) — the corpus is clustered
+    once, not per query batch."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    for quantized in (False, True):
+        want = sorted(
+            map(tuple, ivf_topk(e, q, k=5, quantized=quantized).collect())
+        )
+        cents, assigned = build_ivf_index(e, quantized=quantized)
+        cdir = str(tmp_path / f"cent_{quantized}")
+        adir = str(tmp_path / f"assign_{quantized}")
+        cents.write.parquet(cdir)
+        assigned.write.partitionBy("__cluster").parquet(adir)
+        got = sorted(
+            map(
+                tuple,
+                ivf_topk_from_index(
+                    spark.read.parquet(cdir),
+                    spark.read.parquet(adir),
+                    q,
+                    k=5,
+                ).collect(),
+            )
+        )
+        assert got == want, f"quantized={quantized}"
