@@ -783,3 +783,80 @@ def span_dedup(
     out = result.localCheckpoint(eager=True)
     blocks.unpersist()
     return out
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    mean_tokens: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/Rabin recipe at token
+    granularity): a chunk boundary falls AFTER any position whose
+    `window`-token context hashes to 0 mod `mean_tokens` — so
+    boundaries are a pure function of local content. Unlike fixed-size
+    chunking, inserting a paragraph shifts only the chunks that touch
+    it: every later chunk re-aligns on the same content boundaries,
+    which is what makes downstream exact-dedup of chunks effective
+    (the backup-dedup property, applied to training-data text).
+
+    Output: (doc, chunk_id, n_tokens, chunk_text); expected chunk
+    length ≈ mean_tokens. Portable md5-based boundary hash so a SQL
+    oracle reproduces boundaries bit-for-bit.
+
+    Plan: positional windows (posexplode + lead, linear — see
+    dup_span_stats), per-doc cumulative boundary count (one keyed
+    window), per-chunk reassembly (one keyed shuffle). No Python.
+    """
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.sketches import uniform_hash60
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    )
+    wspec = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [
+        F.lead("w", j).over(wspec) for j in range(1, window)
+    ]
+    ctx = F.when(
+        F.lead("w", window - 1).over(wspec).isNotNull(),
+        F.concat_ws(" ", *parts),
+    )
+    # boundary AFTER pos when the full window context hashes to 0
+    # (positions too close to the end never cut — same as FastCDC's
+    # minimum-tail rule)
+    marked = tok.select(
+        "doc",
+        "pos",
+        "w",
+        F.when(
+            ctx.isNotNull()
+            & (F.pmod(uniform_hash60(ctx), F.lit(mean_tokens)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("__cut"),
+    )
+    # chunk id = boundaries strictly BEFORE this position
+    chunked = marked.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("__cut").over(
+                wspec.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return chunked.groupBy("doc", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -646,3 +646,67 @@ def q_doc_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("clean_text", 256).alias("clean_sha"),
         "keep",
     )
+
+
+@query(
+    "q_doc_length_outliers",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n
+      FROM documents),
+    dist AS (SELECT n, COUNT(*) AS c FROM t GROUP BY n),
+    tot AS (SELECT SUM(c) AS total FROM dist),
+    cum AS (
+      SELECT n, SUM(c) OVER (ORDER BY n) AS cm, total
+      FROM dist, tot),
+    f AS (
+      SELECT MIN(CASE WHEN 4 * cm >= total THEN n END) AS q1,
+             MIN(CASE WHEN 4 * cm >= 3 * total THEN n END) AS q3
+      FROM cum)
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(f.q1 AS BIGINT) AS q1, CAST(f.q3 AS BIGINT) AS q3,
+           (2 * t.n < 2 * f.q1 - 3 * (f.q3 - f.q1)
+            OR 2 * t.n > 2 * f.q3 + 3 * (f.q3 - f.q1)) AS is_outlier
+    FROM t, f
+    """,
+)
+def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence length-outlier flags with EXACT discrete quartiles:
+    q1/q3 are the smallest token counts whose cumulative frequency
+    reaches 1/4 and 3/4 of the corpus (integer comparisons — no
+    interpolation, whose index arithmetic differs between engines),
+    and the 1.5·IQR fences are evaluated as 2n < 2q1 − 3(q3−q1) so
+    everything stays integral. The quantile pass runs over the token-
+    count DISTRIBUTION (distinct lengths — tiny at any corpus size),
+    never a global sort of documents; fences broadcast back."""
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count("text").alias("n"))
+    dist = t.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.withColumn("cm", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy())
+    )
+    fences = cum.select(
+        F.min(F.when(4 * F.col("cm") >= F.col("total"), F.col("n"))).alias(
+            "q1"
+        ),
+        F.min(
+            F.when(4 * F.col("cm") >= 3 * F.col("total"), F.col("n"))
+        ).alias("q3"),
+    )
+    iqr3 = 3 * (F.col("q3") - F.col("q1"))
+    return t.crossJoin(F.broadcast(fences)).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("q3").cast("long").alias("q3"),
+        (
+            (2 * F.col("n") < 2 * F.col("q1") - iqr3)
+            | (2 * F.col("n") > 2 * F.col("q3") + iqr3)
+        ).alias("is_outlier"),
+    )

@@ -713,3 +713,49 @@ def q_doc_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") >= 400)
     index = minhash_band_index(corpus)
     return minhash_incremental_pairs(new, corpus, index)
+
+
+@query(
+    "q_doc_cdc_chunks",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, len(t) AS n,
+             CAST(unnest(range(1, len(t) + 1)) AS INT) AS pos, t
+      FROM tok),
+    marked AS (
+      SELECT doc_id, pos, t[pos] AS w,
+             CASE WHEN pos + 3 <= n
+                   AND CAST('0x' || substr(md5(
+                         t[pos] || ' ' || t[pos+1] || ' ' || t[pos+2]
+                         || ' ' || t[pos+3]), 1, 15) AS BIGINT) % 16 = 0
+                  THEN 1 ELSE 0 END AS cut
+      FROM pos),
+    chunked AS (
+      SELECT doc_id, pos, w,
+             CAST(COALESCE(SUM(cut) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS INT) AS chunk_id
+      FROM marked)
+    SELECT doc_id AS doc, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           sha256(string_agg(w, ' ' ORDER BY pos)) AS chunk_sha
+    FROM chunked GROUP BY doc_id, chunk_id
+    """,
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC at token granularity): chunk
+    boundaries fall where the 4-token context hashes to 0 mod 16, so an
+    edit shifts only the chunks it touches — the dedup-friendly
+    chunking property. Boundary hash is the portable md5-60bit, so the
+    oracle reproduces every boundary; chunk text verified by sha256."""
+    d = load_table(spark, sf_dir, "documents")
+    out = X.content_defined_chunks(d, "doc_id", "text", window=4,
+                                   mean_tokens=16)
+    return out.select(
+        "doc", "chunk_id", "n_tokens",
+        F.sha2("chunk_text", 256).alias("chunk_sha"),
+    )

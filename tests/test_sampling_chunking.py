@@ -136,3 +136,41 @@ def test_pack_chunks_strict_sharded(spark):
     for r in out:
         pos.setdefault(r["pack_id"], []).append(r["pack_pos"])
     assert all(sorted(v) == list(range(len(v))) for v in pos.values())
+
+
+def test_content_defined_chunks_realign_after_edit(spark):
+    """The dedup-friendly property: prepending tokens to a document
+    shifts only the leading chunk(s) — once the rolling boundary
+    re-synchronizes, every later chunk is byte-identical to the
+    original's, so chunk-level exact dedup still collapses the shared
+    tail. (Fixed-size chunking would shift EVERY chunk.)"""
+    import random
+
+    from data_engineering_spark.operators.text import (
+        content_defined_chunks,
+    )
+
+    rng = random.Random(7)
+    words = [f"w{rng.randint(0, 500)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = "inserted preamble tokens " + original
+
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id long, text string"
+    )
+    out = content_defined_chunks(df, mean_tokens=16)
+    chunks = {1: [], 2: []}
+    for r in out.collect():
+        chunks[r["doc"]].append((r["chunk_id"], r["chunk_text"]))
+    a = [t for _, t in sorted(chunks[1])]
+    b = [t for _, t in sorted(chunks[2])]
+    # token counts reassemble exactly
+    assert " ".join(a) == original and " ".join(b) == edited
+    # the shared tail re-aligns: a long common chunk suffix survives
+    common_suffix = 0
+    for x, y in zip(reversed(a), reversed(b)):
+        if x != y:
+            break
+        common_suffix += 1
+    assert common_suffix >= max(len(a) - 2, 1), (len(a), len(b),
+                                                 common_suffix)
