@@ -261,6 +261,31 @@ def c4_line_filter(
     )
 
 
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for dedup keying (the crawl-pipeline rule
+    set): lowercase scheme+host, drop the fragment, strip utm_*
+    tracking parameters, clean dangling separators. Path/query case is
+    preserved (case-significant on most servers). Pure regexp
+    expressions — patterns are RE2-safe (capture groups, no
+    lookaround/backreference matches) so a DuckDB oracle applies the
+    identical rules.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    rest = F.regexp_replace(rest, r"([?&])utm_[^&#]*&?", r"$1")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    return F.when(
+        scheme == "", u  # not a URL shape: pass through untouched
+    ).otherwise(F.concat(scheme, F.lit("://"), host, rest))
+
+
 def cap_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -710,3 +710,131 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (2 * F.col("n") > 2 * F.col("q3") + iqr3)
         ).alias("is_outlier"),
     )
+
+
+@query(
+    "q_doc_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+             || '.COM/Article/' || CAST(doc_id AS VARCHAR)
+             || '?utm_source=feed&ref=' || CAST(doc_id % 13 AS VARCHAR)
+             || '&utm_campaign=x#section-' || CAST(doc_id % 3 AS VARCHAR)
+               AS url
+      FROM documents),
+    c AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+             regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
+                 '([?&])utm_[^&#]*&?', '\\1', 'g'),
+                 '\\?&', '?', 'g'),
+                 '[?&]$', '', 'g') AS rest
+      FROM u)
+    SELECT doc_id, url,
+           scheme || '://' || host || rest AS canonical,
+           COUNT(*) OVER (PARTITION BY scheme || '://' || host || rest)
+             > 1 AS shares_canonical
+    FROM c
+    """,
+)
+def q_doc_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup: deterministic synthetic
+    URLs (mixed-case host, utm_* tracking params, fragments) are
+    canonicalized — lowercase scheme+host, tracking params stripped,
+    fragment dropped, path case preserved — and flagged when multiple
+    raw URLs collapse to one canonical key. RE2-safe regex rules,
+    identical in both engines."""
+    from data_engineering_spark.operators.filters import canonical_url
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM/Article/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&ref="),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit("&utm_campaign=x#section-"),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("url"),
+    )
+    c = u.withColumn("canonical", canonical_url("url"))
+    w = Window.partitionBy("canonical")
+    return c.select(
+        "doc_id",
+        "url",
+        "canonical",
+        (F.count(F.lit(1)).over(w) > 1).alias("shares_canonical"),
+    )
+
+
+@query(
+    "q_doc_normalize",
+    oracle="""
+    WITH salted AS (
+      SELECT doc_id,
+             '  Caf' || chr(233) || '  ' || text || '   THE  END...  '
+               AS raw
+      FROM documents),
+    n AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                 translate(lower(raw),
+                           chr(224)||chr(225)||chr(232)||chr(233)
+                           ||chr(236)||chr(237)||chr(242)||chr(243)
+                           ||chr(249)||chr(250), 'aaeeiioouu'),
+                 '[^ -~]', '', 'g'),
+                 '[.]{2,}', '.', 'g'),
+                 '[ '||chr(9)||chr(10)||chr(13)||']+', ' ', 'g'))
+               AS clean
+      FROM salted)
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS raw_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           sha256(clean) AS clean_sha
+    FROM n
+    """,
+)
+def q_doc_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization battery (corpus cleaning pass): lowercase,
+    fold common accented vowels, strip non-printable/non-ASCII,
+    collapse ellipsis runs, collapse whitespace, trim — applied to
+    documents salted with messy affixes (accents, double spaces,
+    trailing '...'), sha256-verified. One shuffle-free projection;
+    every rule is an RE2-safe regexp or translate, identical across
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  Café  "), F.col("text"), F.lit("   THE  END...  ")
+    )
+    accents = "àáèéìíòóùú"
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.translate(F.lower(raw), accents, "aaeeiioouu"),
+                    r"[^ -~]",
+                    "",
+                ),
+                r"[.]{2,}",
+                ".",
+            ),
+            "[ \t\n\r]+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("raw_len"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.sha2(clean, 256).alias("clean_sha"),
+    )

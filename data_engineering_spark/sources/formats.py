@@ -21,6 +21,7 @@ safe at scale:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SUPPORTED = ("parquet", "orc", "csv", "json", "text")
@@ -162,3 +163,47 @@ def read_binary_documents(
         F.col("modificationTime").alias("mod_time"),
         F.col("content").alias("payload"),
     )
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with a dead-letter channel: PERMISSIVE
+    parse against the explicit schema, corrupt lines captured via
+    `columnNameOfCorruptRecord` and returned separately instead of
+    failing the job (FAILFAST, `read_table`'s default policy) or
+    silently becoming NULL islands.
+
+    Returns (good, quarantined): `good` has exactly `schema`'s
+    columns; `quarantined` is (raw_line) for reprocessing — the same
+    philosophy as the CDC envelope quarantine. The split is one cached
+    scan, two filters; schema is still explicit (no inference pass).
+    """
+    corrupt = "__corrupt_record"
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    df = (
+        spark.read.format("json")
+        .options(
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord=corrupt,
+            **options,
+        )
+        .schema(full)
+        .load(path)
+        # PERMISSIVE JSON requires caching/materializing before
+        # filtering on the corrupt column (Spark raises
+        # AnalysisException on corrupt-column-only queries otherwise)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad

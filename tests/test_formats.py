@@ -162,3 +162,26 @@ def test_read_binary_documents_feeds_wav_decode(spark, tmp_path):
     assert out[8000]["n_frames"] == 80
     assert out[16000]["n_frames"] == 320
     assert out[16000]["duration_ms"] == 320 * 1000 // 16000
+
+
+def test_read_json_with_quarantine(spark, tmp_path):
+    from data_engineering_spark.sources.formats import (
+        read_json_with_quarantine,
+    )
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "NOT_A_NUMBER_{", "v": []}\n'
+    )
+    good, bad = read_json_with_quarantine(
+        spark, str(p), "id bigint, v string"
+    )
+    assert sorted((r["id"], r["v"]) for r in good.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    bad_lines = sorted(r["raw_line"] for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert any("not json" in l for l in bad_lines)
