@@ -43,6 +43,10 @@ HEADLINE = [
     "q_doc_dedup_clusters",
     "q_semi_reduced_revenue",
     "q_reconcile_drift",
+    # round-4 operators: span-dedup transform and content-defined
+    # chunking (both reassemble documents — the heavier text shapes)
+    "q_doc_span_dedup",
+    "q_doc_cdc_chunks",
 ]
 
 
@@ -160,8 +164,26 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # the near-dup/span operators persist shared subtrees and the
+        # CC loop localCheckpoints per round; across 2×N timed runs
+        # those blocks accumulate until the block manager thrashes
+        # (measured: random multi-second stalls late in the bench).
+        # clearCache drops catalog-tracked caches; the JVM GC nudge
+        # runs the ContextCleaner, which is what actually frees
+        # checkpoint/broadcast blocks whose Python references are gone.
+        # Each query still builds and uses its own cache INSIDE its
+        # timed runs — this only removes cross-query interference.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
     bench_cdc_ingest(spark, warm_dir)  # warm the CDC pipeline shapes too
-    timings["cdc_ingest_pipeline"] = bench_cdc_ingest(spark, sf_dir)
+    # best-of-2, same as the queries: a single timed run is exposed to
+    # multi-second JIT/GC stalls that have nothing to do with the plan
+    timings["cdc_ingest_pipeline"] = min(
+        bench_cdc_ingest(spark, sf_dir), bench_cdc_ingest(spark, sf_dir)
+    )
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -58,10 +58,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed with min(self, min(neighbor)) — the first propagation round
+    # comes free inside the init aggregate (one round fewer in the loop)
     labels = (
-        e.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
+        e.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("component"))
+        .select(F.col("u").alias("vertex"), "component")
         .localCheckpoint(eager=True)
     )
 

@@ -56,6 +56,7 @@ def timings(spark):
             ).save()
             best = min(best, time.perf_counter() - t0)
         out[name] = best
+        spark.catalog.clearCache()  # same rationale as bench.py
     return out
 
 
