@@ -37,7 +37,11 @@ from data_engineering_spark.cdc.schema_evolution import (
     partition_transform_column,
 )
 from data_engineering_spark.operators.dedup import keep_last, keep_last_agg
-from data_engineering_spark.operators.merge import MergeTable, with_retry
+from data_engineering_spark.operators.merge import (
+    MergeTable,
+    MergeTableMOR,
+    with_retry,
+)
 
 
 @dataclass
@@ -60,6 +64,14 @@ class LakeConfig:
     # cleanly.
     merge_attempts: int = 10
     merge_retry_sleep_s: float = 10.0
+    # Storage backend for keyed tables: "cow" rewrites touched
+    # partitions per merge (read-optimized; the reference's shape);
+    # "mor" appends one delta per batch and resolves at read
+    # (write-optimized — O(batch) ingest for update-heavy streams;
+    # run MergeTableMOR.compact() as maintenance). Keyless tables are
+    # plain appends either way. Equivalence: tests/test_mor.py +
+    # test_cdc_backend_equivalence.
+    backend: str = "cow"
     # Tables processed concurrently within one micro-batch. Spark job
     # submission is thread-safe and per-table merges are independent
     # (disjoint target paths), so a multi-table topic-pattern batch
@@ -99,15 +111,25 @@ class CdcEngine:
         name: str,
         key_columns: list[str],
         partition_by: str | None = None,
-    ) -> MergeTable:
+    ):
         t = self.tables.get(name)
         if t is None:
-            t = MergeTable(
-                self.spark,
-                self.table_path(name),
-                key_columns,
-                partition_by=partition_by,
-            )
+            # keyless tables are plain appends — MOR delta resolution
+            # has nothing to resolve, so they use the COW class either way
+            if self.config.backend == "mor" and key_columns:
+                t = MergeTableMOR(
+                    self.spark,
+                    self.table_path(name),
+                    key_columns,
+                    ts_guard=self.config.ts_guard,
+                )
+            else:
+                t = MergeTable(
+                    self.spark,
+                    self.table_path(name),
+                    key_columns,
+                    partition_by=partition_by,
+                )
             self.tables[name] = t
         return t
 
@@ -266,8 +288,15 @@ class CdcEngine:
         # (:281-292); this is also what makes the non-durable
         # localCheckpoint staging in MergeTable safe under executor loss
         batch = stamped
+        if isinstance(table, MergeTableMOR):
+            # ts_guard is table-level for MOR (resolution order at read)
+            merge_fn = lambda: table.merge(batch)  # noqa: E731
+        else:
+            merge_fn = lambda: table.merge(  # noqa: E731
+                batch, ts_guard=self.config.ts_guard
+            )
         with_retry(
-            lambda: table.merge(batch, ts_guard=self.config.ts_guard),
+            merge_fn,
             attempts=self.config.merge_attempts,
             sleep_s=self.config.merge_retry_sleep_s,
         )

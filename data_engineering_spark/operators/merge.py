@@ -358,3 +358,131 @@ class MergeTable:
             )
         if staging_in is not None:
             shutil.rmtree(staging_in, ignore_errors=True)
+
+
+class MergeTableMOR:
+    """Merge-on-read twin of MergeTable (Iceberg's MOR mode, re-created
+    for the parquet core; reference :243-292 is COW-only).
+
+    Write path: `merge` appends the LWW-compacted batch as ONE delta
+    file — no read of the base, no rewrite, so ingest cost is O(batch)
+    regardless of how many partitions the batch touches. The COW
+    backend's merge cost is O(touched partitions); under update-heavy
+    streams that rewrite amplification dominates, which is exactly the
+    workload MOR exists for.
+
+    Read path: base ∪ deltas → keep-last per key → drop deletes. The
+    per-key order is (delta_seq) for reference parity (later batch
+    wins unconditionally, matching COW ts_guard=False) or
+    (__ts_ms, delta_seq) when ``ts_guard`` (newer-wins, matching COW
+    ts_guard=True). Base rows participate with seq = -1, so one
+    keep-last expresses the whole resolution — and `read` is
+    semantically IDENTICAL to the COW backend's table state after the
+    same batches (equivalence-tested in tests/test_mor.py).
+
+    Read cost grows with the delta count; `compact` folds deltas into
+    a new base (the background maintenance job at scale — trigger on
+    `delta_count()` or delta bytes). Schema evolution: deltas may
+    carry new columns; the union is by name with NULL back-fill.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_columns: Sequence[str],
+        ts_guard: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_columns = list(key_columns)
+        self.ts_guard = ts_guard
+
+    @property
+    def base_path(self) -> str:
+        return os.path.join(self.path, "base")
+
+    @property
+    def delta_dir(self) -> str:
+        return os.path.join(self.path, "_deltas")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.base_path)
+
+    def _delta_paths(self) -> list[str]:
+        import glob
+
+        return sorted(
+            glob.glob(os.path.join(self.delta_dir, "delta-*"))
+        )
+
+    def delta_count(self) -> int:
+        return len(self._delta_paths())
+
+    def create(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.base_path)
+
+    def merge(self, source: DataFrame, op_col: str = "__op") -> None:
+        """Append the batch as one delta (source must be pre-compacted
+        to one row per key, as the CDC pipeline guarantees)."""
+        if not self.exists():
+            self.create(source.filter(F.col(op_col) != DELETE_OP))
+            return
+        seq = len(self._delta_paths())
+        dest = os.path.join(self.delta_dir, f"delta-{seq:010d}")
+        source.write.mode("overwrite").parquet(dest)
+
+    def read(
+        self, op_col: str = "__op", ts_col: str = "__ts_ms"
+    ) -> DataFrame:
+        from functools import reduce
+
+        from data_engineering_spark.operators.dedup import keep_last_agg
+
+        base = self.spark.read.parquet(self.base_path).withColumn(
+            "__delta_seq", F.lit(-1)
+        )
+        deltas = [
+            self.spark.read.parquet(p).withColumn("__delta_seq", F.lit(i))
+            for i, p in enumerate(self._delta_paths())
+        ]
+        if not deltas:
+            out = base
+        else:
+            out = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                [base, *deltas],
+            )
+        if op_col not in out.columns:
+            out = out.withColumn(op_col, F.lit("r"))
+        order = (
+            (ts_col, ["__delta_seq"])
+            if self.ts_guard
+            else ("__delta_seq", [])
+        )
+        resolved = keep_last_agg(
+            out, self.key_columns, order[0], tiebreakers=order[1]
+        )
+        return resolved.filter(F.col(op_col) != DELETE_OP).drop(
+            "__delta_seq"
+        )
+
+    def compact(self) -> int:
+        """Fold all deltas into a new base (atomic swap); returns the
+        number of deltas folded. The MOR maintenance job: run when
+        delta_count()/bytes crosses a threshold so read amplification
+        stays bounded."""
+        paths = self._delta_paths()
+        if not paths:
+            return 0
+        staging = os.path.join(
+            tempfile.gettempdir(), f"mor-compact-{uuid.uuid4().hex}"
+        )
+        self.read().write.parquet(staging)
+        old = f"{self.base_path}.old-{uuid.uuid4().hex}"
+        os.replace(self.base_path, old)
+        shutil.move(staging, self.base_path)
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(paths)
