@@ -48,16 +48,20 @@ def connected_components(
     # convergence action replans the whole history — measured driver
     # heap OOM at sf0.01 without truncation. Checkpointing each round's
     # labels keeps the plan depth constant.
+    # materialize ONE direction first: unioning two selects over an
+    # expensive, uncached edge source would execute its whole subtree
+    # twice inside a single job (both union branches scan before any
+    # persist block exists — measured 2x the pair-pipeline cost). The
+    # checkpointed one-direction frame is then mirrored for free.
+    e1 = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(
-            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-        )
-        .union(
-            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-        )
+        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e1.unpersist(blocking=False)
     # seed with min(self, min(neighbor)) — the first propagation round
     # comes free inside the init aggregate (one round fewer in the loop)
     labels = (
@@ -66,6 +70,21 @@ def connected_components(
         .select(F.col("u").alias("vertex"), "component")
         .localCheckpoint(eager=True)
     )
+
+    # checkpoint hygiene: localCheckpoint blocks are NOT catalog-tracked
+    # (clearCache can't free them) and a loop that leaves one per round
+    # accumulates block-manager pressure across calls — measured as
+    # multi-second degradation on repeated runs in one session. Track
+    # superseded checkpoints and drop their blocks as soon as the next
+    # round is materialized; only the returned labels frame stays alive.
+    prev_ckpt: DataFrame | None = labels
+
+    def _release(df: DataFrame | None) -> None:
+        if df is not None:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
 
     for _ in range(max_iter):
         # step 1 — edge propagation: for each vertex, min label among
@@ -110,8 +129,13 @@ def connected_components(
         changed = jumped.filter(
             F.col("component") != F.col("__old")
         ).count()
+        # the previous round's checkpoint (and, first round, the init
+        # labels) are superseded now that `jumped` is materialized
+        _release(prev_ckpt)
+        prev_ckpt = jumped
         labels = jumped.select("vertex", "component")
         if changed == 0:
+            _release(e)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"

