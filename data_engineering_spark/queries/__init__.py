@@ -6,9 +6,11 @@ Importing this package registers every query + oracle into
 
 from data_engineering_spark.queries import (  # noqa: F401
     collections,
+    events_analytics,
     events_cdc,
     llm_filters,
     multimodal,
+    profiling,
     prune_skew,
     reconcile,
     relational,
@@ -20,6 +22,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational7,
     relational8,
     sampling,
+    scd,
     similarity,
     text,
     timeseries,
