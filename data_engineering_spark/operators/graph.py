@@ -20,7 +20,7 @@ the corpus is touched only by the final label join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -164,3 +164,139 @@ def dedup_clusters(
             (F.col("vertex") == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def degrees(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Undirected degree per vertex: (vertex, degree). One union of
+    the two endpoint projections + one aggregation."""
+    ends = edges.select(F.col(src_col).alias("vertex")).unionAll(
+        edges.select(F.col(dst_col).alias("vertex"))
+    )
+    return ends.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Total triangle count of the undirected simple graph.
+
+    Classic oriented-wedge plan: orient every edge small->large, join
+    wedges (u<v<w with u-v, v-w) against the edge set to close them.
+    Each triangle is counted exactly once because its three vertices
+    admit exactly one increasing orientation. Two shuffles on vertex
+    ids; wedge volume is Σ out_degree² — the orientation caps
+    out-degree by total degree order, the standard skew bound
+    (high-degree hubs get LOW out-degree), which is what makes this
+    survive power-law graphs at scale.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    w = e.select(F.col("u").alias("a"), F.col("v").alias("b")).join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b"
+    )
+    closed = w.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    return closed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Weighted PageRank with a fixed iteration count.
+
+    Returns (vertex, rank); ranks sum to 1 (dangling + teleport mass
+    is redistributed uniformly each round). Fixed n_iter rather than a
+    convergence probe — the only per-round action is the checkpoint
+    materialization itself; the global residual scalar rides into the
+    update as a broadcast one-row cross join, never a driver collect.
+    Same localCheckpoint hygiene as connected_components (lineage
+    truncated, superseded blocks released).
+    """
+    verts = (
+        edges.select(F.col(src_col).alias("vertex"))
+        .union(edges.select(F.col(dst_col).alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    wcol = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    out = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            wcol.alias("w"),
+        )
+        .withColumn("w_tot", F.sum("w").over(Window.partitionBy("src")))
+        .withColumn("frac", F.col("w") / F.col("w_tot"))
+        .select("src", "dst", "frac")
+        .localCheckpoint(eager=True)
+    )
+    ranks = verts.select(
+        "vertex", (F.lit(1.0) / F.lit(float(n))).alias("rank")
+    ).localCheckpoint(eager=True)
+    prev = ranks
+    for _ in range(n_iter):
+        contrib = (
+            out.join(ranks, out["src"] == ranks["vertex"])
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("rank") * F.col("frac")).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        # dangling + teleport mass: (1 - damping*flowed)/n, carried as
+        # a broadcast one-row frame so the whole round is ONE job
+        residual = contrib.agg(
+            (
+                (F.lit(1.0) - F.lit(damping) * F.coalesce(F.sum("c"), F.lit(0.0)))
+                / F.lit(float(n))
+            ).alias("__res")
+        )
+        ranks = (
+            verts.join(contrib, "vertex", "left")
+            .crossJoin(F.broadcast(residual))
+            .select(
+                "vertex",
+                (
+                    F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                    + F.col("__res")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+        prev = ranks
+    out.unpersist(blocking=False)
+    return ranks

@@ -8,6 +8,8 @@ from data_engineering_spark.queries import (  # noqa: F401
     collections,
     events_analytics,
     events_cdc,
+    graph,
+    linkage,
     llm_filters,
     multimodal,
     profiling,

@@ -1,0 +1,101 @@
+"""Graph-analytics queries over the near-dup pair graph
+(oracle-checked where deterministic).
+
+The edge set is the exact n-gram-Jaccard pair list — the same
+`_PAIRS_CTE` SQL the cluster query uses — so graph statistics are
+cross-checked end-to-end: Spark computes pairs AND the statistic; the
+oracle recomputes both from scratch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.graph import (
+    degrees,
+    pagerank,
+    triangle_count,
+)
+from data_engineering_spark.operators.text import ngram_jaccard_pairs
+from data_engineering_spark.queries.llm_filters import _PAIRS_CTE
+from data_engineering_spark.registry import query
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.6)
+
+
+@query(
+    "q_doc_dup_graph_degrees",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    ends AS (
+      SELECT doc_a AS vertex FROM dup
+      UNION ALL SELECT doc_b FROM dup),
+    deg AS (
+      SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM ends GROUP BY 1)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY 1
+    """,
+)
+def q_dup_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-duplicate graph — the shape probe
+    that tells a dedup pipeline whether it is looking at scattered
+    pairs or a boilerplate hub before it commits to clustering."""
+    deg = degrees(_pairs(spark, sf_dir))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices")
+    )
+
+
+@query(
+    "q_doc_dup_triangles",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    ed AS (
+      SELECT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+      FROM dup WHERE doc_a <> doc_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM ed e1
+    JOIN ed e2 ON e1.v = e2.u
+    WHERE EXISTS (
+      SELECT 1 FROM ed e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+    """,
+)
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the near-dup graph (oriented-wedge join,
+    operators/graph.triangle_count): high triangle density means the
+    pair threshold found genuine clusters, near-zero means noise. The
+    orientation trick bounds wedge skew at scale."""
+    return triangle_count(_pairs(spark, sf_dir))
+
+
+@query("q_events_pagerank")
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph (edges =
+    q_events_transitions counts): which event states dominate the
+    user-behavior Markov chain. Float fixed-point iteration is
+    engine-specific by nature -> rows-only check (the operator's exact
+    math is pytest-verified against a numpy power iteration)."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pr = pagerank(edges, "src", "dst", weight_col="n", n_iter=10)
+    return pr.select(
+        F.col("vertex").alias("event_type"),
+        F.round("rank", 6).alias("rank_r"),
+    ).orderBy("event_type")
