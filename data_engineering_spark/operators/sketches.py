@@ -72,3 +72,71 @@ def kmv_distinct(
         .otherwise(F.lit(float(k - 1) * HASH_SPACE) / F.max("__hv"))
         .alias("est_distinct"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float,
+) -> DataFrame:
+    """EXACT frequent items: every value of `col` whose count is
+    >= phi * N (N = total rows), with its exact count — computed
+    without shuffling the full key space.
+
+    Two phases (the Misra-Gries candidate / exact-verify pattern):
+
+      1. per-partition Misra-Gries with k = ceil(2/phi) counters in an
+         Arrow-batched `mapInPandas` — any globally phi-heavy value is
+         locally phi-heavy in at least one partition (weighted-average
+         pigeonhole), and MG with k >= 1/phi counters never evicts a
+         locally phi-heavy item, so the candidate set has NO false
+         negatives (the extra 2x is margin for the boundary case).
+      2. exact counts of candidate values only: broadcast-semi-join the
+         corpus down to candidate rows, one aggregation over them.
+
+    The shuffle carries candidate rows only — at most ~2P/phi distinct
+    candidate VALUES regardless of key cardinality, versus a plain
+    GROUP BY whose shuffle is the full distinct key space. Output:
+    (value, cnt), both exact.
+    """
+    if not (0.0 < phi < 1.0):
+        raise ValueError("phi must be in (0, 1)")
+    k = max(1, int(2.0 / phi) + 1)
+    src = df.select(F.col(col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all: drop zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"v": list(counters.keys())})
+
+    cands = (
+        src.mapInPandas(mg, "v string")
+        .distinct()
+    )
+    n_total = df.count()
+    exact = (
+        src.join(F.broadcast(cands), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return exact.filter(
+        F.col("cnt") >= F.lit(float(phi)) * F.lit(float(n_total))
+    ).select(F.col("v").alias("value"), "cnt")

@@ -15,6 +15,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     profiling,
     prune_skew,
     reconcile,
+    resample,
     relational,
     relational2,
     relational3,

@@ -1,0 +1,180 @@
+"""Heavy hitters, time-series resampling, robust outliers, unpivot
+(oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.sketches import heavy_hitters
+from data_engineering_spark.operators.text import tokens
+from data_engineering_spark.registry import dsum, query
+
+
+@query(
+    "q_doc_heavy_hitter_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS v
+      FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY v
+    HAVING COUNT(*) >= 0.002 * (SELECT n FROM tot)
+    """,
+)
+def q_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi=0.002 frequent terms via the two-phase Misra-Gries
+    pattern (operators/sketches.heavy_hitters): per-partition MG
+    candidates (no false negatives by the pigeonhole guarantee), then
+    exact counts of candidate rows only — the shuffle never carries
+    the full vocabulary, unlike the oracle's plain GROUP BY."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("term"))
+    return heavy_hitters(tok, "term", phi=0.002)
+
+
+@query(
+    "q_events_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS mn,
+             date_trunc('day', max(ts)) AS mx
+      FROM events GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+               AS day
+      FROM bounds),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, value
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, date_trunc('day', ts)
+              ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1)
+    SELECT g.user_id, CAST(g.day AS DATE) AS day,
+           last_value(d.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day) AS value_ff
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user DAILY grid from first to
+    last activity (sequence + explode — no driver loop), left-joined
+    with each day's last observation, gaps forward-filled with
+    last_value(ignoreNulls). The standard feature-engineering
+    resample; grid generation is executor-side row expansion."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("mn"),
+        F.date_trunc("day", F.max("ts")).alias("mx"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    wlast = Window.partitionBy(
+        "user_id", F.date_trunc("day", "ts")
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    daily = (
+        e.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+        )
+    )
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("date").alias("day"),
+            F.last("value", ignorenulls=True).over(wff).alias("value_ff"),
+        )
+    )
+
+
+@query(
+    "q_events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value,
+             abs(e.value - med.m) AS ad
+      FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS md
+      FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad USING (event_type)
+    WHERE d.ad > 2.5 * 1.4826 * mad.md
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: modified z-score on the
+    median absolute deviation (exact interpolated medians — Spark
+    `percentile` == DuckDB `quantile_cont`). Unlike mean/stddev
+    fences, the MAD fence doesn't move when the outliers themselves
+    inflate the spread. Two grouped medians + broadcast fence join."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", 0.5).alias("md")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > F.lit(2.5) * F.lit(1.4826) * F.col("md"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q_order_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY 1)
+    SELECT l_orderkey, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshaping: per-order aggregate metrics melted with
+    the native unpivot (Expand — no UDF, no union of scans). The dual
+    of the pivot battery; sums are decimal-accumulated so both
+    engines emit identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_orderkey").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_price"),
+        dsum("l_discount", "sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_orderkey"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "value",
+    )
