@@ -178,3 +178,38 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "q_events_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT value,
+             ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM b GROUP BY 1
+    """,
+)
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event values: ntile over the
+    (value, event_id) total order — the boundary statistic an
+    optimizer or range-partitioner derives (each bucket = equal row
+    count, bucket edges = the data's own quantile grid). One global
+    sort; at scale this is exactly what repartitionByRange samples
+    for, computed here exactly."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "value",
+        F.ntile(10)
+        .over(Window.orderBy("value", "event_id"))
+        .alias("bucket"),
+    )
+    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
