@@ -44,6 +44,51 @@ def bernoulli_sample(
     return df.filter(uniform_hash60(c) < F.lit(int(rate * HASH_SPACE)))
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance a corpus to a target per-domain mixture — the
+    training-data "data mixing" step (sample web down to 30%, keep all
+    books, …). `targets` maps domain value → desired row count; each
+    domain keeps rows at rate ``min(1, target / actual)`` via the same
+    deterministic id-hash Bernoulli as `bernoulli_sample`, so the mix
+    is reproducible and nested across reruns. Domains absent from
+    `targets` are dropped (an explicit 0 is the same).
+
+    Plan: one small group-by to count domains (metadata-sized result),
+    the target table is a literal frame joined onto the counts, and the
+    per-row decision is a broadcast hash join + filter — the corpus
+    itself is scanned once and never shuffles.
+
+    Cross-engine note: the keep threshold is
+    ``floor(p * 2^60)`` computed with floor() BEFORE the integer cast —
+    Spark's double→long cast truncates while DuckDB's rounds, so the
+    explicit floor is what keeps sample membership identical."""
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        f"{domain_col} string, __target double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.join(tgt, on=domain_col).select(
+        domain_col,
+        F.floor(
+            F.least(F.lit(1.0), F.col("__target") / F.col("__n"))
+            * F.lit(HASH_SPACE)
+        ).cast("long").alias("__thr"),
+    )
+    c = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        .filter(uniform_hash60(c) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def stratified_topk_sample(
     df: DataFrame,
     strata: Sequence[str],

@@ -24,10 +24,12 @@ from data_engineering_spark.queries import (  # noqa: F401
     relational6,
     relational7,
     relational8,
+    quality_checks,
     sampling,
     scd,
     similarity,
     text,
     timeseries,
+    timeseries2,
 )
 from data_engineering_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -174,3 +174,35 @@ def test_content_defined_chunks_realign_after_edit(spark):
         common_suffix += 1
     assert common_suffix >= max(len(a) - 2, 1), (len(a), len(b),
                                                  common_suffix)
+
+
+def test_mixture_sample_rates_and_drop(spark):
+    from data_engineering_spark.operators.sampling import mixture_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "books")
+        .otherwise("code")
+        .alias("domain"),
+    )
+    # web: 1000 -> ~300; books: capped (target > actual keeps all);
+    # code: absent from targets -> dropped entirely
+    out = mixture_sample(
+        df, "domain", "doc_id", {"web": 300, "books": 5000}, salt="s"
+    )
+    got = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == {"web", "books"}
+    assert got["books"] == 1000  # rate clamps at 1.0
+    assert 200 <= got["web"] <= 400  # ~Binomial(1000, 0.3)
+
+    # determinism + nesting: a higher target yields a superset
+    bigger = mixture_sample(
+        df, "domain", "doc_id", {"web": 600, "books": 5000}, salt="s"
+    )
+    small_ids = {r["doc_id"] for r in out.collect()}
+    big_ids = {r["doc_id"] for r in bigger.collect()}
+    assert small_ids <= big_ids
