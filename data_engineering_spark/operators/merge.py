@@ -432,19 +432,40 @@ class MergeTableMOR:
         dest = os.path.join(self.delta_dir, f"delta-{seq:010d}")
         source.write.mode("overwrite").parquet(dest)
 
+    def versions(self) -> list[int]:
+        """Readable table versions: 0 = base only, k = base + first k
+        deltas. The newest version is `delta_count()`."""
+        return list(range(len(self._delta_paths()) + 1))
+
     def read(
-        self, op_col: str = "__op", ts_col: str = "__ts_ms"
+        self,
+        op_col: str = "__op",
+        ts_col: str = "__ts_ms",
+        as_of: int | None = None,
     ) -> DataFrame:
+        """Resolved table state; `as_of=k` time-travels to the state
+        after the first k deltas (k=0 → base as written). Because the
+        delta log is append-only, historical reads are just a prefix of
+        the same union — no extra storage. `compact` folds deltas into
+        the base and therefore truncates history below the compaction
+        point (exactly Iceberg's expire-snapshots trade-off)."""
         from functools import reduce
 
         from data_engineering_spark.operators.dedup import keep_last_agg
 
+        paths = self._delta_paths()
+        if as_of is not None:
+            if not 0 <= as_of <= len(paths):
+                raise ValueError(
+                    f"as_of={as_of} out of range 0..{len(paths)}"
+                )
+            paths = paths[:as_of]
         base = self.spark.read.parquet(self.base_path).withColumn(
             "__delta_seq", F.lit(-1)
         )
         deltas = [
             self.spark.read.parquet(p).withColumn("__delta_seq", F.lit(i))
-            for i, p in enumerate(self._delta_paths())
+            for i, p in enumerate(paths)
         ]
         if not deltas:
             out = base
@@ -465,6 +486,41 @@ class MergeTableMOR:
         )
         return resolved.filter(F.col(op_col) != DELETE_OP).drop(
             "__delta_seq"
+        )
+
+    def change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level changes between two versions (Delta's
+        change-data-feed shape): the union of delta files
+        (from_version, to_version], each row tagged with its
+        `_commit_version`. No diffing is computed — the append-only
+        delta log IS the feed, so this is a metadata-pruned scan of
+        exactly the requested files. Downstream incremental consumers
+        (sync a mart, invalidate a cache) read this instead of the
+        table."""
+        from functools import reduce
+
+        paths = self._delta_paths()
+        to_version = len(paths) if to_version is None else to_version
+        if not 0 <= from_version <= to_version <= len(paths):
+            raise ValueError(
+                f"bad version range {from_version}..{to_version} "
+                f"(have 0..{len(paths)})"
+            )
+        picked = [
+            self.spark.read.parquet(p).withColumn(
+                "_commit_version", F.lit(i + 1)
+            )
+            for i, p in enumerate(paths)
+            if from_version <= i < to_version
+        ]
+        if not picked:
+            return self.spark.read.parquet(self.base_path).limit(0).withColumn(
+                "_commit_version", F.lit(0)
+            )
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), picked
         )
 
     def compact(self) -> int:

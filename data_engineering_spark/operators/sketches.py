@@ -74,6 +74,95 @@ def kmv_distinct(
     )
 
 
+def kmv_sketch(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Materialized KMV sketch: the k smallest distinct value-hashes
+    per set — (set_col, __hv) rows, at most k per set. This is the
+    mergeable summary the set-algebra below operates on: build once
+    with one scan + one shuffle of (set, 64-bit hash) pairs, then every
+    union/intersection/Jaccard question is answered from k-row sets
+    without touching the corpus again."""
+    hashed = (
+        df.select(set_col, uniform_hash60(value_col).alias("__hv"))
+        .filter(F.col("__hv").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy(set_col).orderBy(F.asc("__hv"))
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_pairwise(
+    sketch: DataFrame,
+    set_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set relations from KMV sketches alone (no data pass):
+    for every unordered pair of sets (a < b), estimate
+    ``jaccard = |S ∩ A ∩ B| / |S|`` where S is the k smallest hashes of
+    A's ∪ B's sketches (the classic KMV Jaccard estimator),
+    ``union_est`` from S's k-th minimum (exact when |S| < k, because
+    two sub-k sketches are exhaustive), and
+    ``intersect_est = jaccard * union_est``.
+
+    Everything here runs over sketch-sized frames (n_sets × k rows) —
+    the O(n²) pair blow-up is over 64-hash summaries, not data. The
+    output is a deterministic function of the input values, so a SQL
+    oracle reproduces it bit-exactly."""
+    a = sketch.select(
+        F.col(set_col).alias("set_a"), F.col("__hv").alias("__hv")
+    )
+    b = sketch.select(
+        F.col(set_col).alias("set_b"), F.col("__hv").alias("__hv")
+    )
+    sets = sketch.select(set_col).distinct()
+    pairs = (
+        sets.select(F.col(set_col).alias("set_a"))
+        .join(sets.select(F.col(set_col).alias("set_b")))
+        .where(F.col("set_a") < F.col("set_b"))
+    )
+    ha = pairs.join(a, "set_a").select(
+        "set_a", "set_b", "__hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    hb = pairs.join(b, "set_b").select(
+        "set_a", "set_b", "__hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        ha.unionByName(hb)
+        .groupBy("set_a", "set_b", "__hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("set_a", "set_b").orderBy(F.asc("__hv"))
+    top = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = top.groupBy("set_a", "set_b").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.max("__hv").alias("hk"),
+        F.count(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)).alias(
+            "inter"
+        ),
+    )
+    union_est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(F.lit(float(k - 1) * HASH_SPACE) / F.col("hk"))
+    jacc = F.col("inter") / F.col("m")
+    return agg.select(
+        "set_a",
+        "set_b",
+        union_est.alias("union_est"),
+        jacc.alias("jaccard_est"),
+        ((F.col("inter") / F.col("m")) * union_est).alias("intersect_est"),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

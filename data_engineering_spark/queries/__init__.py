@@ -28,6 +28,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     sampling,
     scd,
     similarity,
+    sketch_algebra,
     text,
     timeseries,
     timeseries2,

@@ -295,3 +295,24 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("seed_id").agg(
         F.count(F.lit(1)).alias("n_assigned")
     )
+
+
+@query("q_embedding_pca_project")
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 principal components of the 64-dim embedding corpus,
+    fit with the one-pass distributed Gram reduction (operators/pca)
+    and projected as a pure-codegen expression. No SQL oracle —
+    eigendecomposition isn't SQL-expressible — so the driver records a
+    rows-only check; tests/test_pca.py proves the math against numpy
+    (model equality, orthonormality, variance ordering,
+    partitioning-invariance)."""
+    from data_engineering_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    return pca_project(emb, "embedding", model).select(
+        "vec_id",
+        "label",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+    )

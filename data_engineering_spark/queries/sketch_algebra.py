@@ -1,0 +1,70 @@
+"""KMV sketch set-algebra: pairwise union / intersection / Jaccard
+estimates from mergeable sketches (oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.sketches import kmv_pairwise, kmv_sketch
+from data_engineering_spark.registry import query
+
+
+@query(
+    "q_events_kmv_set_algebra",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type AS s,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    sk AS (
+      SELECT s, hv FROM (
+        SELECT s, hv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY hv) AS rn
+        FROM h)
+      WHERE rn <= 64),
+    pairs AS (
+      SELECT a.s AS set_a, b.s AS set_b
+      FROM (SELECT DISTINCT s FROM sk) a, (SELECT DISTINCT s FROM sk) b
+      WHERE a.s < b.s),
+    m AS (
+      SELECT set_a, set_b, hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM (
+        SELECT p.set_a, p.set_b, k.hv, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk k ON k.s = p.set_a
+        UNION ALL
+        SELECT p.set_a, p.set_b, k.hv, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk k ON k.s = p.set_b)
+      GROUP BY 1, 2, 3),
+    top AS (
+      SELECT * FROM (
+        SELECT m.*, ROW_NUMBER() OVER (
+          PARTITION BY set_a, set_b ORDER BY hv) AS rn
+        FROM m)
+      WHERE rn <= 64),
+    agg AS (
+      SELECT set_a, set_b, COUNT(*) AS m, MAX(hv) AS hk,
+             COUNT(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END) AS inter
+      FROM top GROUP BY 1, 2)
+    SELECT set_a, set_b,
+           CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / hk END AS union_est,
+           inter / m AS jaccard_est,
+           (inter / m) * (CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / hk END) AS intersect_est
+    FROM agg
+    """,
+)
+def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap analysis without a distinct-pair join: per
+    event type, a 64-hash KMV sketch of its user set (one scan, one
+    shuffle of (type, hash) pairs); then EVERY pairwise union size,
+    Jaccard and intersection size is estimated purely from the
+    sketches (operators/sketches.kmv_pairwise). At 100 TB the n² pair
+    analysis runs over 64-row summaries — the corpus is read once. The
+    estimates are deterministic functions of the data, so the oracle
+    reproduces them bit-exactly."""
+    e = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(e, "event_type", "user_id", k=64)
+    out = kmv_pairwise(sk, "event_type", k=64)
+    return out

@@ -140,3 +140,43 @@ def test_cdc_backend_equivalence(spark, tmp_path):
     assert states["cow"] == states["mor"]
     # reference semantics: the late (older-ts) update still applied
     assert (3, 31, 6.0, "u") in states["cow"]
+
+
+def test_mor_time_travel(spark, tmp_path):
+    """as_of=k replays the first k deltas; history is a prefix of the
+    same append-only log, and replaying version-by-version matches a
+    fresh table fed the same batch prefix."""
+    t = MergeTableMOR(spark, str(tmp_path / "tt"), ["id"])
+    for rows in BATCHES:
+        t.merge(batch(spark, rows))
+    assert t.versions() == [0, 1, 2]
+    # v0 = base (batch 1 inserts only)
+    assert state(t.read(as_of=0)) == [
+        (1, "a1", 100), (2, "b1", 100), (3, "c1", 100)]
+    # v1 = after batch 2: id1 updated, id2 deleted, id4 created
+    assert state(t.read(as_of=1)) == [
+        (1, "a2", 200), (3, "c1", 100), (4, "d1", 200)]
+    # newest version == unqualified read
+    assert state(t.read(as_of=2)) == state(t.read())
+    import pytest
+    with pytest.raises(ValueError):
+        t.read(as_of=3)
+
+
+def test_mor_change_feed(spark, tmp_path):
+    t = MergeTableMOR(spark, str(tmp_path / "cf"), ["id"])
+    for rows in BATCHES:
+        t.merge(batch(spark, rows))
+    # (1, 2]: the single delta that advances v1 -> v2, i.e. batch 3
+    feed = t.change_feed(1, 2).collect()
+    assert {r["_commit_version"] for r in feed} == {2}
+    assert sorted((r["id"], r["__op"]) for r in feed) == [
+        (2, "c"), (3, "u")]
+    # (0, 1]: batch 2's rows
+    feed01 = t.change_feed(0, 1).collect()
+    assert {r["_commit_version"] for r in feed01} == {1}
+    assert sorted((r["id"], r["__op"]) for r in feed01) == [
+        (1, "u"), (2, "d"), (4, "c")]
+    # full feed covers both deltas; empty range yields empty frame
+    assert {r["_commit_version"] for r in t.change_feed(0).collect()} == {1, 2}
+    assert t.change_feed(1, 1).count() == 0

@@ -44,3 +44,46 @@ def test_kmv_merge_equivalence(spark):
     # determinism: same data -> identical estimate
     again = kmv_distinct(b.union(a), ["g"], "v", k=64).collect()[0]
     assert again["est_distinct"] == whole["est_distinct"]
+
+
+def test_kmv_pairwise_accuracy(spark):
+    """Estimates from 256-hash sketches stay within ~3 standard errors
+    of exact union/Jaccard on planted overlapping sets."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.sketches import (
+        kmv_pairwise,
+        kmv_sketch,
+    )
+
+    # A = [0, 4000), B = [2000, 8000): union 8000, jaccard 2000/8000
+    a = spark.range(0, 4000).select(
+        F.lit("A").alias("s"), F.col("id").alias("v"))
+    b = spark.range(2000, 8000).select(
+        F.lit("B").alias("s"), F.col("id").alias("v"))
+    df = a.unionByName(b)
+    out = kmv_pairwise(kmv_sketch(df, "s", "v", k=256), "s", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["union_est"] - 8000) / 8000 < 0.2
+    assert abs(r["jaccard_est"] - 0.25) < 0.1
+    assert abs(r["intersect_est"] - 2000) / 2000 < 0.45
+
+
+def test_kmv_pairwise_small_sets_exact(spark):
+    """Below k the sketches are exhaustive: estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.sketches import (
+        kmv_pairwise,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 30).select(F.lit("A").alias("s"), F.col("id").alias("v"))
+    b = spark.range(20, 50).select(F.lit("B").alias("s"), F.col("id").alias("v"))
+    r = kmv_pairwise(
+        kmv_sketch(a.unionByName(b), "s", "v", k=64), "s", k=64
+    ).collect()[0]
+    assert r["union_est"] == 50.0
+    assert r["jaccard_est"] == 10 / 50
+    assert r["intersect_est"] == 10.0
