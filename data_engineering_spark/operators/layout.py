@@ -119,3 +119,29 @@ def file_stat_tightness(
         return 0.0
     mean_w = per_file.agg(F.avg("w")).collect()[0][0]
     return float(mean_w) / float(g)
+
+
+def write_range_partitioned(
+    df: DataFrame,
+    path: str,
+    col: str,
+    num_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Single-dimension clustering twin of `write_zordered`: global
+    range-partition + in-file sort on one column, so each output file
+    owns a disjoint slice of the value space and min/max footer stats
+    prune point/range scans on that column to ~1 file.
+
+    `repartitionByRange` samples the column to build balanced range
+    bounds (no explicit min/max probe needed), which also absorbs skew
+    better than fixed-width buckets. Use when queries filter on ONE
+    dominant column; use Z-order when two or more columns share the
+    filter load (range layout on `a` leaves `b` scattered)."""
+    (
+        df.repartitionByRange(num_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )

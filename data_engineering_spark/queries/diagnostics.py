@@ -1,0 +1,86 @@
+"""Skew / distribution diagnostics (oracle-checked).
+
+The operational complement of operators/skew.py: BEFORE you salt a
+join or an agg, you need to know whether a key is hot. This profile
+computes, per group, the key-frequency distribution's concentration
+statistics — exact decimal-accumulated arithmetic so the oracle
+matches bit-for-bit and nothing overflows at 1e9+ keys."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.registry import query
+
+
+@query(
+    "q_events_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt, user_id) AS i,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, user_id) AS j,
+             COUNT(*) OVER (PARTITION BY event_type) AS nk
+      FROM c)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MAX(cnt) / SUM(cnt) AS max_key_share,
+           SUM(CASE WHEN j <= 10 THEN cnt ELSE 0 END) / SUM(cnt)
+             AS top10_share,
+           CAST(SUM(CAST(2 * i - nk - 1 AS DECIMAL(38,0)) * cnt)
+                AS DOUBLE)
+             / (CAST(MAX(nk) AS DOUBLE) * SUM(cnt)) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile per event type: key count, row count, hottest
+    key's share, top-10 keys' share, and the exact Gini concentration
+    coefficient (rank formula Σ(2i−n−1)·c_i / (n·Σc) over counts
+    sorted ascending — decimal-accumulated integer sums, then one
+    deterministic division). Feed gini/max_key_share into the salting
+    decision (operators/skew.py). Cost: one count aggregation + one
+    window pass over the COUNTS (n_keys rows, not data rows)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wi = Window.partitionBy("event_type").orderBy(
+        F.asc("cnt"), F.asc("user_id")
+    )
+    wj = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    wn = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wj).alias("j"),
+        F.count(F.lit(1)).over(wn).alias("nk"),
+    )
+    gini_num = F.sum(
+        (2 * F.col("i") - F.col("nk") - 1).cast("decimal(38,0)")
+        * F.col("cnt")
+    ).cast("double")
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        (F.max("cnt") / F.sum("cnt")).alias("max_key_share"),
+        (
+            F.sum(F.when(F.col("j") <= 10, F.col("cnt")).otherwise(0))
+            / F.sum("cnt")
+        ).alias("top10_share"),
+        (
+            gini_num
+            / (F.max("nk").cast("double") * F.sum("cnt"))
+        ).alias("gini"),
+    )

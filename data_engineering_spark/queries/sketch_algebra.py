@@ -4,6 +4,7 @@ estimates from mergeable sketches (oracle-checked)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_engineering_spark.catalog import load_table
 from data_engineering_spark.operators.sketches import kmv_pairwise, kmv_sketch
@@ -68,3 +69,71 @@ def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = kmv_sketch(e, "event_type", "user_id", k=64)
     out = kmv_pairwise(sk, "event_type", k=64)
     return out
+
+
+@query(
+    "q_events_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_users
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+           n_users / (SELECT nu FROM n) AS support
+    FROM p
+    """,
+)
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Itemset co-occurrence (the association-rule support primitive):
+    for every unordered pair of event types, how many users did both,
+    and the support fraction. The corpus reduces FIRST to distinct
+    (user, type) pairs — at most n_users x n_types rows — before the
+    self-join, so the pair blow-up is over the reduced set, keyed on
+    user_id (no cross join, no skew beyond the per-user type fan-out,
+    which is bounded by the type vocabulary)."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    nu = e.agg(F.count_distinct("user_id").alias("nu"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return p.join(F.broadcast(nu)).select(
+        "type_a",
+        "type_b",
+        F.col("n_users").cast("long").alias("n_users"),
+        (F.col("n_users") / F.col("nu")).alias("support"),
+    )
+
+
+@query(
+    "q_orders_surrogate_keys",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS seq_id
+    FROM orders
+    """,
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 1..N sequence in (orderdate, orderkey) order WITHOUT the
+    single-partition global window: range-repartition so each partition
+    owns a contiguous slice, then per-partition row_number + broadcast
+    cumulative offsets (operators/ids.assign_sequential_ids). The
+    oracle is the naive global ROW_NUMBER — same numbers, but the
+    Spark plan has no all-data-in-one-task stage."""
+    from data_engineering_spark.operators.ids import assign_sequential_ids
+
+    o = load_table(spark, sf_dir, "orders")
+    out = assign_sequential_ids(
+        o, ["o_orderdate", "o_orderkey"], num_partitions=8
+    )
+    return out.select("o_orderkey", "seq_id")

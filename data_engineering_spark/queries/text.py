@@ -759,3 +759,44 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "chunk_id", "n_tokens",
         F.sha2("chunk_text", 256).alias("chunk_sha"),
     )
+
+
+@query(
+    "q_doc_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+    tf AS (
+      SELECT doc_id, lang, w, COUNT(*) AS c
+      FROM tok GROUP BY 1, 2, 3)
+    SELECT doc_id, lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+           COUNT(*) / SUM(c) AS type_token_ratio
+    FROM tf GROUP BY 1, 2
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: token count, vocabulary size
+    (types), hapax legomena (once-only words — the boilerplate/
+    keyword-stuffing signal: spam repeats, prose doesn't) and the
+    type-token ratio. One explode + a two-level aggregation, both
+    shuffles keyed on doc_id so the corpus partitioning is reused."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", "lang",
+            F.explode(X.tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
+        (F.count(F.lit(1)) / F.sum("c")).alias("type_token_ratio"),
+    )

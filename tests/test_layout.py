@@ -73,3 +73,31 @@ def test_zordered_files_are_tight_in_both_dims(spark, tmp_path):
         assert zt < nt * 0.6, (col, zt, nt)  # clearly tighter than naive
     # still the same data
     assert spark.read.parquet(zpath).count() == src.count()
+
+
+def test_range_partitioned_write_tightness(spark, tmp_path):
+    """Range layout on one column: each file owns ~1/n of the value
+    space (so point/range filters prune to ~1 file), vs ~1.0 for the
+    hash-shuffled naive layout."""
+    from data_engineering_spark.operators.layout import (
+        write_range_partitioned,
+    )
+
+    src = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    naive = str(tmp_path / "naive_r")
+    src.repartition(8).write.parquet(naive)
+    rpath = str(tmp_path / "ranged")
+    write_range_partitioned(src, rpath, "o_totalprice", num_files=8)
+
+    def tightness(path):
+        df = spark.read.parquet(path).withColumn(
+            "__file", F.input_file_name()
+        )
+        return file_stat_tightness(df, "o_totalprice")
+
+    rt, nt = tightness(rpath), tightness(naive)
+    assert rt < 0.3, rt          # ~1/8 + sampler noise
+    assert nt > 0.8, nt          # hash layout spans ~everything
+    assert spark.read.parquet(rpath).count() == src.count()
