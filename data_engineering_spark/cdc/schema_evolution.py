@@ -104,3 +104,60 @@ def partition_transform_column(spec: PartitionSpec) -> F.Column:
     if spec.transform == "bucket":
         return F.pmod(F.hash(c), F.lit(16))
     return c
+
+
+# ---------------------------------------------------------------------------
+# type widening (promotion lattice)
+# ---------------------------------------------------------------------------
+
+_INT_ORDER = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_ORDER = (T.FloatType, T.DoubleType)
+
+
+def widen_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Least common WIDER type for a changed column, or None when the
+    change is not a safe promotion (string→int, struct reshape, …).
+    Lattice: byte<short<int<long; float<double; mixing the integer and
+    float families promotes to double (standard SQL numeric promotion —
+    longs above 2^53 lose precision exactly as they would in any SQL
+    engine's DOUBLE arithmetic); decimals widen to the max scale plus
+    enough integer digits for both, capped at precision 38."""
+    if a == b:
+        return a
+    if isinstance(a, _INT_ORDER) and isinstance(b, _INT_ORDER):
+        ia, ib = _INT_ORDER.index(type(a)), _INT_ORDER.index(type(b))
+        return _INT_ORDER[max(ia, ib)]()
+    if isinstance(a, _FLOAT_ORDER) and isinstance(b, _FLOAT_ORDER):
+        return T.DoubleType()
+    if isinstance(a, (*_INT_ORDER, *_FLOAT_ORDER)) and isinstance(
+        b, (*_INT_ORDER, *_FLOAT_ORDER)
+    ):
+        return T.DoubleType()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        scale = max(a.scale, b.scale)
+        ints = max(a.precision - a.scale, b.precision - b.scale)
+        return T.DecimalType(min(38, ints + scale), scale)
+    return None
+
+
+def reconcile_types(
+    source_schema: T.StructType, target_schema: T.StructType
+) -> dict[str, T.DataType]:
+    """For every column the batch and the table share with DIFFERENT
+    types, the widened type both sides must cast to. Raises on an
+    unpromotable change — silently coercing (or failing deep inside a
+    union) is how lakes corrupt; the error names the column."""
+    tgt = {f.name: f.dataType for f in target_schema.fields}
+    out: dict[str, T.DataType] = {}
+    for f in source_schema.fields:
+        if f.name not in tgt or f.dataType == tgt[f.name]:
+            continue
+        w = widen_type(f.dataType, tgt[f.name])
+        if w is None:
+            raise TypeError(
+                f"column '{f.name}': incompatible type change "
+                f"{tgt[f.name].simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+            )
+        out[f.name] = w
+    return out

@@ -93,8 +93,19 @@ def merge_frames(
     Requires `source` pre-compacted to one row per key (the CDC pipeline
     guarantees this via keep_last). Output columns = union of target's
     and source's (schema evolution: new source columns appear, dropped
-    ones are NULL back-filled for target rows).
+    ones are NULL back-filled for target rows). Shared columns whose
+    TYPE changed are widened along the numeric promotion lattice
+    (schema_evolution.widen_type) by casting BOTH sides — upstream
+    sources routinely promote int→bigint and the merge must not fail
+    (or worse, corrupt) on it; an unpromotable change raises naming
+    the column.
     """
+    from data_engineering_spark.cdc.schema_evolution import reconcile_types
+
+    widened = reconcile_types(source.schema, target.schema)
+    for c, dt in widened.items():
+        source = source.withColumn(c, F.col(c).cast(dt))
+        target = target.withColumn(c, F.col(c).cast(dt))
     keys = list(key_columns)
     data_cols = list(target.columns) + [
         c for c in source.columns if c not in target.columns

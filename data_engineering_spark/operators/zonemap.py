@@ -1,0 +1,70 @@
+"""Zone maps: file-level min/max statistics + file-skipping reads.
+
+Spark's parquet reader already prunes ROW GROUPS inside each file it
+opens, but it still lists and opens every file of a table scan. A zone
+map — one metadata row per file with per-column min/max — lets a
+predicate skip whole files before the scan starts: the lakehouse
+data-skipping primitive (Iceberg manifests / Delta file stats),
+re-created on plain parquet.
+
+Scale shape: building the map is one scan aggregating by
+`input_file_name()` (output = n_files rows — metadata). Serving a
+query collects only the SURVIVING FILE LIST (bounded by file count,
+never data) and hands Spark exactly those paths; the residual filter
+still runs, so results are exact even when a file's range merely
+overlaps the predicate. Pair with `layout.write_range_partitioned` /
+`write_zordered`: clustering is what makes the per-file ranges tight
+enough to skip.
+
+The map is a plain DataFrame — persist it as parquet next to the table
+and refresh it per partition on write, exactly like a manifest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_zonemap(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """One row per data file: (file, n_rows, min_<c>, max_<c> ...)."""
+    df = spark.read.parquet(path).withColumn(
+        "__file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy("__file").agg(*aggs)
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    zonemap: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose [min,max] range for `col` intersects
+    [lo, hi], then apply the exact residual filter. Returns
+    (frame, n_files_read, n_files_total) so callers/tests can observe
+    the skipping. The collect is over the FILE LIST — metadata-sized
+    by construction."""
+    stats = zonemap.select(
+        "__file", f"min_{col}", f"max_{col}"
+    ).collect()
+    total = len(stats)
+    keep = [
+        r["__file"]
+        for r in stats
+        if r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi
+    ]
+    if not keep:
+        empty = spark.read.parquet(path).limit(0)
+        return empty.filter(F.col(col).between(lo, hi)), 0, total
+    df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
+    return df, len(keep), total

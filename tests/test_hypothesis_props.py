@@ -237,3 +237,79 @@ def test_c4_line_filter_matches_python_model(spark, docs, data):
     }
     for i, t in texts:
         assert got[i] == _py_c4(t), (t, got[i])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", "c"]),
+            st.one_of(st.none(), st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_checks_match_python_model(spark, rows):
+    """run_checks metrics equal a plain-python recomputation on
+    arbitrary small frames (nulls included)."""
+    from data_engineering_spark.operators.checks import (
+        completeness,
+        min_value,
+        row_count_between,
+        run_checks,
+        unique,
+    )
+
+    df = spark.createDataFrame(rows, "id long, tag string, v double")
+    rep = {
+        (r["constraint"], r["column"]): r
+        for r in run_checks(
+            df,
+            [completeness("v", 0.9), unique("tag"),
+             min_value("v", 0.0), row_count_between(1, 1000)],
+        ).collect()
+    }
+    vs = [r[2] for r in rows]
+    nn = [v for v in vs if v is not None]
+    assert rep[("completeness", "v")]["value"] == len(nn) / len(rows)
+    tags = [r[1] for r in rows]
+    assert rep[("unique", "tag")]["value"] == len(set(tags)) / len(tags)
+    if nn:
+        assert rep[("min_value", "v")]["value"] == min(nn)
+        assert rep[("min_value", "v")]["passed"] == (min(nn) >= 0.0)
+    assert rep[("row_count_between", None)]["value"] == float(len(rows))
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["w", "x", "y"]),
+        st.integers(min_value=0, max_value=500),
+        min_size=1,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_mixture_sample_respects_caps(spark, targets):
+    """mixture_sample never exceeds actual domain size, keeps all rows
+    when target >= actual, and emits no unlisted domain."""
+    from data_engineering_spark.operators.sampling import mixture_sample
+
+    df = spark.range(600).selectExpr(
+        "id as doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'w' WHEN id % 3 = 1 THEN 'x' "
+        "ELSE 'z' END AS dom",
+    )
+    out = mixture_sample(df, "dom", "doc_id", targets, salt="p")
+    got = {
+        r["dom"]: r["n"]
+        for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {"w": 200, "x": 200, "z": 200}
+    assert set(got) <= ({"w", "x"} & set(targets))
+    for d, n in got.items():
+        assert n <= sizes[d]
+        if targets[d] >= sizes[d]:
+            assert n == sizes[d]

@@ -101,3 +101,42 @@ def test_range_partitioned_write_tightness(spark, tmp_path):
     assert rt < 0.3, rt          # ~1/8 + sampler noise
     assert nt > 0.8, nt          # hash layout spans ~everything
     assert spark.read.parquet(rpath).count() == src.count()
+
+
+def test_zonemap_skips_files_exactly(spark, tmp_path):
+    """Zone-map pruning on a range-clustered table: a narrow predicate
+    reads a strict minority of files yet returns exactly the rows a
+    full scan + filter would."""
+    from data_engineering_spark.operators.layout import (
+        write_range_partitioned,
+    )
+    from data_engineering_spark.operators.zonemap import (
+        build_zonemap,
+        pruned_read,
+    )
+
+    src = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zm")
+    write_range_partitioned(src, path, "o_totalprice", num_files=8)
+    zm = build_zonemap(spark, path, ["o_totalprice"])
+    assert zm.count() == len(spark.read.parquet(path).inputFiles())
+
+    lo, hi = 1000.0, 20000.0
+    pruned, n_read, n_total = pruned_read(
+        spark, path, zm, "o_totalprice", lo, hi
+    )
+    assert n_total >= 8 and n_read < n_total / 2, (n_read, n_total)
+    expect = sorted(
+        r["o_orderkey"]
+        for r in src.filter(F.col("o_totalprice").between(lo, hi)).collect()
+    )
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    assert got == expect and len(got) > 0
+
+    # empty-range predicate: zero files opened, empty exact result
+    out, n_read0, _ = pruned_read(
+        spark, path, zm, "o_totalprice", -500.0, -100.0
+    )
+    assert n_read0 == 0 and out.count() == 0

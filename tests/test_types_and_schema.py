@@ -134,3 +134,56 @@ def test_align_to_columns(spark):
     out = align_to_columns(df, ["id", "gone", "x"])
     assert out.columns == ["id", "gone", "x"]
     assert out.collect()[0]["gone"] is None
+
+
+def test_widen_type_lattice():
+    from pyspark.sql import types as T
+
+    from data_engineering_spark.cdc.schema_evolution import widen_type
+
+    assert isinstance(widen_type(T.IntegerType(), T.LongType()), T.LongType)
+    assert isinstance(widen_type(T.ShortType(), T.ByteType()), T.ShortType)
+    assert isinstance(widen_type(T.FloatType(), T.DoubleType()), T.DoubleType)
+    assert isinstance(widen_type(T.LongType(), T.DoubleType()), T.DoubleType)
+    d = widen_type(T.DecimalType(10, 2), T.DecimalType(12, 4))
+    assert (d.precision, d.scale) == (12, 4)
+    assert widen_type(T.StringType(), T.LongType()) is None
+    assert widen_type(T.StringType(), T.StringType()) is not None
+
+
+def test_merge_widens_promoted_column(spark, tmp_path):
+    """A batch that promotes val int->long (and adds a float where the
+    table has double) merges cleanly; values survive exactly."""
+    from data_engineering_spark.operators.merge import MergeTable
+
+    t = MergeTable(spark, str(tmp_path / "widen"), ["id"])
+    first = spark.createDataFrame(
+        [(1, 10, 0.5, 100, "c")], "id long, val int, f double, __ts_ms long, __op string"
+    )
+    t.merge(first)
+    big = 1 << 40
+    second = spark.createDataFrame(
+        [(2, big, 0.25, 200, "c"), (1, 11, 0.75, 200, "u")],
+        "id long, val long, f float, __ts_ms long, __op string",
+    )
+    t.merge(second)
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[2]["val"] == big
+    assert rows[1]["val"] == 11
+    assert dict(t.read().dtypes)["val"] == "bigint"
+    assert dict(t.read().dtypes)["f"] == "double"
+    assert rows[2]["f"] == 0.25
+
+
+def test_merge_rejects_incompatible_type_change(spark, tmp_path):
+    import pytest
+
+    from data_engineering_spark.operators.merge import MergeTable
+
+    t = MergeTable(spark, str(tmp_path / "incompat"), ["id"])
+    t.merge(spark.createDataFrame(
+        [(1, 5, 100, "c")], "id long, val int, __ts_ms long, __op string"))
+    bad = spark.createDataFrame(
+        [(2, "x", 200, "c")], "id long, val string, __ts_ms long, __op string")
+    with pytest.raises(TypeError, match="val"):
+        t.merge(bad)
