@@ -47,6 +47,10 @@ HEADLINE = [
     # chunking (both reassemble documents — the heavier text shapes)
     "q_doc_span_dedup",
     "q_doc_cdc_chunks",
+    # round-4 (cont.): one-scan constraint suite + key-skew profile —
+    # the two operational scans a pipeline runs on every batch
+    "q_quality_checks",
+    "q_events_skew_profile",
 ]
 
 

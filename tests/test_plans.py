@@ -300,3 +300,28 @@ def test_binned_range_join_is_equi_join(spark):
             assert len(want) > 0
         else:
             assert got == want, f"width={width}"
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes all four join strategies; Catalyst honors
+    explicit hints so a pipeline can pin a strategy when AQE's choice
+    is wrong for a known workload."""
+    from data_engineering_spark.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, node in cases.items():
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, (hint, plan[:800])
+    # and the nested-loop fallback for a non-equi condition
+    nl = o.limit(50).join(
+        c.limit(50), o.o_totalprice > c.c_acctbal, "inner"
+    )
+    plan = nl._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
