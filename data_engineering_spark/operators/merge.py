@@ -196,13 +196,74 @@ class MergeTable:
     def exists(self) -> bool:
         return os.path.exists(self.path)
 
+    # -- column-rename evolution (metadata-only, Iceberg-style) --------
+    #
+    # `rename_column` rewrites NO data: it records physical→logical
+    # name mappings in `_colmap.json` inside the table directory (the
+    # leading underscore keeps it out of every Spark scan). Files
+    # written before the rename keep the old physical column; files
+    # written after carry the new name; `read()` reconciles both with
+    # one coalesce per renamed column. This is the same trick Iceberg
+    # plays with field-ids, done with names because parquet-core has no
+    # id channel.
+
+    @property
+    def _colmap_path(self) -> str:
+        return os.path.join(self.path, "_colmap.json")
+
+    def _colmap(self) -> dict[str, str]:
+        if not os.path.exists(self._colmap_path):
+            return {}
+        import json
+
+        with open(self._colmap_path) as f:
+            return json.load(f)
+
+    def rename_column(self, old: str, new: str) -> None:
+        cols = self.read().columns if self.exists() else []
+        if old not in cols:
+            raise ValueError(f"no such column: {old}")
+        if new in cols:
+            raise ValueError(f"column already exists: {new}")
+        if old in self.key_columns or old == self.partition_by:
+            raise ValueError(
+                f"cannot rename key/partition column: {old}"
+            )
+        m = self._colmap()
+        # transitive chains (a→b committed earlier, now b→c): every
+        # physical name that currently maps to `old` follows it to `new`
+        for phys, logical in list(m.items()):
+            if logical == old:
+                m[phys] = new
+        m[old] = new
+        import json
+
+        with open(self._colmap_path, "w") as f:
+            json.dump(m, f)
+
+    def _apply_colmap(self, df: DataFrame) -> DataFrame:
+        for phys, logical in self._colmap().items():
+            if phys not in df.columns:
+                continue
+            if logical in df.columns:
+                # old-name files and new-name files coexist: exactly one
+                # side is non-null per row
+                df = df.withColumn(
+                    logical, F.coalesce(F.col(logical), F.col(phys))
+                ).drop(phys)
+            else:
+                df = df.withColumnRenamed(phys, logical)
+        return df
+
     def read(self) -> DataFrame:
         # mergeSchema: after schema evolution, a partition-pruned merge
         # rewrites only touched partitions with the widened schema —
         # untouched partition files keep the old one. Footer-of-one-file
         # schema inference would silently drop the new columns.
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            self.path
+        return self._apply_colmap(
+            self.spark.read.option("mergeSchema", "true").parquet(
+                self.path
+            )
         )
 
     def _write(self, df: DataFrame, dest: str) -> None:
@@ -256,6 +317,11 @@ class MergeTable:
         old = f"{self.path}.old-{uuid.uuid4().hex}"
         os.replace(self.path, old)
         shutil.move(staging, self.path)
+        # the rename map is table METADATA riding inside the data dir —
+        # carry it across the atomic swap or renames would silently undo
+        old_map = os.path.join(old, "_colmap.json")
+        if os.path.exists(old_map):
+            shutil.copy(old_map, self._colmap_path)
         shutil.rmtree(old, ignore_errors=True)
 
     def _merge_partitioned(

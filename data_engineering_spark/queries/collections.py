@@ -84,3 +84,55 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "k").alias("k_value"),
     )
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey,
+             list_distinct(list_sort(list(CAST(l_quantity AS INTEGER))))
+               AS qs
+      FROM lineitem GROUP BY l_orderkey),
+    p AS (SELECT [10, 25, 50] AS probe)
+    SELECT l_orderkey,
+           CAST(len(list_intersect(qs, probe)) AS INT) AS n_common,
+           CAST(len(list_filter(qs, x -> NOT list_contains(probe, x)))
+                AS INT) AS n_only_order,
+           CAST(len(list_intersect(qs, probe)) > 0 AS INT) AS overlaps,
+           CAST(len(list_distinct(list_concat(qs, probe))) AS INT)
+             AS n_union,
+           CAST(len(list_filter(qs, x -> x > 40)) > 0 AS INT) AS any_gt40,
+           CAST(len(list_filter(qs, x -> NOT (x <= 50))) = 0 AS INT)
+             AS all_le50,
+           CAST(list_sum(qs) AS BIGINT) AS sum_distinct_q
+    FROM a, p
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra + higher-order battery: array_intersect /
+    array_except / arrays_overlap / array_union against a probe set,
+    exists / forall predicates, and an aggregate fold — per-order
+    distinct quantity sets. All JVM lambda expressions inside the
+    scan+agg stages; the oracle rebuilds each with DuckDB list
+    functions (array_except's distinct semantics mirrored via
+    list_filter over list_distinct inputs)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.groupBy("l_orderkey").agg(
+        F.array_distinct(
+            F.sort_array(F.collect_list(F.col("l_quantity").cast("int")))
+        ).alias("qs")
+    )
+    probe = F.array(F.lit(10), F.lit(25), F.lit(50))
+    return a.select(
+        "l_orderkey",
+        F.size(F.array_intersect("qs", probe)).alias("n_common"),
+        F.size(F.array_except("qs", probe)).alias("n_only_order"),
+        F.arrays_overlap("qs", probe).cast("int").alias("overlaps"),
+        F.size(F.array_union("qs", probe)).alias("n_union"),
+        F.exists("qs", lambda x: x > 40).cast("int").alias("any_gt40"),
+        F.forall("qs", lambda x: x <= 50).cast("int").alias("all_le50"),
+        F.aggregate(
+            "qs", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_distinct_q"),
+    )

@@ -249,3 +249,33 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "q_events_rank_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS cdf,
+           ntile(100) OVER w AS centile
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based normalization (the quantile-transform feature prep):
+    percent_rank, empirical CDF (cume_dist) and centile bucket of each
+    value within its event type, totally ordered by (value, event_id)
+    so both engines agree on ties. One shuffle on event_type; the
+    round-at-1e-9 absorbs last-ulp division differences in the
+    (rank-1)/(n-1) arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdf"),
+        F.ntile(100).over(w).alias("centile"),
+    )
