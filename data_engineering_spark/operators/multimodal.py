@@ -473,3 +473,126 @@ def decode_wav(
             )
 
     return src.mapInPandas(decode, DECODED_AUDIO_SCHEMA)
+
+
+def dhash_images(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash per image payload: decode →
+    grayscale → nearest-resize to (hash_size+1) × hash_size → one bit
+    per horizontal gradient sign → a 64-bit integer (for the default
+    hash_size=8). Visually identical or lightly-edited images land
+    within a few bits of each other, which is what
+    `dhash_neardup_pairs` exploits. Arrow-batched mapInPandas (decode
+    and the bit math are numpy work); the shuffleable output is one
+    long per image. Undecodable payloads yield NULL — filter or
+    quarantine downstream."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(bin_col).alias("payload")
+    )
+    dec = _make_decoder()
+    hs = int(hash_size)
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(buf: bytes):
+            try:
+                w, h, c, mode, px = dec(bytes(buf))
+            except (NotImplementedError, ValueError):
+                return None  # undecodable payload → NULL hash
+            if w is None or not w or not h:
+                return None
+            a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+            gray = a.mean(axis=2)
+            # nearest-neighbor resample to (hs+1) wide, hs tall —
+            # same index math as resize_images_nearest
+            ys = (np.arange(hs) * h) // hs
+            xs = (np.arange(hs + 1) * w) // (hs + 1)
+            g = gray[np.ix_(ys, xs)]
+            bits = (g[:, 1:] > g[:, :-1]).ravel()
+            v = 0
+            for b in bits:
+                v = (v << 1) | int(b)
+            # two's-complement into signed 64-bit for LongType
+            if v >= 1 << 63:
+                v -= 1 << 64
+            return v
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "dhash": [one(b) for b in pdf["payload"]],
+                }
+            )
+
+    return src.mapInPandas(hash_batch, "id long, dhash long")
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Image near-duplicate pairs: all (id_a < id_b) whose dHashes
+    differ in at most `max_hamming` of 64 bits.
+
+    Banded, not all-pairs: the hash splits into (max_hamming + 1)
+    bit-chunks; by pigeonhole, any pair within the hamming budget
+    agrees EXACTLY on at least one chunk, so candidates come from a
+    self-equi-join on (band_id, chunk) — the same LSH-style shape as
+    MinHash banding, no false negatives. The exact popcount of the
+    XOR then verifies each candidate JVM-side (bit_count). Shuffle
+    keys are (band, chunk) ints; no image data is ever joined."""
+    n_bands = max_hamming + 1
+    widths = [
+        64 // n_bands + (1 if i < 64 % n_bands else 0)
+        for i in range(n_bands)
+    ]
+    h = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).where(F.col(hash_col).isNotNull())
+    chunks = []
+    shift = 0
+    for band_id, wdt in enumerate(widths):
+        mask = (1 << wdt) - 1
+        chunks.append(
+            F.struct(
+                F.lit(band_id).alias("band"),
+                F.shiftrightunsigned(F.col("h"), shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+        )
+        shift += wdt
+    banded = h.select(
+        "id", "h", F.explode(F.array(*chunks)).alias("b")
+    ).select("id", "h", F.col("b.band").alias("band"), F.col("b.chunk").alias("chunk"))
+    a = banded.select(
+        F.col("band"), F.col("chunk"),
+        F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("chunk"),
+        F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+    )
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("h_a").bitwiseXOR(F.col("h_b"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

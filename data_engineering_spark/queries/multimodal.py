@@ -262,3 +262,49 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate", "n_channels", "bits", "n_frames", "duration_ms",
         "peak",
     )
+
+
+@query("q_multimodal_dhash_neardup")
+def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup end-to-end: the same synthetic 24-wide
+    PGM payloads as q_multimodal_decode are dHashed (decode →
+    grayscale → gradient bits, operators/multimodal.dhash_images) and
+    near-dup pairs found by pigeonhole banding over the 64-bit hash +
+    exact popcount verify (dhash_neardup_pairs). Rows-only driver
+    check — the perceptual hash is numpy, not SQL; pytest proves the
+    hash/banding math (identity, noise tolerance, planted-pair recall,
+    no false negatives at the hamming budget)."""
+    from data_engineering_spark.operators.multimodal import (
+        dhash_images,
+        dhash_neardup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            F.regexp_replace("text", "[^ -~]", "").alias("__a"),
+        )
+        .withColumn(
+            "__h",
+            F.least(
+                F.floor(F.length("__a") / 24).cast("int"), F.lit(24)
+            ),
+        )
+        .filter(F.col("__h") >= 9)  # dHash needs >= 9 columns wide
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("P5\n24 "),
+            F.col("__h").cast("string"),
+            F.lit("\n255\n"),
+            F.expr("substr(__a, 1, __h * 24)"),
+        ),
+        "utf-8",
+    )
+    hashes = dhash_images(
+        base.select("doc_id", payload.alias("payload")), id_col="doc_id"
+    )
+    return dhash_neardup_pairs(hashes, max_hamming=2).orderBy(
+        "id_a", "id_b"
+    )

@@ -306,3 +306,79 @@ def test_minhash_incremental_equals_full_run(spark):
     }
     assert got == expected
     assert all(a >= 350 or b >= 350 for a, b in got)
+
+
+def _pgm(pixels, w, h):
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def test_dhash_identical_and_noised(spark):
+    """Identical payloads hash equal; a few flipped pixels stay within
+    a small hamming distance; an unrelated image lands far away."""
+    import random
+
+    from data_engineering_spark.operators.multimodal import (
+        dhash_images,
+        dhash_neardup_pairs,
+    )
+
+    rng = random.Random(5)
+    w, h = 32, 24
+    base = [rng.randrange(256) for _ in range(w * h)]
+    noised = list(base)
+    for _ in range(10):  # light corruption
+        noised[rng.randrange(w * h)] = rng.randrange(256)
+    other = [rng.randrange(256) for _ in range(w * h)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_pgm(base, w, h))),
+            (2, bytearray(_pgm(base, w, h))),
+            (3, bytearray(_pgm(noised, w, h))),
+            (4, bytearray(_pgm(other, w, h))),
+            (5, bytearray(b"not an image")),
+        ],
+        "id long, payload binary",
+    )
+    hs = {r["id"]: r["dhash"] for r in dhash_images(df).collect()}
+    assert hs[1] == hs[2]
+    assert hs[5] is None
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hs[1], hs[3]) <= 6
+    assert ham(hs[1], hs[4]) > 10
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(
+            dhash_images(df), max_hamming=6
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_dhash_banding_no_false_negatives(spark):
+    """Planted pairs at exactly the hamming budget are still found
+    (pigeonhole over max_hamming+1 bands)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    base = 0x5A5A_1234_ABCD_EF01
+    flipped = base
+    for bit in (1, 17, 33, 49):  # spread across bands
+        flipped ^= 1 << bit
+    df = spark.createDataFrame(
+        [(1, base - (1 << 63)), (2, flipped - (1 << 63)), (3, ~base & ((1 << 63) - 1))],
+        "id long, dhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup_pairs(df, max_hamming=4).collect()
+    }
+    assert got == {(1, 2): 4}

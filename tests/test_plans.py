@@ -79,6 +79,12 @@ def test_no_python_in_relational_hot_path(spark):
         # Misra-Gries candidate pass is a per-partition bounded-counter
         # scan (mapInPandas) — the exact-count phase stays JVM
         "q_doc_heavy_hitter_terms",
+        # perceptual dHash decodes pixels in Arrow batches; the banded
+        # near-dup join over the 64-bit hashes stays JVM
+        "q_multimodal_dhash_neardup",
+        # PCA's Gram partials are an Arrow batch pass at FIT time; the
+        # projection itself is pure codegen
+        "q_embedding_pca_project",
     }
     for name, fn in QUERIES.items():
         if name in ARROW_BATCH_OK:
