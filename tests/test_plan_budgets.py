@@ -1,0 +1,69 @@
+"""Shuffle-budget regression guard for every headline query.
+
+The bench guard catches runtime regressions; this catches PLAN
+regressions directly (a lost broadcast, a new shuffle, Python sneaking
+into a JVM path) even when sf0.01 timing noise would hide them.
+Budgets are the current Exchange-node counts (broadcast exchanges and
+AQE reuse nodes included, so they are upper bounds on data shuffles)
+with zero headroom — a plan that grows a shuffle must either be fixed
+or consciously re-budgeted in this file.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bench import HEADLINE
+from data_engineering_spark.plans.explain import plan_string
+from data_engineering_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+EXCHANGE_BUDGET = {
+    "q01_pricing_summary": 2,
+    "q03_shipping_priority": 6,
+    "q05_region_revenue": 14,
+    "q18_large_orders": 6,
+    "q_customer_order_counts": 4,
+    "q_events_keep_last_per_user": 2,
+    "q_events_sessionize": 2,
+    "q_doc_dedup_exact": 6,
+    "q_doc_ngram_jaccard_pairs": 145,
+    "q_doc_minhash_neardup": 43,
+    "q_cosine_topk": 4,
+    "q_embedding_similarity_join": 2,
+    "q_events_tumbling_window": 4,
+    "q07_nation_trade_flows": 12,
+    "q_doc_gopher_filters": 0,
+    "q_doc_dedup_clusters": 4,
+    "q_semi_reduced_revenue": 10,
+    "q_reconcile_drift": 4,
+    "q_doc_span_dedup": 12,
+    "q_doc_cdc_chunks": 2,
+    "q_quality_checks": 10,
+    "q_events_skew_profile": 4,
+}
+
+PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+# GEMM similarity join is Arrow-batched by design (documented)
+PYTHON_OK = {"q_embedding_similarity_join"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in HEADLINE if n in EXCHANGE_BUDGET]
+)
+def test_headline_exchange_budget(spark, name):
+    plan = plan_string(QUERIES[name](spark, SF))
+    got = plan.count("Exchange")
+    assert got <= EXCHANGE_BUDGET[name], (
+        f"{name}: {got} Exchange nodes > budget "
+        f"{EXCHANGE_BUDGET[name]} — a shuffle crept in"
+    )
+    if name not in PYTHON_OK:
+        for node in PYTHON_NODES:
+            assert node not in plan, f"{name} grew a {node}"
+
+
+def test_budget_covers_every_headline_query():
+    missing = [n for n in HEADLINE if n not in EXCHANGE_BUDGET]
+    assert not missing, f"add budgets for: {missing}"
