@@ -63,3 +63,57 @@ def test_hidden_and_missing_dirs(spark, tmp_path):
     assert all(
         not p.rsplit("/", 1)[1].startswith(("_", ".")) for p in _paths(files)
     )
+
+
+def test_landing_zone_cdc_end_to_end(spark, tmp_path):
+    """Kafka-less CDC: upstream drops envelope parquet into a landing
+    dir; each run = ledger.new_files -> process_batch -> commit.
+    Exactly-once per file, and a crash-replayed file converges to the
+    same table state (keyed MERGE idempotence)."""
+    from cdc_fixtures import envelope_frame, sale
+
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+    land = str(tmp_path / "cdc_landing")
+    engine = CdcEngine(spark, LakeConfig(root=str(tmp_path / "lake")))
+    ledger = FileLedger(spark, str(tmp_path / "cdc_ledger"))
+
+    envelope_frame(spark, [
+        sale(spark, 1, 10, 9.99), sale(spark, 2, 20, 19.99),
+    ]).write.parquet(f"{land}/batch-000")
+    envelope_frame(spark, [
+        sale(spark, 2, 21, 21.00, op="u", ts_ms=1_700_000_000_100),
+        sale(spark, 3, 30, 5.00, ts_ms=1_700_000_000_100),
+    ]).write.parquet(f"{land}/batch-001")
+
+    def run_once():
+        batch = ledger.new_files(land, suffix=".parquet")
+        if batch:
+            engine.process_batch(
+                spark.read.parquet(*[f.path for f in batch])
+            )
+            ledger.commit(batch)
+        return len(batch)
+
+    n_first = run_once()
+    assert n_first > 0
+    got = {
+        r["sale_id"]: r["item_id"]
+        for r in engine.tables["sales"].read().collect()
+    }
+    assert got == {1: 10, 2: 21, 3: 30}
+
+    # no new files -> no-op run
+    assert run_once() == 0
+
+    # crash simulation: re-present batch-001 (ledger rolled back) —
+    # replay converges to the identical state
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "cdc_ledger"))
+    assert run_once() == n_first
+    got2 = {
+        r["sale_id"]: r["item_id"]
+        for r in engine.tables["sales"].read().collect()
+    }
+    assert got2 == got
