@@ -184,3 +184,41 @@ def test_prepare_snapshot_frame(spark):
     assert row["flag"] == 1  # boolean compat cast
     assert row["__op"] == "r" and row["__tenant_id"] == 7
     assert row["__rds_id"] == 3 and row["__dp_update_ts"] is not None
+
+
+def test_keep_last_matches_reference_pandas_bridge(spark):
+    """SURVEY §2.10: the reference compacts batches through the
+    pandas-on-Spark bridge (incremental_kafka_s3_cdc.py:321-324 —
+    pandas_api() + drop_duplicates(subset=['key','__topic'],
+    keep='last')). Our keep_last window must select the same survivors
+    the bridge does when rows are pre-ordered by ingest order, proving
+    the DataFrame-native replacement is drop-in."""
+    import pyspark.pandas as ps  # noqa: F401  (the reference's bridge)
+
+    from data_engineering_spark.operators.dedup import keep_last
+
+    rows = [
+        ("k1", "t1", 100, "a"),
+        ("k1", "t1", 300, "b"),   # later ts wins
+        ("k1", "t2", 150, "c"),   # different topic — separate group
+        ("k2", "t1", 100, "d"),
+        ("k1", "t1", 200, "e"),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, __topic string, __ts_ms long, v string"
+    )
+    ours = {
+        (r["key"], r["__topic"]): r["v"]
+        for r in keep_last(df, ["key", "__topic"], "__ts_ms").collect()
+    }
+    bridge = (
+        df.orderBy("__ts_ms")
+        .pandas_api()
+        .drop_duplicates(subset=["key", "__topic"], keep="last")
+        .to_spark()
+    )
+    theirs = {
+        (r["key"], r["__topic"]): r["v"] for r in bridge.collect()
+    }
+    assert ours == theirs
+    assert ours[("k1", "t1")] == "b"
