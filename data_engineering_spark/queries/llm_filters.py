@@ -841,3 +841,78 @@ def q_doc_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_len"),
         F.sha2(clean, 256).alias("clean_sha"),
     )
+
+
+@query(
+    "q_doc_split_by_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    ed AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION SELECT doc_b, doc_a FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM ed
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+      FROM reach GROUP BY u),
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    b AS (
+      SELECT doc_id, rep_id,
+             ('0x' || substr(md5(CAST(rep_id AS VARCHAR) || 'csplit1'),
+              1, 15))::BIGINT % 100 AS bucket
+      FROM rep)
+    SELECT doc_id, rep_id,
+           CASE WHEN bucket < 5 THEN 'test'
+                WHEN bucket < 10 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+    """,
+)
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: near-duplicate documents must
+    land in the SAME split (a test doc's near-copy in train is silent
+    eval contamination), so the split hash keys on the document's
+    dedup-cluster representative — min doc id of its connected
+    component (operators/graph), the doc itself when unclustered —
+    instead of the doc id. Same deterministic md5 bucketing as
+    q_doc_split_assign, one extra left join against the (tiny)
+    cluster-label frame."""
+    from data_engineering_spark.operators.graph import (
+        connected_components,
+    )
+    from data_engineering_spark.operators.sketches import uniform_hash60
+    from data_engineering_spark.operators.text import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d.select("doc_id", "text"), n=3, threshold=0.6
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    rep = d.select("doc_id").join(
+        comp.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("__c"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("__c", "doc_id").alias("rep_id")
+    )
+    bucket = (
+        uniform_hash60(
+            F.concat(F.col("rep_id").cast("string"), F.lit("csplit1"))
+        )
+        % 100
+    )
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(bucket < 5, "test")
+        .when(bucket < 10, "val")
+        .otherwise("train")
+        .alias("split"),
+    )

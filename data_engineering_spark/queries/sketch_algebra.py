@@ -137,3 +137,65 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, ["o_orderdate", "o_orderkey"], num_partitions=8
     )
     return out.select("o_orderkey", "seq_id")
+
+
+@query(
+    "q_embedding_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    m AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)
+               AS mu
+      FROM e GROUP BY 1, 2)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS dims,
+           ROUND(CAST(SUM(CAST(CASE WHEN dim <= 8 THEN mu ELSE 0 END
+                       AS DECIMAL(28,15))) AS DOUBLE), 9) AS head_mass,
+           ROUND(CAST(SUM(CAST(mu * mu AS DECIMAL(28,15))) AS DOUBLE), 9)
+             AS sq_norm
+    FROM m GROUP BY label
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-label mean embedding (class centroids), computed by
+    posexplode + decimal-accumulated per-dimension sums — the
+    oracle-checkable twin of the KMeans centroids (which are rows-only
+    by iteration order). Checked via two deterministic functionals of
+    the centroid vector (head-coordinate mass and squared norm, both
+    summed over an explicit dim order then rounded at 1e-9; the oracle
+    casts REAL through DOUBLE before the decimal quantization because
+    DuckDB's direct REAL→DECIMAL rounds at float precision). Shuffle
+    carries (label, dim, partial-sum) triples — n_labels x 64 groups
+    regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label", (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    m = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("dims"),
+        F.round(
+            F.sum(
+                F.when(F.col("dim") <= 8, F.col("mu"))
+                .otherwise(0.0)
+                .cast("decimal(28,15)")
+            ).cast("double"),
+            9,
+        ).alias("head_mass"),
+        F.round(
+            F.sum(
+                (F.col("mu") * F.col("mu")).cast("decimal(28,15)")
+            ).cast("double"),
+            9,
+        ).alias("sq_norm"),
+    )

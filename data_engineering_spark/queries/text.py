@@ -8,7 +8,7 @@ a DuckDB oracle that mirrors the tokenization exactly
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_spark.catalog import load_table
@@ -799,4 +799,110 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.count(F.when(F.col("c") == 1, 1)).cast("long").alias("n_hapax"),
         (F.count(F.lit(1)) / F.sum("c")).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "q_doc_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents),
+    tf AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM tf),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank,
+             SUM(c) OVER (ORDER BY c DESC, w
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM tf)
+    SELECT t.thr,
+           CAST(MIN(r.rank) AS BIGINT) AS vocab_size,
+           CAST((SELECT n FROM tot) AS BIGINT) AS total_tokens
+    FROM r, (VALUES (0.5), (0.9), (0.99)) t(thr)
+    WHERE r.cum >= t.thr * (SELECT n FROM tot)
+    GROUP BY t.thr
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (tokenizer sizing): the smallest
+    vocabulary that covers 50% / 90% / 99% of token mass — rank terms
+    by frequency (unique tiebreak), running-sum the counts, take the
+    min rank crossing each threshold. Integer arithmetic until the
+    final threshold comparison (thr * N is one exact double product
+    both engines compute identically). One term-count shuffle + one
+    single-partition window over the VOCABULARY (bounded by distinct
+    terms, not corpus size — at web scale feed it the heavy-hitter
+    table instead)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(X.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.agg(F.sum("c").alias("n"))
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    r = tf.select(
+        "c",
+        F.row_number().over(w).alias("rank"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    thr = spark.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "thr double"
+    )
+    return (
+        r.join(F.broadcast(thr))
+        .join(F.broadcast(tot))
+        .where(F.col("cum") >= F.col("thr") * F.col("n"))
+        .groupBy("thr")
+        .agg(
+            F.min("rank").cast("long").alias("vocab_size"),
+            F.first("n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q_doc_dedup_impact",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, source, n_chars,
+             sha256(text) AS fp,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS removed_chars,
+           COUNT(CASE WHEN rn > 1 THEN 1 END) / COUNT(*) AS dup_ratio
+    FROM f GROUP BY source
+    """,
+)
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: per source, how many documents (and how
+    much text) exact dedup would remove — the before/after accounting
+    every corpus-curation run publishes. Canonical = min doc_id per
+    content fingerprint (same rule as dedup_exact); one window over
+    the fingerprint key then a per-source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    f = d.select(
+        "source", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("rn") > 1, 1)).cast("long").alias("n_removed"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("removed_chars"),
+        (F.count(F.when(F.col("rn") > 1, 1)) / F.count(F.lit(1))).alias(
+            "dup_ratio"
+        ),
     )

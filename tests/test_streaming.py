@@ -222,3 +222,83 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(180)
     out = spark.sql("SELECT event_id FROM dedup_wm_out").collect()
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_streaming_materialized_view_upsert(spark, tmp_path):
+    """Streaming materialized view: watermarked tumbling-window counts
+    maintained as a keyed MergeTable via foreachBatch — the standard
+    'rollup that stays fresh' pattern (update-mode aggregation, each
+    micro-batch upserts only the windows it touched; late data within
+    the watermark REVISES the already-written row)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.merge import MergeTable
+    from data_engineering_spark.streaming.stateful import (
+        watermarked_window_counts,
+    )
+
+    src = tmp_path / "mv_in"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def drop(rows):
+        spark.createDataFrame(
+            [(t0 + dt.timedelta(minutes=m), et) for m, et in rows],
+            "ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    drop([(1, "a"), (2, "a"), (31, "a"), (3, "b")])
+    # late-but-within-watermark event for the first window arrives in a
+    # later file; update mode must re-emit and revise that window's row
+    drop([(4, "a"), (62, "a")])
+
+    table = MergeTable(
+        spark, str(tmp_path / "mv"), ["window_start", "event_type"]
+    )
+
+    def upsert(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        src_batch = batch_df.select(
+            "window_start",
+            "event_type",
+            F.col("n_events").alias("n"),
+            F.lit(int(batch_id)).alias("__ts_ms"),
+            F.lit("u").alias("__op"),
+        )
+        table.merge(src_batch)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = watermarked_window_counts(
+        stream, window="30 minutes", watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "mv_ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"].hour * 60 + r["window_start"].minute,
+         r["event_type"]): r["n"]
+        for r in table.read().collect()
+    }
+    # window [0,30): a=3 (incl. the late minute-4 event), b=1;
+    # [30,60): a=1; [60,90): a=1
+    assert got == {
+        (0, "a"): 3,   # revised by the late minute-4 event
+        (0, "b"): 1,
+        (30, "a"): 1,
+        (60, "a"): 1,
+    }
