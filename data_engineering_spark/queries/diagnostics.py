@@ -124,3 +124,75 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "q_nation_revenue_share",
+    oracle="""
+    WITH r AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT nation, region, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 9)
+             AS region_share,
+           ROUND(revenue / SUM(revenue) OVER (), 9) AS global_share,
+           rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation)
+             AS rank_in_region
+    FROM r
+    """,
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics (ratio_to_report): each nation's revenue
+    as a fraction of its region and of the world, plus in-region rank —
+    window sums over the AGGREGATED frame (25 rows), so the expensive
+    part is one decimal-exact join+agg and the shares are free. The
+    window SUM runs over decimal-derived doubles of a tiny frame where
+    both engines add in the same partition-local order; shares rounded
+    at 1e-9."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            n.n_name.alias("nation"), r.r_name.alias("region")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    wrank = Window.partitionBy("region").orderBy(
+        F.desc("revenue"), F.asc("nation")
+    )
+    return rev.select(
+        "nation",
+        "region",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 9).alias(
+            "region_share"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(wall), 9).alias(
+            "global_share"
+        ),
+        F.rank().over(wrank).alias("rank_in_region"),
+    )

@@ -302,3 +302,84 @@ def test_streaming_materialized_view_upsert(spark, tmp_path):
         (30, "a"): 1,
         (60, "a"): 1,
     }
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join semantics: an unmatched click can
+    only be emitted with a NULL buy side once the watermark passes the
+    end of its join window (before that, a matching buy could still
+    arrive). A late file advances the watermark far enough to flush
+    the null-matched rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks_dir, buys_dir = tmp_path / "oclicks", tmp_path / "obuys"
+    clicks_dir.mkdir(), buys_dir.mkdir()
+    spark.createDataFrame(
+        [(1, ts(0)), (2, ts(1))], "user_id long, click_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(clicks_dir))
+    # user 1 converts in-window; user 2 never does. The ts(120) buy is
+    # a watermark-advancer: it pushes event time far past click+10min
+    # so user 2's null match can be finalized.
+    spark.createDataFrame(
+        [(1, ts(4)), (99, ts(120))], "user_id long, buy_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(buys_dir))
+
+    clicks = (
+        spark.readStream.schema("user_id long, click_ts timestamp")
+        .parquet(str(clicks_dir))
+        .withWatermark("click_ts", "5 minutes")
+    )
+    buys = (
+        spark.readStream.schema("user_id long, buy_ts timestamp")
+        .parquet(str(buys_dir))
+        .withWatermark("buy_ts", "5 minutes")
+    )
+    def run():
+        joined = clicks.join(
+            buys,
+            (clicks["user_id"] == buys["user_id"])
+            & (buys["buy_ts"] >= clicks["click_ts"])
+            & (
+                buys["buy_ts"]
+                <= clicks["click_ts"] + F.expr("INTERVAL 10 MINUTES")
+            ),
+            "left_outer",
+        ).select(clicks["user_id"], "click_ts", "buy_ts")
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "sso_out"))
+            .option("checkpointLocation", str(tmp_path / "sso_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    # the watermark computed in run #1 is applied to state eviction in
+    # the NEXT batch — and the GLOBAL watermark is the min across BOTH
+    # inputs, so each side needs an advancing event. Drop one per side
+    # and run again (the production equivalent: the next micro-batches
+    # of a live stream).
+    spark.createDataFrame(
+        [(98, ts(180))], "user_id long, buy_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(buys_dir))
+    spark.createDataFrame(
+        [(97, ts(180))], "user_id long, click_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(str(clicks_dir))
+    run()
+    got = {
+        r["user_id"]: r["buy_ts"]
+        for r in spark.read.parquet(str(tmp_path / "sso_out")).collect()
+    }
+    assert got[1] == ts(4)          # matched inner row
+    assert 2 in got and got[2] is None  # null-flushed after watermark
