@@ -30,6 +30,8 @@ def write_sharded_dataset(
     order_cols: Sequence[str],
     shard_size: int,
     num_partitions: int | None = None,
+    fmt: str = "parquet",
+    compression: str | None = None,
 ) -> DataFrame:
     """Write `df` as `path/shard=NNNN/` parquet shards of `shard_size`
     rows in (order_cols) global order; returns the manifest frame
@@ -64,13 +66,17 @@ def write_sharded_dataset(
         10,
     ).cast("long")
     out = sharded.drop("__seq")
-    (
+    w = (
         out.repartition("shard")
         .sortWithinPartitions(*order_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .format(fmt)  # parquet for lakes; "json" = the JSONL wire
+        # format most text-training stacks consume (gzip per shard)
     )
+    if compression:
+        w = w.option("compression", compression)
+    w.save(path)
     manifest = (
         out.groupBy("shard")
         .agg(
@@ -84,7 +90,10 @@ def write_sharded_dataset(
 
 
 def verify_shards(
-    spark: SparkSession, path: str, order_cols: Sequence[str]
+    spark: SparkSession,
+    path: str,
+    order_cols: Sequence[str],
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Re-derive the manifest from the written shards and join it to
     the stored one: (shard, n_rows, id_fingerprint, ok). A training
@@ -92,7 +101,7 @@ def verify_shards(
     lives under the dataset root but starts with '_', so Hadoop's
     hidden-file filter keeps it out of the data scan."""
     stored = spark.read.parquet(f"{path}/_manifest")
-    data = spark.read.parquet(path)
+    data = spark.read.format(fmt).load(path)
     row_fp = F.conv(
         F.substring(
             F.sha2(

@@ -366,11 +366,11 @@ def q_debezium_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p GROUP BY event_type)
     SELECT event_type,
            CAST(n AS BIGINT) AS n,
-           CAST(n * sxy - sx * sy AS DOUBLE) AS slope_num,
-           CAST(n * sxx - sx * sx AS DOUBLE) AS slope_den,
+           CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+           CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
            CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
-                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 END
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 15) END
              AS slope
     FROM s
     """,
@@ -404,9 +404,16 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        num.cast("double").alias("slope_num"),
-        den.cast("double").alias("slope_den"),
+        # exact witnesses travel as STRINGS: above 2^53 a double cast
+        # is no longer exact and the two engines' int->double rounding
+        # was observed to differ by one ulp at sf0.1
+        num.cast("decimal(38,0)").cast("string").alias("slope_num"),
+        den.cast("decimal(38,0)").cast("string").alias("slope_den"),
         F.when(den == F.lit(0), F.lit(None).cast("double"))
-        .otherwise(num.cast("double") / den.cast("double") / F.lit(100.0))
+        .otherwise(
+            F.round(
+                num.cast("double") / den.cast("double") / F.lit(100.0), 15
+            )
+        )
         .alias("slope"),
     )

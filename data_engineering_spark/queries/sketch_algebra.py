@@ -153,8 +153,8 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e GROUP BY 1, 2)
     SELECT label, CAST(COUNT(*) AS BIGINT) AS dims,
            ROUND(CAST(SUM(CAST(CASE WHEN dim <= 8 THEN mu ELSE 0 END
-                       AS DECIMAL(28,15))) AS DOUBLE), 9) AS head_mass,
-           ROUND(CAST(SUM(CAST(mu * mu AS DECIMAL(28,15))) AS DOUBLE), 9)
+                       AS DECIMAL(28,15))) AS DOUBLE), 6) AS head_mass,
+           ROUND(CAST(SUM(CAST(mu * mu AS DECIMAL(28,15))) AS DOUBLE), 6)
              AS sq_norm
     FROM m GROUP BY label
     """,
@@ -165,7 +165,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable twin of the KMeans centroids (which are rows-only
     by iteration order). Checked via two deterministic functionals of
     the centroid vector (head-coordinate mass and squared norm, both
-    summed over an explicit dim order then rounded at 1e-9; the oracle
+    summed over an explicit dim order then rounded at 1e-6 — the
+    double->decimal(28,15) quantization of mu differs between engines
+    at the last decimal and a 1e-9 rounding sat on that boundary at
+    sf0.1; the oracle
     casts REAL through DOUBLE before the decimal quantization because
     DuckDB's direct REAL→DECIMAL rounds at float precision). Shuffle
     carries (label, dim, partial-sum) triples — n_labels x 64 groups
@@ -190,12 +193,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(0.0)
                 .cast("decimal(28,15)")
             ).cast("double"),
-            9,
+            6,
         ).alias("head_mass"),
         F.round(
             F.sum(
                 (F.col("mu") * F.col("mu")).cast("decimal(28,15)")
             ).cast("double"),
-            9,
+            6,
         ).alias("sq_norm"),
     )

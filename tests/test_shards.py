@@ -63,3 +63,25 @@ def test_verify_detects_tamper(spark, tmp_path):
              verify_shards(spark, path, ["doc_id"]).collect()}
     assert after[2] is False
     assert all(v for s, v in after.items() if s != 2)
+
+
+def test_jsonl_gzip_shards(spark, tmp_path):
+    """Training-wire export: shard=NNNN dirs of gzipped JSON Lines,
+    same manifest contract as parquet."""
+    import gzip
+    import json
+    import glob
+
+    path = str(tmp_path / "jsonl")
+    man = write_sharded_dataset(
+        _corpus(spark, 250), path, ["doc_id"], shard_size=100,
+        fmt="json", compression="gzip",
+    )
+    assert man.agg(F.sum("n_rows")).collect()[0][0] == 250
+    files = glob.glob(f"{path}/shard=*/*.json.gz")
+    assert len(files) == 3
+    with gzip.open(files[0], "rt") as f:
+        row = json.loads(f.readline())
+    assert set(row) == {"doc_id", "text"}
+    ok = verify_shards(spark, path, ["doc_id"], fmt="json")
+    assert all(r["ok"] for r in ok.collect())
