@@ -1,0 +1,74 @@
+"""Driver-contract verification harness (the /verify recipe).
+
+Runs every oracle-bearing query from __spark_entry__ in a FRESH,
+deliberately hostile SparkSession (non-UTC timezone — catches any
+query relying on session config it didn't pin) and hash-compares each
+against its DuckDB oracle on the same parquet.
+
+    python tools/drive_contract.py                  # sf0.01 gate
+    DRIVE_SF=/root/testdata/sf0.1 python tools/drive_contract.py
+
+Expect "RESULT: ALL MATCH". sf0.1 needs the 24g driver memory already
+configured below. New-oracle checklist: run BOTH sf0.01 and sf0.1 —
+two last-ulp divergences (int>2^53 double casts, double->decimal
+quantization at a 1e-9 rounding boundary) only showed at sf0.1.
+"""
+
+import sys, hashlib, datetime as dt
+sys.path.insert(0, "/root/repo")
+import duckdb, numpy as np, pandas as pd
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "24g").getOrCreate())
+import __spark_entry__ as E
+from data_engineering_spark.catalog import TPCH_TABLES, table_path
+
+rows = E.entry(spark).collect()
+print("entry rows:", len(rows))
+assert len(rows) > 0
+
+import os as _os
+SF = _os.environ.get("DRIVE_SF", "/root/testdata/sf0.01")
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and s.map(
+            lambda v: v is None or isinstance(v, (dt.date, dt.datetime))
+        ).all() and s.notna().any():
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def h(df):
+    return hashlib.sha256(df.round(9).to_csv(index=False).encode()).hexdigest()
+
+qs, os_ = E.queries(), E.oracle_sql()
+con = duckdb.connect()
+for t in TPCH_TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF, t)}'")
+
+bad = []
+for name in sorted(os_):
+    try:
+        a = normalize(qs[name](spark, SF).toPandas())
+        b = normalize(con.execute(os_[name]).fetchdf())
+        ok = list(a.columns) == list(b.columns) and len(a) == len(b) and h(a) == h(b)
+    except Exception as ex:
+        ok = False
+        print(name, "EXC", repr(ex)[:200])
+    if not ok:
+        bad.append(name)
+        print("MISMATCH", name)
+print("checked:", len(os_), "bad:", len(bad))
+print("RESULT:", "ALL MATCH" if not bad else f"FAIL {bad}")
