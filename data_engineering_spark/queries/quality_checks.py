@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_engineering_spark.catalog import load_table
 from data_engineering_spark.operators.sampling import mixture_sample
@@ -137,3 +138,67 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MIX,
         salt="mix1",
     )
+
+
+@query(
+    "q_doc_negative_pairs",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS seq,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    probes AS (
+      SELECT i.doc_id, j.j,
+             1 + (('0x' || substr(md5(CAST(i.doc_id AS VARCHAR) || '#' ||
+                  CAST(j.j AS VARCHAR) || 'neg1'), 1, 15))::BIGINT % i.n)
+               AS pseq
+      FROM idx i, (VALUES (1), (2)) j(j))
+    SELECT p.doc_id, p.j AS neg_slot, t.doc_id AS neg_id
+    FROM probes p JOIN idx t ON p.pseq = t.seq
+    WHERE t.doc_id <> p.doc_id
+    """,
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE sampling (contrastive-training partners):
+    each document draws 2 pseudo-random partners by hashing
+    (doc_id, slot) onto a dense 1..N index — reproducible across runs
+    and engines, unlike rand()-based sampling. The dense index comes
+    from the scale-safe offset pattern (operators/ids — no single-task
+    window); partner lookup is an equi-join on the index. Self-draws
+    are dropped (the contrastive-loss convention).
+
+    Modulo note: both engines compute % on the SIGNED 60-bit hash —
+    non-negative here, so semantics agree."""
+    from data_engineering_spark.operators.ids import assign_sequential_ids
+    from data_engineering_spark.operators.sketches import uniform_hash60
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    idx = assign_sequential_ids(d, ["doc_id"], id_col="seq")
+    n = idx.agg(F.count(F.lit(1)).alias("n"))
+    slots = spark.createDataFrame([(1,), (2,)], "j int")
+    probes = (
+        idx.select("doc_id")
+        .join(F.broadcast(slots))
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("j").alias("neg_slot"),
+            (
+                1
+                + uniform_hash60(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("j").cast("string"),
+                        F.lit("neg1"),
+                    )
+                )
+                % F.col("n")
+            ).alias("pseq"),
+        )
+    )
+    t = idx.select(F.col("doc_id").alias("neg_id"), F.col("seq").alias("pseq"))
+    return probes.join(t, "pseq").where(
+        F.col("neg_id") != F.col("doc_id")
+    ).select("doc_id", "neg_slot", "neg_id")

@@ -906,3 +906,83 @@ def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_ratio"
         ),
     )
+
+
+@query(
+    "q_doc_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE lang = 'en'),
+    pos AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] AS w, i
+      FROM tok, unnest(generate_series(1, len(t))) AS g(i)),
+    tot AS (SELECT COUNT(*) AS n FROM pos),
+    uni AS (SELECT w, COUNT(*) AS c FROM pos GROUP BY w),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS pc
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT p.w1, p.w2, p.pc,
+             (CAST(p.pc AS DOUBLE) * CAST((SELECT n FROM tot) AS DOUBLE))
+               / (u1.c * 2.0 * u2.c) AS lift
+      FROM pairs p
+      JOIN uni u1 ON p.w1 = u1.w
+      JOIN uni u2 ON p.w2 = u2.w
+      WHERE p.pc >= 5)
+    SELECT w1, w2, CAST(pc AS BIGINT) AS pair_count,
+           ROUND(lift, 9) AS lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2
+    LIMIT 25
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: word pairs within a forward window of 2
+    ranked by LIFT = P(pair) / (P(w1)·P(w2)) — the PMI statistic
+    without the log, so the score is a pure ratio of integer counts
+    (one deterministic double division; no transcendental libm
+    dependency, same policy as BM25-linear). Positions explode once;
+    the pair join is equi-keyed on doc_id with a residual distance
+    band; total order on (lift, w1, w2)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(X.tokens(F.lower(F.col("text")))).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    tot = pos.agg(F.count(F.lit(1)).alias("n"))
+    uni = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    a = pos.select("doc_id", F.col("w").alias("w1"), F.col("i").alias("ia"))
+    b = pos.select("doc_id", F.col("w").alias("w2"), F.col("i").alias("ib"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where((F.col("ib") - F.col("ia")).between(1, 2))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .where(F.col("pc") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("pc").cast("long").alias("pair_count"),
+            # doubles BEFORE the product: pc*n is ~1e26 at web scale,
+            # far past int64 — and the double tree is written
+            # identically in the oracle so the division stays bit-exact
+            F.round(
+                (F.col("pc").cast("double") * F.col("n").cast("double"))
+                / (F.col("c1") * 2.0 * F.col("c2")),
+                9,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("w1"), F.asc("w2")
+    ).limit(25)
