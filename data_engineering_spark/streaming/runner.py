@@ -107,3 +107,30 @@ def start_streams(
         )
         queries.append(q)
     return queries
+
+
+def idempotent_sink(sink_fn, ledger_path: str):
+    """Make a foreachBatch body exactly-once against NON-transactional
+    targets (plain files, JDBC without upsert keys, HTTP...).
+
+    Structured Streaming's contract is at-least-once per micro-batch:
+    after a crash between the sink's side effect and the checkpoint
+    commit, the SAME (batch_id, data) is re-delivered. Keyed MERGE
+    sinks absorb that by idempotence; for sinks that don't, this
+    wrapper consults a batch-id ledger (one tiny marker file per
+    committed batch — the same trick Spark's own file sink plays with
+    _spark_metadata) and skips batches it already applied. Marker
+    write happens AFTER the sink succeeds; a crash in between means
+    one more replay, never a skip of an unapplied batch."""
+    import os
+
+    def _wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger_path, exist_ok=True)
+        marker = os.path.join(ledger_path, f"batch-{batch_id:020d}")
+        if os.path.exists(marker):
+            return  # replay of an already-committed batch
+        sink_fn(batch_df, batch_id)
+        with open(marker, "w") as f:
+            f.write("committed\n")
+
+    return _wrapped

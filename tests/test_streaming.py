@@ -383,3 +383,25 @@ def test_stream_stream_left_outer_join_emits_nulls_after_watermark(
     }
     assert got[1] == ts(4)          # matched inner row
     assert 2 in got and got[2] is None  # null-flushed after watermark
+
+
+def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
+    from data_engineering_spark.streaming.runner import idempotent_sink
+
+    applied = []
+
+    def raw_sink(df, bid):
+        applied.append((bid, df.count()))
+
+    sink = idempotent_sink(raw_sink, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    sink(df, 0)
+    sink(df, 1)
+    sink(df, 0)  # crash-replay of batch 0 — must be a no-op
+    assert applied == [(0, 3), (1, 3)]
+
+    # a fresh wrapper instance (process restart) sees the same ledger
+    sink2 = idempotent_sink(raw_sink, str(tmp_path / "ledger"))
+    sink2(df, 1)
+    sink2(df, 2)
+    assert applied == [(0, 3), (1, 3), (2, 3)]
