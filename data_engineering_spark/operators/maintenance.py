@@ -91,3 +91,50 @@ def remove_orphans(root: str) -> int:
             shutil.rmtree(d, ignore_errors=True)
             removed += 1
     return removed
+
+
+def lake_inventory(spark: SparkSession, root: str):
+    """Operational inventory of a lake root: one row per table directory
+    with file count, total bytes, mean file size (the compaction
+    trigger signal), column count and partition layout — what an
+    operator consults before scheduling compact_table/remove_orphans.
+    Driver-side directory walking over TABLE METADATA (file listings),
+    no data read except one parquet footer per table for the schema."""
+    rows = []
+    for entry in sorted(os.listdir(root)):
+        tdir = os.path.join(root, entry)
+        if not os.path.isdir(tdir) or entry.startswith(("_", ".")):
+            continue
+        files = [
+            p
+            for p in glob.glob(os.path.join(tdir, "**", "*.parquet"),
+                               recursive=True)
+            if not os.path.basename(p).startswith(("_", "."))
+        ]
+        if not files:
+            continue
+        total = sum(os.path.getsize(p) for p in files)
+        parts = sorted(
+            {
+                seg.split("=")[0]
+                for p in files
+                for seg in os.path.relpath(p, tdir).split(os.sep)[:-1]
+                if "=" in seg
+            }
+        )
+        n_cols = len(spark.read.parquet(files[0]).columns)
+        rows.append(
+            (
+                entry,
+                len(files),
+                total,
+                total // len(files),
+                n_cols,
+                ",".join(parts) if parts else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table string, n_files long, total_bytes long, "
+        "mean_file_bytes long, n_columns int, partition_cols string",
+    )

@@ -42,3 +42,28 @@ def test_iceberg_maintenance_sql():
     assert any("rewrite_data_files" in s and "536870912" in s for s in stmts)
     assert any("expire_snapshots" in s for s in stmts)
     assert any("remove_orphan_files" in s for s in stmts)
+
+
+def test_lake_inventory(spark, tmp_path):
+    from data_engineering_spark.operators.maintenance import lake_inventory
+    from data_engineering_spark.operators.merge import MergeTable
+
+    root = str(tmp_path / "lake")
+    t1 = MergeTable(spark, f"{root}/sales", ["id"])
+    t1.merge(spark.createDataFrame(
+        [(1, "a", 1, "c"), (2, "b", 2, "c")],
+        "id long, v string, __ts_ms long, __op string"))
+    t2 = MergeTable(spark, f"{root}/users", ["id"], partition_by="p")
+    t2.merge(spark.createDataFrame(
+        [(1, 1, 1, "c"), (2, 2, 2, "c")],
+        "id long, p int, __ts_ms long, __op string"))
+    import os
+    os.makedirs(f"{root}/_quarantine")  # hidden dirs excluded
+
+    inv = {r["table"]: r for r in lake_inventory(spark, root).collect()}
+    assert set(inv) == {"sales", "users"}
+    assert inv["sales"]["n_files"] >= 1
+    assert inv["sales"]["total_bytes"] > 0
+    assert inv["sales"]["n_columns"] == 4
+    assert inv["users"]["partition_cols"] == "p"
+    assert inv["sales"]["partition_cols"] is None
