@@ -183,6 +183,8 @@ class MergeTable:
         key_columns: Sequence[str],
         partition_by: str | None = None,
         durable_staging: bool = False,
+        compression: str | None = None,
+        max_records_per_file: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -192,6 +194,12 @@ class MergeTable:
         # dir instead of localCheckpoint (survives executor loss at the
         # cost of an extra write+read) — see _merge_partitioned_inner.
         self.durable_staging = durable_staging
+        # writer knobs (Iceberg's write.target-file-size / codec table
+        # properties, parquet-core edition): codec per table, and a row
+        # ceiling per file so one fat task can't emit a 10 GB file that
+        # defeats downstream parallelism.
+        self.compression = compression
+        self.max_records_per_file = max_records_per_file
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -270,6 +278,10 @@ class MergeTable:
         w = df.write.mode("overwrite")
         if self.partition_by:
             w = w.partitionBy(self.partition_by)
+        if self.compression:
+            w = w.option("compression", self.compression)
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
         w.parquet(dest)
 
     def create(self, df: DataFrame) -> None:
@@ -422,12 +434,14 @@ class MergeTable:
         # 'static' — a static overwrite with partitionBy deletes every
         # untouched partition. The writer option is race-free and takes
         # precedence over the session conf.
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(p)
-            .parquet(self.path)
+        w = merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
         )
+        if self.compression:
+            w = w.option("compression", self.compression)
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        w.partitionBy(p).parquet(self.path)
         surviving = set(obs.get["parts"] or [])
         for stale in set(parts) - surviving:
             shutil.rmtree(

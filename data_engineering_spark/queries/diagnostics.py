@@ -196,3 +196,51 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(wrank).alias("rank_in_region"),
     )
+
+
+@query(
+    "q_orders_yoy_growth",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT yr, ROUND(revenue, 2) AS revenue, n_orders,
+           ROUND(revenue - lag(revenue) OVER (ORDER BY yr), 2)
+             AS yoy_delta,
+           ROUND((revenue - lag(revenue) OVER (ORDER BY yr))
+                 / lag(revenue) OVER (ORDER BY yr), 9) AS yoy_pct
+    FROM y
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time intelligence: year-over-year revenue delta and growth rate
+    via lag over the yearly aggregate (a handful of rows — the
+    single-partition window is over metadata, not data). Decimal-exact
+    yearly sums; the growth ratio is one double division rounded at
+    1e-9."""
+    o = load_table(spark, sf_dir, "orders")
+    y = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("yr")
+    return y.select(
+        "yr",
+        F.round("revenue", 2).alias("revenue"),
+        "n_orders",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+            "yoy_delta"
+        ),
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w),
+            9,
+        ).alias("yoy_pct"),
+    )

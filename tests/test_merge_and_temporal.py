@@ -222,3 +222,27 @@ def test_keep_last_matches_reference_pandas_bridge(spark):
     }
     assert ours == theirs
     assert ours[("k1", "t1")] == "b"
+
+
+def test_mergetable_writer_knobs(spark, tmp_path):
+    """Per-table codec + row-per-file ceiling reach the physical files
+    (Iceberg write.target-file-size/codec table properties, parquet
+    edition)."""
+    import glob
+
+    from data_engineering_spark.operators.merge import MergeTable
+
+    t = MergeTable(
+        spark, str(tmp_path / "knobs"), ["id"],
+        compression="gzip", max_records_per_file=100,
+    )
+    df = spark.range(450).selectExpr(
+        "id", "CAST(id AS STRING) AS v",
+        "CAST(1 AS LONG) AS __ts_ms", "'c' AS __op",
+    ).coalesce(1)
+    t.merge(df)
+    files = glob.glob(f"{t.path}/*.gz.parquet")
+    assert files, "gzip codec not applied"
+    # one input partition, 450 rows, ceiling 100 -> >= 5 files
+    assert len(files) >= 5
+    assert t.read().count() == 450
