@@ -37,6 +37,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 from collections.abc import Callable, Sequence
@@ -176,6 +177,8 @@ class MergeTable:
     whole CDC pipeline runs and is testable on plain parquet.
     """
 
+    _path_locks: dict[str, threading.Lock] = {}
+
     def __init__(
         self,
         spark: SparkSession,
@@ -200,6 +203,16 @@ class MergeTable:
         # defeats downstream parallelism.
         self.compression = compression
         self.max_records_per_file = max_records_per_file
+        # in-process merge serialization: two concurrent merges on one
+        # path would both read the same base state and the later swap
+        # would silently drop the earlier batch (lost update). The CDC
+        # engine already serializes per table; this lock covers direct
+        # users sharing a session (streaming/runner.start_streams
+        # threads). CROSS-process writers still need an external lock
+        # or the Iceberg backend's optimistic commit.
+        self._lock = self._path_locks.setdefault(
+            os.path.abspath(path), threading.Lock()
+        )
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
@@ -309,6 +322,16 @@ class MergeTable:
         those partitions are merged and dynamically overwritten;
         untouched partition directories are not read or written.
         """
+        with self._lock:
+            self._merge_inner(source, op_col, ts_col, ts_guard)
+
+    def _merge_inner(
+        self,
+        source: DataFrame,
+        op_col: str,
+        ts_col: str,
+        ts_guard: bool,
+    ) -> None:
         if not self.exists():
             inserts = source.filter(F.col(op_col) != DELETE_OP)
             self.create(inserts)

@@ -246,3 +246,31 @@ def test_mergetable_writer_knobs(spark, tmp_path):
     # one input partition, 450 rows, ceiling 100 -> >= 5 files
     assert len(files) >= 5
     assert t.read().count() == 450
+
+
+def test_concurrent_merges_same_table_no_lost_update(spark, tmp_path):
+    """Two threads merging into the SAME MergeTable: the per-path lock
+    serializes the read-merge-swap cycle, so neither batch is lost
+    (without it, both read the same base and the later swap drops the
+    earlier batch)."""
+    import threading
+
+    from data_engineering_spark.operators.merge import MergeTable
+
+    t = MergeTable(spark, str(tmp_path / "conc"), ["id"])
+    t.merge(spark.createDataFrame(
+        [(0, "base", 1, "c")], "id long, v string, __ts_ms long, __op string"))
+
+    def writer(lo):
+        tt = MergeTable(spark, str(tmp_path / "conc"), ["id"])
+        tt.merge(spark.createDataFrame(
+            [(i, f"v{i}", 2, "c") for i in range(lo, lo + 20)],
+            "id long, v string, __ts_ms long, __op string"))
+
+    th = [threading.Thread(target=writer, args=(lo,)) for lo in (100, 200)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    ids = {r["id"] for r in t.read().collect()}
+    assert ids == {0} | set(range(100, 120)) | set(range(200, 220))
