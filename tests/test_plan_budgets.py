@@ -53,6 +53,10 @@ PYTHON_OK = {"q_embedding_similarity_join"}
     "name", [n for n in HEADLINE if n in EXCHANGE_BUDGET]
 )
 def test_headline_exchange_budget(spark, name):
+    # budgets are calibrated on a cold catalog: cached intermediates
+    # from earlier tests embed their build plans (InMemoryRelation), and
+    # the textual Exchange count would double-count those children
+    spark.catalog.clearCache()
     plan = plan_string(QUERIES[name](spark, SF))
     got = plan.count("Exchange")
     assert got <= EXCHANGE_BUDGET[name], (
