@@ -20,6 +20,8 @@ safe at scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -207,3 +209,43 @@ def read_json_with_quarantine(
         F.col(corrupt).alias("raw_line")
     )
     return good, bad
+
+
+def read_parquet_robust(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[str]]:
+    """Parquet read that survives corrupt files — the landing-zone
+    reality where an upstream writer died mid-file or a transfer
+    truncated bytes. Returns (frame over the GOOD files, list of
+    corrupt file paths for quarantine/alerting).
+
+    Detection is a driver-side footer probe per file (parquet ends with
+    the 4-byte magic 'PAR1'; a missing/truncated footer is exactly how
+    partial writes present) — metadata-scale I/O: 4 bytes per file,
+    never data. This beats `spark.sql.files.ignoreCorruptFiles=true`
+    for pipelines because the bad files are NAMED instead of silently
+    skipped session-wide: the caller can quarantine them and alert,
+    and the conf stays off so unexpected corruption elsewhere still
+    fails loudly."""
+    import glob as _glob
+
+    files = sorted(
+        p
+        for p in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+        and not os.path.basename(p).startswith(("_", "."))
+    )
+    good, bad = [], []
+    for p in files:
+        try:
+            with open(p, "rb") as f:
+                if os.path.getsize(p) < 12:
+                    bad.append(p)
+                    continue
+                f.seek(-4, os.SEEK_END)
+                (good if f.read(4) == b"PAR1" else bad).append(p)
+        except OSError:
+            bad.append(p)
+    if not good:
+        raise ValueError(f"no readable parquet files under {path}")
+    return spark.read.parquet(*good), bad

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -185,3 +187,29 @@ def test_read_json_with_quarantine(spark, tmp_path):
     bad_lines = sorted(r["raw_line"] for r in bad.collect())
     assert len(bad_lines) == 2
     assert any("not json" in l for l in bad_lines)
+
+
+def test_read_parquet_robust_names_corrupt_files(spark, tmp_path):
+    from data_engineering_spark.sources.formats import read_parquet_robust
+
+    path = str(tmp_path / "land")
+    spark.range(10).coalesce(1).write.parquet(path)
+    # a truncated transfer and an upstream writer that died mid-file
+    with open(f"{path}/part-trunc.parquet", "wb") as f:
+        f.write(b"PAR1" + b"\x00" * 100)  # header ok, footer missing
+    with open(f"{path}/part-empty.parquet", "wb") as f:
+        f.write(b"PA")
+
+    df, bad = read_parquet_robust(spark, path)
+    assert df.count() == 10
+    assert sorted(os.path.basename(b) for b in bad) == [
+        "part-empty.parquet", "part-trunc.parquet"]
+
+    import pytest
+    spark.range(1).coalesce(1).write.parquet(str(tmp_path / "allbad"))
+    for p in os.listdir(str(tmp_path / "allbad")):
+        if p.endswith(".parquet"):
+            with open(f"{tmp_path}/allbad/{p}", "wb") as f:
+                f.write(b"nope")
+    with pytest.raises(ValueError, match="no readable"):
+        read_parquet_robust(spark, str(tmp_path / "allbad"))
