@@ -27,6 +27,7 @@ positive) so the fit is deterministic run-to-run.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 import numpy as np
@@ -126,4 +127,80 @@ def pca_project(
         vectors.withColumn("__pv", as_double_vec(vec_col))
         .withColumn(out_col, F.array(*projs))
         .drop("__pv")
+    )
+
+
+@dataclass(frozen=True)
+class LinearModel:
+    coefficients: tuple[float, ...]  # per feature
+    intercept: float
+    n_rows: int
+
+
+def linear_regression_fit(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    l2: float = 0.0,
+) -> LinearModel:
+    """Exact multi-feature linear regression (optionally ridge) by
+    NORMAL EQUATIONS over distributed sufficient statistics: one pass
+    accumulates the (k+2)x(k+2) Gram of [features, 1, label] — the same
+    Arrow-batched partial-reduction as `pca_fit` — and the driver
+    solves the (k+1)-dim system. Sufficient statistics are the whole
+    point at 100 TB: the model fits from k² numbers no matter the row
+    count, and partials merge associatively across partitions/days.
+    The intercept rides as the constant pseudo-feature; `l2` adds ridge
+    regularization to the feature block only (standard: the intercept
+    is never penalized)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("need at least one feature")
+    vec = F.array(
+        *[F.col(c).cast("double") for c in feature_cols],
+        F.lit(1.0),
+        F.col(label_col).cast("double"),
+    )
+    aug = df.select(vec.alias("__v"))
+
+    def gram_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if len(x) == 0:
+                continue
+            yield pd.DataFrame(
+                {"partial": [
+                    np.concatenate(
+                        [(x.T @ x).ravel(), [float(len(x))]]
+                    ).tolist()
+                ]}
+            )
+
+    d = k + 2
+    summed = (
+        aug.mapInPandas(gram_partials, "partial array<double>")
+        .select(F.posexplode("partial").alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    flat = np.zeros(d * d + 1)
+    for r in summed:
+        flat[r["idx"]] = r["val"]
+    gram, n = flat[:-1].reshape(d, d), int(flat[-1])
+    a = gram[: k + 1, : k + 1].copy()
+    b = gram[: k + 1, k + 1]
+    if l2:
+        a[np.arange(k), np.arange(k)] += l2  # features only
+    w = np.linalg.solve(a, b)
+    return LinearModel(
+        coefficients=tuple(float(v) for v in w[:k]),
+        intercept=float(w[k]),
+        n_rows=n,
     )

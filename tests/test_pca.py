@@ -72,3 +72,30 @@ def test_deterministic_across_partitionings(data):
     # the MODEL must still agree to high precision and identical signs
     assert np.allclose(m1.components, m2.components, atol=1e-9)
     assert np.allclose(m1.explained_variance, m2.explained_variance)
+
+
+def test_linear_regression_matches_numpy(spark):
+    from data_engineering_spark.operators.pca import linear_regression_fit
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(800, 3))
+    y = x @ np.array([2.5, -1.0, 0.25]) + 7.0 + rng.normal(
+        scale=0.01, size=800
+    )
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(t))
+         for (a, b, c), t in zip(x, y)],
+        "f1 double, f2 double, f3 double, y double",
+    ).repartition(7)
+    m = linear_regression_fit(df, ["f1", "f2", "f3"], "y")
+    xa = np.hstack([x, np.ones((800, 1))])
+    ref, *_ = np.linalg.lstsq(xa, y, rcond=None)
+    assert np.allclose(m.coefficients, ref[:3], atol=1e-8)
+    assert abs(m.intercept - ref[3]) < 1e-8
+    assert m.n_rows == 800
+
+    # ridge shrinks coefficients toward zero, intercept unpenalized
+    r = linear_regression_fit(df, ["f1", "f2", "f3"], "y", l2=1000.0)
+    assert all(
+        abs(rc) < abs(c) for rc, c in zip(r.coefficients, m.coefficients)
+    )
