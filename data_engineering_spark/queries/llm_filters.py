@@ -11,7 +11,7 @@ the value is part of the checked output).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_engineering_spark.catalog import load_table
@@ -915,4 +915,78 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 10, "val")
         .otherwise("train")
         .alias("split"),
+    )
+
+
+@query(
+    "q_doc_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    ed AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION SELECT doc_b, doc_a FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM ed
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN ed e ON r.v = e.u),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u),
+    member AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM member)
+    SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the BEST document (longest here — swap in any quality score),
+    not the arbitrary min-id. min-id canonicals (q_doc_dedup_clusters)
+    are fine for identity; for a training corpus you want the richest
+    member to survive. One window over the cluster-labeled frame with
+    a deterministic (score, id) total order; singletons are their own
+    cluster via the left join + coalesce."""
+    from data_engineering_spark.operators.graph import (
+        connected_components,
+    )
+    from data_engineering_spark.operators.text import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d.select("doc_id", "text"), n=3, threshold=0.6
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    member = d.select("doc_id", "n_chars").join(
+        comp.select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("__c"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("__c", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ws = Window.partitionBy("cluster_id")
+    return (
+        member.select(
+            "doc_id",
+            "cluster_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(ws).cast("long").alias("cluster_size"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
     )
