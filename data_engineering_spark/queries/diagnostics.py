@@ -244,3 +244,55 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("yoy_pct"),
     )
+
+
+@query(
+    "q_events_dau_wau_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT CASE WHEN u.day = d.day
+                THEN u.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN u.day > d.day - 7
+                THEN u.user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day > d.day - 30
+    GROUP BY d.day
+    """,
+)
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement suite: daily / trailing-7-day / trailing-30-day
+    distinct active users per day. Exact sliding distincts can't ride a
+    window frame (COUNT(DISTINCT) OVER RANGE isn't a thing), so the
+    day grid joins the DISTINCT (day, user) activity table — already
+    reduced to at most days x users rows — with the three horizons as
+    conditional distincts in ONE aggregation. At 100 TB you precompute
+    per-day KMV sketches instead and MERGE them across the horizon
+    (operators/sketches.kmv_sketch — union of mergeable sketches), at
+    ±2% error; this exact form is the small-scale/oracle twin."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    j = days.join(
+        du,
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") > F.date_sub(F.col("d"), 30)),
+    )
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct(
+            F.when(F.col("day") == F.col("d"), F.col("user_id"))
+        ).cast("long").alias("dau"),
+        F.count_distinct(
+            F.when(
+                F.col("day") > F.date_sub(F.col("d"), 7), F.col("user_id")
+            )
+        ).cast("long").alias("wau"),
+        F.count_distinct("user_id").cast("long").alias("mau"),
+    )
