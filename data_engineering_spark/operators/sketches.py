@@ -229,3 +229,57 @@ def heavy_hitters(
     return exact.filter(
         F.col("cnt") >= F.lit(float(phi)) * F.lit(float(n_total))
     ).select(F.col("v").alias("value"), "cnt")
+
+
+def kmv_rolling_distinct(
+    df: DataFrame,
+    day_col,
+    value_col: str,
+    window_days: int,
+    k: int = 256,
+) -> DataFrame:
+    """Sliding-window distinct counts from MERGED per-day sketches —
+    the scale path for DAU/WAU/MAU-style metrics where exact
+    COUNT(DISTINCT) over a trailing window would rescan the horizon
+    every day.
+
+    Build once: one KMV sketch per day (k hashes — the corpus reduces
+    to days x k rows). Serve: for each day, union the trailing
+    `window_days` sketches and re-take the k minima (sketch
+    mergeability: kmv(A ∪ B) is computable from kmv(A), kmv(B)), then
+    estimate. The grid join moves only sketch rows, never events —
+    yesterday's sketches never get rebuilt, so an incremental pipeline
+    appends one day of sketches and serves any horizon.
+
+    Output: (day, est_distinct, n_kept). Standard error ~ 1/sqrt(k-2):
+    ±6%% at k=256. Exact twin for tests/oracles: q_events_dau_wau_mau.
+    """
+    day = F.col(day_col) if isinstance(day_col, str) else day_col
+    daily = (
+        df.select(day.alias("__day"), uniform_hash60(value_col).alias("__hv"))
+        .filter(F.col("__hv").isNotNull())
+        .distinct()
+    )
+    wd = Window.partitionBy("__day").orderBy(F.asc("__hv"))
+    sk = (
+        daily.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    days = sk.select(F.col("__day").alias("day")).distinct()
+    joined = days.join(
+        sk,
+        (F.col("__day") <= F.col("day"))
+        & (F.col("__day") > F.date_sub(F.col("day"), window_days)),
+    )
+    merged = joined.select("day", "__hv").distinct()
+    w = Window.partitionBy("day").orderBy(F.asc("__hv"))
+    top = merged.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return top.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(F.lit(float(k - 1) * HASH_SPACE) / F.max("__hv"))
+        .alias("est_distinct"),
+    )

@@ -87,3 +87,44 @@ def test_kmv_pairwise_small_sets_exact(spark):
     assert r["union_est"] == 50.0
     assert r["jaccard_est"] == 10 / 50
     assert r["intersect_est"] == 10.0
+
+
+def test_kmv_rolling_distinct_tracks_exact(spark, sf_dir):
+    """Merged per-day sketches estimate trailing-7-day distinct users
+    within the k=256 error envelope of the exact grid-join answer."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.sketches import (
+        kmv_rolling_distinct,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    est = {
+        r["day"]: r["est_distinct"]
+        for r in kmv_rolling_distinct(
+            e, F.date_trunc("day", "ts").cast("date"), "user_id",
+            window_days=7, k=256,
+        ).collect()
+    }
+    du = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    exact = {
+        r["d"]: r["n"]
+        for r in days.join(
+            du,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") > F.date_sub(F.col("d"), 7)),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for d, n in exact.items():
+        if n < 256:
+            assert est[d] == float(n)  # sub-k sketches are exact
+        else:
+            assert abs(est[d] - n) / n < 0.25
