@@ -197,3 +197,37 @@ def ri_violations(
         F.lit(0.0).alias("threshold"),
         (F.col("value") <= F.lit(0.0)).alias("passed"),
     )
+
+
+def schema_contract_check(
+    df: DataFrame, contract: dict[str, str], allow_extra: bool = False
+) -> DataFrame:
+    """Data-contract validation for a table's SCHEMA (the structural
+    complement of `run_checks`' value rules): `contract` maps column
+    name → expected Spark DDL type ("bigint", "array<double>", …).
+    Returns one row per violation — missing column, wrong type, or
+    (unless `allow_extra`) an uncontracted extra column; an empty
+    result means the table honors its contract. Pure metadata — no
+    job runs."""
+    from pyspark.sql import types as T
+
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    rows = []
+    for name, ddl in contract.items():
+        want = T._parse_datatype_string(ddl)
+        if name not in actual:
+            rows.append((name, "missing", ddl, None))
+        elif actual[name] != want:
+            rows.append(
+                (name, "type_mismatch", ddl, actual[name].simpleString())
+            )
+    if not allow_extra:
+        for name in actual:
+            if name not in contract:
+                rows.append(
+                    (name, "unexpected", None, actual[name].simpleString())
+                )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, violation string, expected string, actual string",
+    )

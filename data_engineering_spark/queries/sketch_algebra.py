@@ -202,3 +202,58 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sq_norm"),
     )
+
+
+@query(
+    "q_events_kmv_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    sk AS (
+      SELECT d, hv FROM (
+        SELECT d, hv, ROW_NUMBER() OVER (PARTITION BY d ORDER BY hv) AS rn
+        FROM du)
+      WHERE rn <= 256),
+    days AS (SELECT DISTINCT d AS day FROM sk),
+    merged AS (
+      SELECT DISTINCT g.day, s.hv
+      FROM days g JOIN sk s
+        ON s.d <= g.day AND s.d > g.day - 7),
+    top AS (
+      SELECT day, hv FROM (
+        SELECT day, hv, ROW_NUMBER() OVER (
+          PARTITION BY day ORDER BY hv) AS rn
+        FROM merged)
+      WHERE rn <= 256)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 255.0 * 1152921504606846976.0 / MAX(hv) END
+             AS est_distinct
+    FROM top GROUP BY day
+    """,
+)
+def q_kmv_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users from MERGED per-day KMV sketches
+    (operators/sketches.kmv_rolling_distinct) — the incremental scale
+    path behind q_events_dau_wau_mau's exact WAU: history is never
+    rescanned, each day appends one k-row sketch and any horizon is a
+    re-minimized union of sketches. The estimate is a deterministic
+    md5 function of the data, so the oracle reproduces it bit-exactly
+    (and q_events_dau_wau_mau's exact WAU bounds its error in
+    pytest)."""
+    from data_engineering_spark.operators.sketches import (
+        kmv_rolling_distinct,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = kmv_rolling_distinct(
+        e,
+        F.date_trunc("day", "ts").cast("date"),
+        "user_id",
+        window_days=7,
+        k=256,
+    )
+    return out.select("day", "n_kept", "est_distinct")

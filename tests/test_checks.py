@@ -80,3 +80,32 @@ def test_ri_violations(spark):
     row = ri_violations(child, "fk", parent, "pk").collect()[0]
     assert row["value"] == 1.0  # only fk=9 is an orphan; NULL ignored
     assert not row["passed"]
+
+
+def test_schema_contract_check(spark):
+    from data_engineering_spark.operators.checks import (
+        schema_contract_check,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 0.5)], "id long, name string, score double"
+    )
+    ok = schema_contract_check(
+        df, {"id": "bigint", "name": "string", "score": "double"}
+    )
+    assert ok.count() == 0
+
+    bad = {
+        (r["column"], r["violation"]): (r["expected"], r["actual"])
+        for r in schema_contract_check(
+            df, {"id": "int", "email": "string", "name": "string"}
+        ).collect()
+    }
+    assert bad[("id", "type_mismatch")] == ("int", "bigint")
+    assert bad[("email", "missing")] == ("string", None)
+    assert bad[("score", "unexpected")] == (None, "double")
+    # allow_extra waives only the uncontracted-column rule
+    waived = schema_contract_check(
+        df, {"id": "bigint", "name": "string"}, allow_extra=True
+    )
+    assert waived.count() == 0
