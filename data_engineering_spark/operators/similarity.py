@@ -776,3 +776,76 @@ def lsh_bucketed_similarity_join(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_vec,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Maximal Marginal Relevance: diversified top-k retrieval.
+
+    Plain top-k returns near-duplicates of the best hit; MMR greedily
+    picks argmax over  lam*sim(q,d) - (1-lam)*max_sim(d, selected) —
+    relevance traded against redundancy. k distributed argmax rounds:
+    each iteration broadcasts the selected set (at most k vectors —
+    constant-size) into a JVM expression and reduces with a total-order
+    max (score desc, id asc), so the corpus shuffles nothing and the
+    driver only ever holds k winners. Returns
+    [(id, relevance, mmr_score), ...] in selection order.
+
+    For very large k move the argmax loop into a per-partition
+    pre-top-k first; at the retrieval k (10-100) this shape is already
+    the right one."""
+    uv = with_unit_vector(
+        corpus.select(id_col, vec_col), vec_col, "__uv"
+    ).select(F.col(id_col).alias("__id"), "__uv")
+    uv = uv.persist()
+    try:
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        dim = len(q)
+        q_arr = F.array(*[F.lit(float(x)) for x in q])
+        rel = dot_flat(F.col("__uv"), q_arr, dim).alias("__rel")
+        scored = uv.select("__id", "__uv", rel).persist()
+        scored.count()
+        selected: list[tuple] = []
+        sel_vecs: list[list[float]] = []
+        for _ in range(k):
+            cand = scored
+            if sel_vecs:
+                red = None
+                for sv in sel_vecs:
+                    s_arr = F.array(*[F.lit(float(x)) for x in sv])
+                    d = dot_flat(F.col("__uv"), s_arr, dim)
+                    red = d if red is None else F.greatest(red, d)
+                mmr = F.lit(lam) * F.col("__rel") - F.lit(1 - lam) * red
+            else:
+                mmr = F.lit(lam) * F.col("__rel")
+            if selected:
+                cand = cand.filter(
+                    ~F.col("__id").isin([s[0] for s in selected])
+                )
+            row = (
+                cand.select("__id", "__uv", "__rel", mmr.alias("__mmr"))
+                .orderBy(F.desc("__mmr"), F.asc("__id"))
+                .first()
+            )
+            if row is None:
+                break
+            selected.append(
+                (row["__id"], float(row["__rel"]), float(row["__mmr"]))
+            )
+            sel_vecs.append([float(x) for x in row["__uv"]])
+        return selected
+    finally:
+        uv.unpersist()
+        try:
+            scored.unpersist()
+        except Exception:
+            pass

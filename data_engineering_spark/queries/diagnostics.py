@@ -296,3 +296,77 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("wau"),
         F.count_distinct("user_id").cast("long").alias("mau"),
     )
+
+
+@query(
+    "q_events_weekly_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+             CAST(weekofyear(ts) % 2 AS BIGINT) AS half
+      FROM events WHERE value IS NOT NULL),
+    c AS (
+      SELECT event_type, bucket,
+             COUNT(CASE WHEN half = 0 THEN 1 END) AS c0,
+             COUNT(CASE WHEN half = 1 THEN 1 END) AS c1
+      FROM b GROUP BY 1, 2),
+    n AS (
+      SELECT event_type, SUM(c0) AS n0, SUM(c1) AS n1
+      FROM c GROUP BY 1),
+    term AS (
+      SELECT c.event_type,
+             CASE WHEN (c.c0 / n.n0 + c.c1 / n.n1) > 0 THEN
+               ((c.c0 / n.n0 - c.c1 / n.n1)
+                * (c.c0 / n.n0 - c.c1 / n.n1))
+               / (c.c0 / n.n0 + c.c1 / n.n1)
+             ELSE 0.0 END AS t
+      FROM c JOIN n USING (event_type))
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(t AS DECIMAL(28,15))) AS DOUBLE), 6)
+             AS drift_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM term GROUP BY event_type
+    """,
+)
+def q_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: split events into alternating weeks,
+    histogram `value` per event type in each half, and score the shift
+    with a chi-square-style statistic Σ (f0−f1)²/(f0+f1) over buckets —
+    the PSI-class check without PSI's log (libm portability policy).
+    All frequencies are int/int divisions; per-bucket terms are
+    identical IEEE trees in both engines and the bucket sum is
+    decimal-accumulated (order independence). A scan + two
+    metadata-sized aggregations."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") / 50.0).alias("bucket"),
+        (F.weekofyear("ts") % 2).cast("long").alias("half"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("c1"),
+    )
+    n = c.groupBy("event_type").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    f0 = F.col("c0") / F.col("n0")
+    f1 = F.col("c1") / F.col("n1")
+    term = (
+        c.join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            F.when(
+                (f0 + f1) > 0, ((f0 - f1) * (f0 - f1)) / (f0 + f1)
+            )
+            .otherwise(0.0)
+            .alias("t"),
+        )
+    )
+    return term.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("t").cast("decimal(28,15)")).cast("double"), 6
+        ).alias("drift_stat"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )

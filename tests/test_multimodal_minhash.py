@@ -382,3 +382,39 @@ def test_dhash_banding_no_false_negatives(spark):
         for r in dhash_neardup_pairs(df, max_hamming=4).collect()
     }
     assert got == {(1, 2): 4}
+
+
+def test_mmr_diversifies_top_k(spark):
+    """MMR must prefer a diverse set: with a cluster of near-identical
+    highly-relevant vectors and one slightly-less-relevant orthogonal
+    vector, plain top-2 takes two clones; MMR's second pick is the
+    orthogonal one."""
+    import numpy as np
+
+    from data_engineering_spark.operators.similarity import mmr_topk
+
+    base = np.zeros(8); base[0] = 1.0
+    clone = np.zeros(8); clone[0] = 1.0; clone[1] = 0.01
+    ortho = np.zeros(8); ortho[0] = 0.6; ortho[1] = 0.8
+    far = np.zeros(8); far[2] = 1.0
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in clone]),
+        (3, [float(x) for x in ortho]),
+        (4, [float(x) for x in far]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0] + [0.0] * 7
+
+    # diversity-heavy lambda: after the best hit, the most NOVEL items
+    # win — the near-clone (redundancy ~1.0) is pushed out of the top-3
+    # entirely even though it is the 2nd most relevant vector
+    got = mmr_topk(df, q, k=3, lam=0.3)
+    ids = [g[0] for g in got]
+    assert ids == [1, 4, 3]
+    rels = {g[0]: g[1] for g in got}
+    assert rels[1] > rels[3] > rels[4]  # relevance reported faithfully
+
+    # relevance-heavy lambda recovers plain top-k ordering
+    plain = mmr_topk(df, q, k=2, lam=1.0)
+    assert [g[0] for g in plain] == [1, 2]
