@@ -45,26 +45,37 @@ def pruned_read(
     spark: SparkSession,
     path: str,
     zonemap: DataFrame,
-    col: str,
-    lo,
-    hi,
+    col=None,
+    lo=None,
+    hi=None,
+    ranges: dict | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """Read only the files whose [min,max] range for `col` intersects
-    [lo, hi], then apply the exact residual filter. Returns
-    (frame, n_files_read, n_files_total) so callers/tests can observe
-    the skipping. The collect is over the FILE LIST — metadata-sized
-    by construction."""
+    """Read only the files whose [min,max] ranges intersect the
+    predicate, then apply the exact residual filter. Accepts a single
+    (col, lo, hi) or `ranges` = {col: (lo, hi), ...} — with several
+    predicates a file survives only if EVERY range intersects, so the
+    conjunction multiplies the skipping (the Z-order payoff). Returns
+    (frame, n_files_read, n_files_total); the collect is over the FILE
+    LIST — metadata-sized by construction."""
+    if ranges is None:
+        ranges = {col: (lo, hi)}
+    cols = list(ranges)
     stats = zonemap.select(
-        "__file", f"min_{col}", f"max_{col}"
+        "__file", *[f"min_{c}" for c in cols], *[f"max_{c}" for c in cols]
     ).collect()
     total = len(stats)
     keep = [
         r["__file"]
         for r in stats
-        if r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi
+        if all(
+            r[f"max_{c}"] >= ranges[c][0] and r[f"min_{c}"] <= ranges[c][1]
+            for c in cols
+        )
     ]
+    residual = None
+    for c, (clo, chi) in ranges.items():
+        cond = F.col(c).between(clo, chi)
+        residual = cond if residual is None else (residual & cond)
     if not keep:
-        empty = spark.read.parquet(path).limit(0)
-        return empty.filter(F.col(col).between(lo, hi)), 0, total
-    df = spark.read.parquet(*keep).filter(F.col(col).between(lo, hi))
-    return df, len(keep), total
+        return spark.read.parquet(path).limit(0).filter(residual), 0, total
+    return spark.read.parquet(*keep).filter(residual), len(keep), total

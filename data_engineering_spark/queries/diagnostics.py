@@ -370,3 +370,58 @@ def q_weekly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("drift_stat"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
+
+
+@query(
+    "q_events_dayn_retention",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    first AS (
+      SELECT user_id, MIN(day) AS d0 FROM du GROUP BY user_id),
+    n AS (SELECT COUNT(*) AS cohort FROM first)
+    SELECT h.n AS day_offset,
+           CAST(COUNT(DISTINCT CASE WHEN u.day = f.d0 + h.n
+                THEN u.user_id END) AS BIGINT) AS retained,
+           CAST((SELECT cohort FROM n) AS BIGINT) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN u.day = f.d0 + h.n
+                THEN u.user_id END) / (SELECT cohort FROM n)
+             AS retention
+    FROM first f JOIN du u USING (user_id),
+         (VALUES (1), (3), (7), (14)) h(n)
+    GROUP BY h.n
+    """,
+)
+def q_dayn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention curve: of all users, what fraction was active
+    EXACTLY N days after their first activity, for N in {1,3,7,14} —
+    the product-health complement of the weekly cohort matrix
+    (q_events_cohort_retention). One distinct-activity reduction, a
+    first-day aggregate, and one joined count per horizon — all
+    horizons share a single scan via the horizon-values cross join."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    first = du.groupBy("user_id").agg(F.min("day").alias("d0"))
+    n = first.agg(F.count(F.lit(1)).alias("cohort"))
+    horizons = spark.createDataFrame(
+        [(1,), (3,), (7,), (14,)], "n int"
+    )
+    j = first.join(du, "user_id").join(F.broadcast(horizons))
+    hit = F.when(
+        F.col("day") == F.date_add(F.col("d0"), F.col("n")),
+        F.col("user_id"),
+    )
+    return (
+        j.groupBy(F.col("n").alias("day_offset"))
+        .agg(F.count_distinct(hit).alias("__r"))
+        .join(F.broadcast(n))
+        .select(
+            "day_offset",
+            F.col("__r").cast("long").alias("retained"),
+            F.col("cohort").cast("long").alias("cohort_size"),
+            (F.col("__r") / F.col("cohort")).alias("retention"),
+        )
+    )

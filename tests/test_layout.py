@@ -140,3 +140,37 @@ def test_zonemap_skips_files_exactly(spark, tmp_path):
         spark, path, zm, "o_totalprice", -500.0, -100.0
     )
     assert n_read0 == 0 and out.count() == 0
+
+
+def test_zonemap_conjunction_multiplies_skipping(spark, tmp_path):
+    """Two-column predicate over a Z-ordered layout: the conjunction
+    prunes MORE files than either predicate alone, and results stay
+    exact."""
+    from data_engineering_spark.operators.layout import write_zordered
+    from data_engineering_spark.operators.zonemap import (
+        build_zonemap,
+        pruned_read,
+    )
+
+    src = load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("o_day"),
+    )
+    path = str(tmp_path / "zm2")
+    write_zordered(src, path, ["o_custkey", "o_day"], num_files=16)
+    zm = build_zonemap(spark, path, ["o_custkey", "o_day"])
+
+    r = {"o_custkey": (100, 400), "o_day": (200, 900)}
+    both, n_both, total = pruned_read(spark, path, zm, ranges=r)
+    _, n_a, _ = pruned_read(spark, path, zm, "o_custkey", 100, 400)
+    _, n_b, _ = pruned_read(spark, path, zm, "o_day", 200, 900)
+    assert n_both <= min(n_a, n_b) < total
+    expect = sorted(
+        x["o_orderkey"]
+        for x in src.filter(
+            F.col("o_custkey").between(100, 400)
+            & F.col("o_day").between(200, 900)
+        ).collect()
+    )
+    assert sorted(x["o_orderkey"] for x in both.collect()) == expect
