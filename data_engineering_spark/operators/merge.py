@@ -118,11 +118,15 @@ def merge_frames(
 
     s_present = F.col("__s_present").isNotNull()
     t_present = F.col("__t_present").isNotNull()
-    s_wins = s_present & (
-        ~t_present
-        | ~F.lit(ts_guard)
-        | (F.col(f"s.{ts_col}") >= F.col(f"t.{ts_col}"))
-    )
+    if ts_guard:
+        s_wins = s_present & (
+            ~t_present | (F.col(f"s.{ts_col}") >= F.col(f"t.{ts_col}"))
+        )
+    else:
+        # don't even CONSTRUCT the ts comparison: with the guard off the
+        # source may legitimately lack ts_col (e.g. a table_changes feed),
+        # and an unresolvable `s.__ts_ms` reference would fail analysis
+        s_wins = s_present
     # With ts_guard the delete must obey the same newer-wins rule: a
     # late delete whose __ts_ms is older than the stored row is ignored.
     # (Default ts_guard=False keeps the reference's unguarded behavior.)

@@ -86,3 +86,46 @@ def profile(
     return wide.select(
         F.explode(F.array(*structs)).alias("p")
     ).select("p.*")
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    q: float = 0.5,
+) -> DataFrame:
+    """Exact weighted quantile per group: the smallest value whose
+    cumulative weight (in value order) reaches q × total weight — the
+    lower weighted-median convention, deterministic because the
+    cumulative window carries `value_col` as its own tiebreaker.
+
+    Distinct from `percentile`/approx_percentile: each row counts
+    `weight_col` times (e.g. price quantiles weighted by quantity, doc
+    quality quantiles weighted by token count) without materializing
+    the exploded multiset — at 100 TB, "repeat each row w times" is
+    not an option; the cumulative-sum window is one shuffle on the
+    group key.
+
+    Exactness contract: weights are accumulated as-is; pass integer or
+    decimal weights for cross-engine bit-exact results (double weights
+    would reintroduce order-dependent float summation).
+    """
+    from pyspark.sql import Window
+
+    cum = Window.partitionBy(*group_cols).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy(*group_cols)
+    flagged = df.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum(weight_col).over(cum).alias("__cw"),
+        F.sum(weight_col).over(total).alias("__tw"),
+    ).filter(F.col("__cw") * F.lit(1 / q if q else 1.0) >= F.col("__tw"))
+    # `__cw >= q·__tw` without float multiplication on the weight side:
+    # compare cw/q >= tw only when q in (0,1]; q is a Python float and
+    # 1/q is one deterministic IEEE value, applied identically per row
+    return flagged.groupBy(*group_cols).agg(
+        F.min(value_col).alias(f"{value_col}_wq")
+    )

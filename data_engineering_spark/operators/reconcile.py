@@ -89,3 +89,55 @@ def merge_agg_state(
     return u.groupBy(*key_list).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def table_changes(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "__op",
+) -> DataFrame:
+    """Change-feed GENERATION: diff two versions of a keyed table into
+    a CDC event stream — the inverse of cdc/pipeline (which APPLIES
+    such a feed). Semantics follow the Debezium op codes the reference
+    consumes (/root/reference/incremental_kafka_s3_cdc.py:272-274):
+
+    - 'c' (create): key only in `new` — payload = new row
+    - 'u' (update): key in both, any non-key column differs (NULL-safe)
+      — payload = new row
+    - 'd' (delete): key only in `old` — payload = old row (the "before"
+      image, what Debezium's rewrite mode emits for deletes)
+
+    Unchanged keys emit nothing, so downstream cost follows the delta.
+    One full-outer shuffle on the key; the NULL-safe comparison runs in
+    whole-stage codegen (no row hashing round-trip through Python).
+    """
+    key_list = list(keys)
+    cmp = [c for c in new.columns if c not in set(key_list)]
+    o = old.select(
+        *key_list, *[F.col(c).alias(f"__o_{c}") for c in cmp]
+    ).withColumn("__in_old", F.lit(1))
+    n = new.select(
+        *key_list, *[F.col(c).alias(f"__n_{c}") for c in cmp]
+    ).withColumn("__in_new", F.lit(1))
+    j = o.join(n, key_list, "full_outer")
+
+    differs = F.lit(False)
+    for c in cmp:
+        differs = differs | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), "c")
+        .when(F.col("__in_new").isNull(), "d")
+        .when(differs, "u")
+    )
+    payload = [
+        F.when(F.col("__in_new").isNull(), F.col(f"__o_{c}"))
+        .otherwise(F.col(f"__n_{c}"))
+        .alias(c)
+        for c in cmp
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*key_list, *payload, op_col)
+    )

@@ -79,3 +79,51 @@ def salted_broadcast_join(
     return salted_big.join(
         F.broadcast(replicated), [*keys, "__salt"]
     ).drop("__salt")
+
+
+def hybrid_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    hot_threshold: int = 1_000_000,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """Bifurcated hot/cold inner join: keys hotter than `hot_threshold`
+    rows take a broadcast path, everything else takes the normal shuffle
+    join — the classic remedy when ONE key (empty string, bot user)
+    would pin a single shuffle partition and AQE's in-stage splitting
+    isn't enough (e.g. the downstream operator needs key-locality).
+
+    Correctness does not depend on WHICH keys are deemed hot — any
+    hot/cold split of the key space yields the same union — so hot-key
+    detection may run on a `sample_fraction` sample at scale (the
+    threshold is scaled accordingly). The hot-key list is bounded by
+    construction (≤ sampled_rows/threshold keys) and is materialized
+    once via localCheckpoint so the three consumers (semi, anti, small
+    filter) don't re-scan `big` to recompute it.
+
+    Plan shape: one count shuffle of fixed-width keys (on the sample),
+    one broadcast semi + one broadcast anti over `big` (same scan, AQE
+    reuses the exchange), a broadcast hash join for the hot slice and a
+    plain shuffle join for the cold slice. The cold join's key space
+    has no hot keys left, so its worst task is bounded by the
+    threshold.
+    """
+    key_list = list(keys)
+    src = big if sample_fraction >= 1.0 else big.sample(
+        fraction=sample_fraction, seed=41
+    )
+    eff = max(1, int(hot_threshold * sample_fraction))
+    hot_keys = (
+        src.groupBy(*key_list)
+        .agg(F.count(F.lit(1)).alias("__key_n"))
+        .filter(F.col("__key_n") >= eff)
+        .select(*key_list)
+        .localCheckpoint(eager=False)
+    )
+    hot_big = big.join(F.broadcast(hot_keys), key_list, "left_semi")
+    cold_big = big.join(F.broadcast(hot_keys), key_list, "left_anti")
+    small_hot = small.join(F.broadcast(hot_keys), key_list, "left_semi")
+    hot = hot_big.join(F.broadcast(small_hot), key_list)
+    cold = cold_big.join(small, key_list)
+    return hot.unionByName(cold)

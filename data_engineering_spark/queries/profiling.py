@@ -94,3 +94,40 @@ def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 8)
     )
+
+
+@query(
+    "q_lineitem_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS l_extendedprice_wq
+    FROM w WHERE cw * 2.0 >= tw
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag via
+    `weighted_quantile` — each lineitem counts l_quantity times without
+    materializing the exploded multiset. Deterministic despite
+    duplicate prices: the crossing point of the cumulative weight is a
+    property of the price's tie GROUP (intra-group order cannot move
+    it), so MIN over the qualifying set is engine-invariant. Weights
+    accumulate as BIGINT (exact); only the final q·total comparison
+    touches a float, and 1/q = 2.0 is IEEE-exact.
+    """
+    from data_engineering_spark.operators.profile import weighted_quantile
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__w", F.col("l_quantity").cast("bigint")
+    )
+    return weighted_quantile(
+        li, "l_extendedprice", "__w", ["l_returnflag"], q=0.5
+    ).orderBy("l_returnflag")

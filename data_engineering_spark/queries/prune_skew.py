@@ -118,3 +118,41 @@ def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_events_hybrid_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {total},
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """.format(total=sql_dsum("e.value", "total_value", 6)),
+)
+def q_events_hybrid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ customer through `hybrid_skew_join` — hot users (≥12
+    events) take a broadcast path, the cold tail takes the shuffle
+    join — then per-segment stats. Oracle-identical to a plain inner
+    join + GROUP BY: the hot/cold bifurcation changes only the plan
+    (the union is exhaustive and disjoint for ANY hot-key split, which
+    is why sample-based hot detection is safe at scale).
+    """
+    from data_engineering_spark.operators.skew import hybrid_skew_join
+
+    ev = load_table(spark, sf_dir, "events").withColumnRenamed(
+        "user_id", "c_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = hybrid_skew_join(ev, cust, ["c_custkey"], hot_threshold=12)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 6)).cast("double").alias("total_value"),
+            F.countDistinct("c_custkey").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )

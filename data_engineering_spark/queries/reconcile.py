@@ -106,3 +106,58 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("__spend_dec").cast("double").alias("total_spend"),
     )
+
+
+@query(
+    "q_orders_change_feed",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate
+      FROM orders WHERE o_orderkey % 7 <> 3),
+    new AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 11 <> 4),
+    feed AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey
+                  ELSE n.o_custkey END AS o_custkey,
+             CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                  ELSE n.o_totalprice END AS o_totalprice,
+             CASE WHEN n.o_orderkey IS NULL THEN o.o_orderdate
+                  ELSE n.o_orderdate END AS o_orderdate,
+             CASE WHEN o.o_orderkey IS NULL THEN 'c'
+                  WHEN n.o_orderkey IS NULL THEN 'd'
+                  WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                  THEN 'u' END AS __op
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, __op
+    FROM feed WHERE __op IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def q_orders_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed GENERATION (`table_changes`): diff two synthetic
+    versions of `orders` (old: keys %7==3 absent, %5==0 prices doubled;
+    new: keys %11==4 absent) into Debezium-coded c/u/d events — the
+    inverse of the CDC apply path, equivalent to Delta's change data
+    feed. Unchanged keys emit nothing. Oracle = the same diff as an
+    explicit FULL OUTER JOIN in SQL.
+    """
+    from data_engineering_spark.operators.reconcile import table_changes
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 4)
+    return table_changes(old, new, ["o_orderkey"]).orderBy("o_orderkey")

@@ -109,3 +109,28 @@ def test_schema_contract_check(spark):
         df, {"id": "bigint", "name": "string"}, allow_extra=True
     )
     assert waived.count() == 0
+
+
+def test_weighted_quantile_matches_exploded_median(spark):
+    """weighted_quantile == plain median over the row-repeated multiset."""
+    import statistics
+
+    from data_engineering_spark.operators.profile import weighted_quantile
+
+    rows = [
+        ("a", 10.0, 1), ("a", 20.0, 3), ("a", 30.0, 1),
+        ("b", 5.0, 10), ("b", 50.0, 1),
+        ("c", 7.0, 2), ("c", 7.0, 2), ("c", 9.0, 1),  # ties in value
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {
+        r["g"]: r["v_wq"]
+        for r in weighted_quantile(df, "v", "w", ["g"], q=0.5).collect()
+    }
+    for g in ("a", "b", "c"):
+        multiset = sorted(
+            v for (gg, v, w) in rows if gg == g for _ in range(w)
+        )
+        # lower-median convention: smallest v with cum-weight >= half
+        expected = statistics.median_low(multiset)
+        assert got[g] == expected, (g, got[g], expected)

@@ -77,3 +77,45 @@ def test_merge_agg_state_associative(spark):
     assert sorted(map(tuple, ab_c.collect())) == sorted(
         map(tuple, a_bc.collect())
     ) == [(1, 30), (2, 5)]
+
+
+def test_table_changes_golden(spark):
+    from data_engineering_spark.operators.reconcile import table_changes
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        ["id", "s", "x"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        ["id", "s", "x"],
+    )
+    feed = {r["id"]: r for r in table_changes(old, new, ["id"]).collect()}
+    assert set(feed) == {2, 3, 4, 5}  # key 1 unchanged -> silent
+    assert feed[2]["__op"] == "u" and feed[2]["s"] == "B"
+    assert feed[3]["__op"] == "u" and feed[3]["s"] == "c"  # NULL -> value
+    assert feed[4]["__op"] == "d" and feed[4]["s"] == "d"  # before-image
+    assert feed[5]["__op"] == "c" and feed[5]["x"] == 50.0
+
+
+def test_table_changes_roundtrip_applies_back(spark):
+    """Applying the generated feed to `old` with keep-last semantics
+    reproduces `new` exactly — generation and application are inverses."""
+    from data_engineering_spark.operators.merge import merge_frames
+    from data_engineering_spark.operators.reconcile import table_changes
+
+    old = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(50)], ["id", "s", "x"]
+    )
+    new = spark.createDataFrame(
+        [(i, ("V" if i % 3 == 0 else "v") + str(i), float(i))
+         for i in range(10, 60)],
+        ["id", "s", "x"],
+    )
+    feed = table_changes(old, new, ["id"])
+    # merge output columns are the union of target+source, so the feed's
+    # op column rides along — drop it before comparing content
+    applied = merge_frames(old, feed, ["id"], op_col="__op").drop("__op")
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )

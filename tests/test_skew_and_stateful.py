@@ -270,3 +270,44 @@ def test_transform_with_state_across_batches(spark, tmp_path):
         final[r["user_id"]] = (r["n_events"], r["n_distinct_types"])
     assert final[1] == (3, 2)
     assert final[2] == (2, 2)
+
+
+def test_hybrid_skew_join_matches_plain(spark):
+    from data_engineering_spark.operators.skew import hybrid_skew_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(500)]
+        + [(f"k{i % 40}", i) for i in range(200)]
+        + [("nomatch", i) for i in range(20)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k1", 3), ("k39", 4), ("onlysmall", 5)],
+        ["k", "dim"],
+    )
+    expected = sorted(map(tuple, big.join(small, "k").collect()))
+    for threshold in (1, 100, 10_000):  # all-hot, split, all-cold
+        got = sorted(
+            map(tuple, hybrid_skew_join(big, small, ["k"], threshold).collect())
+        )
+        assert got == expected, f"threshold={threshold}"
+
+
+def test_hybrid_skew_join_sampled_detection(spark):
+    from data_engineering_spark.operators.skew import hybrid_skew_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(2000)] + [(f"k{i}", i) for i in range(100)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([("hot", 1), ("k5", 2)], ["k", "dim"])
+    expected = sorted(map(tuple, big.join(small, "k").collect()))
+    got = sorted(
+        map(
+            tuple,
+            hybrid_skew_join(
+                big, small, ["k"], hot_threshold=500, sample_fraction=0.25
+            ).collect(),
+        )
+    )
+    assert got == expected
