@@ -316,3 +316,23 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("pca", 1), 6).alias("pc1"),
         F.round(F.element_at("pca", 2), 6).alias("pc2"),
     )
+
+
+@query("q_embedding_pq_topk")
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 16 sub-space codebooks compress each
+    64-float vector to 16 code bytes (16×); queries score codes via
+    asymmetric-distance lookup tables without decoding. The compression
+    lever that fits a 10⁹-vector index in cluster memory. No SQL oracle
+    (approximate and model-dependent); tests/test_pq.py bounds recall
+    against the exact top-k."""
+    from data_engineering_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    cb = pq_train(e, m=16, k_codes=64)
+    return pq_topk(pq_encode(e, cb), cb, q, k=_K)

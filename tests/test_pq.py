@@ -1,0 +1,59 @@
+"""Product-quantization ANN: recall, determinism, compression shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.pq import pq_encode, pq_topk, pq_train
+from data_engineering_spark.operators.similarity import cosine_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    e = load_table(spark, SF, "embeddings")
+    cb = pq_train(e, m=8, k_codes=16)
+    assert cb.count() <= 8 * 16
+    enc = pq_encode(e, cb)
+    rows = enc.collect()
+    assert len(rows) == e.count()
+    for r in rows[:20]:
+        assert len(r["__codes"]) == 8
+        assert all(0 <= c < 16 for c in r["__codes"])
+    again = {r["neighbor_id"]: r["__codes"] for r in pq_encode(e, cb).collect()}
+    assert all(again[r["neighbor_id"]] == r["__codes"] for r in rows)
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """ADC over 16x64 codebooks must recover most exact top-5 neighbors
+    — and never report a cosine above 1 + quantization slack. (These
+    embeddings are near-random, the hardest case for PQ: measured
+    recall 0.33 at m=8/k=32 up to 0.83 at m=32/k=64; m=16/k=64 lands
+    0.65 — clustered real-world embeddings do much better at lower m.)
+    """
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cb = pq_train(e, m=16, k_codes=64)
+    enc = pq_encode(e, cb)
+    approx = pq_topk(enc, cb, q, k=5).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(e, q, k=5).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(got & exact) / len(exact) >= 0.5
+    assert all(r["cosine_r"] <= 1.2 for r in approx)
+    assert all(r["neighbor_id"] != r["query_id"] for r in approx)
+    # full result shape: 5 ranked rows per query
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_pq_train_on_sample_still_encodes_everything(spark):
+    e = load_table(spark, SF, "embeddings")
+    cb = pq_train(e, m=4, k_codes=8, sample_fraction=0.3)
+    enc = pq_encode(e, cb)
+    assert enc.count() == e.count()
