@@ -22,6 +22,7 @@ import glob
 import os
 import shutil
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
 
@@ -138,3 +139,47 @@ def lake_inventory(spark: SparkSession, root: str):
         "table string, n_files long, total_bytes long, "
         "mean_file_bytes long, n_columns int, partition_cols string",
     )
+
+
+def footer_stats(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str] = (),
+) -> dict:
+    """Table stats answered from parquet FOOTER metadata, never data
+    pages: COUNT(*) plus MIN/MAX per requested column. At 100 TB this
+    is the difference between a multi-minute scan and a file-listing:
+    Spark's DSv2 parquet reader pushes the whole aggregate into the
+    scan (`PushedAggregation: [COUNT(*), MIN(..), MAX(..)]`) and each
+    task reads only row-group statistics.
+
+    Both required confs (v2 parquet path + aggregatePushdown) are set
+    for the duration of the call and restored after — the v1/v2 choice
+    affects every other parquet scan in the session, so leaking it
+    would change unrelated plans. Pushdown holds for numeric/date
+    columns with no filter; timestamp min/max does not push (parquet
+    stats-conversion rules), so pass numeric columns or accept a data
+    scan. The plan is asserted pushed in tests/test_maintenance.py,
+    not assumed.
+    """
+    from pyspark.sql import functions as F
+
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prev_v1 = spark.conf.get(
+        "spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,parquet,text",
+    )
+    v2_list = ",".join(
+        s for s in prev_v1.split(",") if s.strip() != "parquet"
+    )
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", v2_list)
+    try:
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        row = spark.read.parquet(path).agg(*aggs).collect()[0]
+        return row.asDict()
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

@@ -156,3 +156,42 @@ def weighted_bernoulli_sample(
         .withColumn("sample_weight", F.lit(1.0) / F.col("__p"))
         .drop("__mean_w", "__p")
     )
+
+
+def frequency_debiased_sample(
+    df: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    target_rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Duplicate-aware sampling: keep row i with probability
+    ``min(1, target_rate / n_copies(content))`` — each DISTINCT content
+    contributes ~target_rate expected rows regardless of how many
+    copies exist. The standard counter to boilerplate
+    over-representation when sampling a crawl WITHOUT running full
+    dedup first (near-dup clusters from graph.dedup_clusters can
+    substitute for the exact fingerprint when fuzzy grouping is
+    wanted).
+
+    Plan: one count shuffle keyed on a sha2 fingerprint (64-byte keys,
+    content never moves) + the deterministic hash filter. Emits
+    `n_copies` and the Horvitz-Thompson `sample_weight` = 1/p so
+    downstream aggregates remain unbiased over the copy population.
+    """
+    from pyspark.sql import Window
+
+    fp = F.sha2(F.concat_ws("", *content_cols), 256)
+    n = F.count(F.lit(1)).over(Window.partitionBy(fp))
+    c = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    with_n = df.withColumn("n_copies", n)
+    p_keep = F.least(
+        F.lit(1.0), F.lit(target_rate) / F.col("n_copies").cast("double")
+    )
+    u = uniform_hash60(c).cast("double") / F.lit(HASH_SPACE)
+    return (
+        with_n.withColumn("__p", p_keep)
+        .filter(u < F.col("__p"))
+        .withColumn("sample_weight", F.lit(1.0) / F.col("__p"))
+        .drop("__p")
+    )

@@ -188,3 +188,35 @@ def q_doc_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bernoulli_sample(
         d, "doc_id", "n_chars", target_rate=0.1, salt="w1"
     ).select("doc_id", "lang", "n_chars", "sample_weight")
+
+
+@query(
+    "q_doc_debiased_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, COUNT(*) OVER (PARTITION BY text) AS n_copies
+      FROM documents)
+    SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(1.0 AS DOUBLE)
+             / least(CAST(1.0 AS DOUBLE),
+                     CAST(0.2 AS DOUBLE) / n_copies) AS sample_weight
+    FROM w
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'fd1'), 1, 15))
+               ::BIGINT AS DOUBLE) / {HASH_SPACE}
+          < least(CAST(1.0 AS DOUBLE), CAST(0.2 AS DOUBLE) / n_copies)
+    """,
+)
+def q_doc_debiased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware sampling: keep probability min(1, 0.2/n_copies)
+    per exact-content group, so each distinct text contributes ~0.2
+    expected rows however many copies the crawl holds. Spark groups on
+    the sha2 fingerprint (content never shuffles); the oracle groups on
+    raw text — identical up to SHA-256 collision."""
+    from data_engineering_spark.operators.sampling import (
+        frequency_debiased_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return frequency_debiased_sample(
+        d, "doc_id", ["text"], target_rate=0.2, salt="fd1"
+    ).select("doc_id", "lang", "n_copies", "sample_weight")

@@ -67,3 +67,47 @@ def test_lake_inventory(spark, tmp_path):
     assert inv["sales"]["n_columns"] == 4
     assert inv["users"]["partition_cols"] == "p"
     assert inv["sales"]["partition_cols"] is None
+
+
+def test_footer_stats_pushes_aggregate_and_matches_scan(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.maintenance import footer_stats
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    got = footer_stats(spark, path, cols=["l_orderkey", "l_extendedprice"])
+    want = (
+        spark.read.parquet(path)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_l_orderkey"),
+            F.max("l_orderkey").alias("max_l_orderkey"),
+            F.min("l_extendedprice").alias("min_l_extendedprice"),
+            F.max("l_extendedprice").alias("max_l_extendedprice"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert got == want
+    # the plan must actually push the aggregate into the scan
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList",
+        ",".join(s for s in v1.split(",") if s.strip() != "parquet"),
+    )
+    try:
+        agg = spark.read.parquet(path).agg(
+            F.count(F.lit(1)), F.min("l_orderkey"), F.max("l_orderkey")
+        )
+        plan = agg._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PushedAggregation: [COUNT(*)" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    # conf restoration: footer_stats must not leak the v2 switch
+    assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
