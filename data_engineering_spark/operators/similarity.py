@@ -849,3 +849,63 @@ def mmr_topk(
             scored.unpersist()
         except Exception:
             pass
+
+
+def ivf_add(
+    centroids_df: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantized: bool = False,
+    levels: int = 127,
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign NEW vectors to the
+    EXISTING coarse centroids — no re-clustering, no touch of the
+    already-indexed corpus. Union the result with the stored
+    assignments frame (append the parquet partition files) and
+    `ivf_topk_from_index` serves the grown index unchanged.
+
+    This is what "index the documents ingested this hour" costs at
+    10^9 scale: one scan of the DELTA through the same executor-side
+    mapInPandas assignment as the query path (centroid matrix
+    broadcast, one GEMM per Arrow batch). Centroid drift from unseen
+    distribution shift is the documented trade — rebuild cadence is an
+    operational knob, same as any IVF deployment.
+
+    Emits the index schema of build_ivf_index: (neighbor_id,
+    __cluster, __cv) or (…, __q) when ``quantized`` matches the stored
+    index's SQ8 build.
+    """
+    import numpy as np
+
+    cent_rows = sorted(centroids_df.collect(), key=lambda r: r["cluster"])
+    centroids = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+    src = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("__cv"),
+    )
+    assigned = _assign_probes_distributed(
+        src.withColumnRenamed("__cv", "__qv").withColumnRenamed(
+            "neighbor_id", "neighbor_id"
+        ),
+        centroids,
+        1,
+        "neighbor_id",
+        "neighbor_id long, __qv array<double>, __cluster int",
+    ).select(
+        "neighbor_id", F.col("__qv").alias("__cv"), "__cluster"
+    )
+    if quantized:
+        scale = F.array_max(F.transform(F.col("__cv"), lambda x: F.abs(x)))
+        codes = F.when(
+            scale == 0, F.transform(F.col("__cv"), lambda x: F.lit(0.0))
+        ).otherwise(
+            F.transform(
+                F.col("__cv"),
+                lambda x: F.floor(x / scale * levels + F.lit(0.5)).cast(
+                    "double"
+                ),
+            )
+        )
+        assigned = assigned.withColumn("__q", codes).drop("__cv")
+    return assigned

@@ -344,3 +344,138 @@ def run_snapshot(
             num_partitions=num_partitions,
         )
     return results
+
+
+# --- reverse ETL: lake -> JDBC upsert sink ---------------------------------
+
+
+def upsert_sql(
+    target: str,
+    staging: str,
+    keys: list[str],
+    cols: list[str],
+    dialect: str = "ansi",
+    quote: str = '"',
+) -> str:
+    """Set-based upsert from a staging table into `target`, per dialect:
+
+    - 'ansi': MERGE INTO (Derby/Oracle/DB2/SQL Server family)
+    - 'mysql': INSERT ... AS new ON DUPLICATE KEY UPDATE (8.0+ alias
+      form; the VALUES() form is deprecated)
+    - 'postgres': INSERT ... ON CONFLICT (keys) DO UPDATE
+
+    Identifiers pass through the same `_ident` hygiene as the snapshot
+    readers (names may come from catalogs — injection surface).
+    """
+    q = lambda n: _ident(n, quote)  # noqa: E731
+    key_set = set(keys)
+    upd = [c for c in cols if c not in key_set]
+    col_list = ", ".join(q(c) for c in cols)
+    if dialect == "ansi":
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        matched = (
+            "WHEN MATCHED THEN UPDATE SET "
+            + ", ".join(f"t.{q(c)} = s.{q(c)}" for c in upd)
+            + " "
+            if upd
+            else ""
+        )
+        return (
+            f"MERGE INTO {q(target)} t USING {q(staging)} s ON ({on}) "
+            + matched
+            + f"WHEN NOT MATCHED THEN INSERT ({col_list}) "
+            + f"VALUES ({ins_vals})"
+        )
+    if dialect == "mysql":
+        sets = ", ".join(f"{q(c)} = new.{q(c)}" for c in upd or keys)
+        return (
+            f"INSERT INTO {q(target)} ({col_list}) "
+            + f"SELECT {col_list} FROM {q(staging)} AS new "
+            + f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    if dialect == "postgres":
+        conflict = ", ".join(q(k) for k in keys)
+        action = (
+            "DO UPDATE SET "
+            + ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in upd)
+            if upd
+            else "DO NOTHING"
+        )
+        return (
+            f"INSERT INTO {q(target)} ({col_list}) "
+            + f"SELECT {col_list} FROM {q(staging)} "
+            + f"ON CONFLICT ({conflict}) {action}"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
+def jdbc_upsert(
+    spark: SparkSession,
+    df,
+    cfg: JdbcConfig,
+    target: str,
+    keys: list[str],
+    staging: str | None = None,
+    dialect: str = "ansi",
+    num_partitions: int | None = None,
+) -> None:
+    """Reverse ETL: upsert a DataFrame into a relational target — the
+    inverse of the snapshot engine (reference sanpshot_script.py reads
+    MySQL -> lake; serving pipelines need lake -> DB just as often).
+
+    Scale shape: executors load `df` into a STAGING table in parallel
+    over Spark's JDBC writer (one connection per partition — size with
+    `num_partitions`, the same knob as the reference's repartition(500)
+    pre-append); then ONE driver-side set-based statement merges
+    staging into the target inside the database, which is transactional
+    and index-aware there. Rows never funnel through the driver, and
+    the database sees a single bulk operation instead of per-row
+    upserts. Staging is dropped afterwards.
+    """
+    # Spark's JDBC writer QUOTES the staging table name it creates
+    # (exact case), while quote-less statements (ident_quote="") are
+    # case-folded by upper-folding engines (Derby/Oracle/DB2). Upper-case
+    # the default staging name there so the created identifier and the
+    # folded reference coincide.
+    if staging is None:
+        staging = f"{target}_stg"
+        if not cfg.ident_quote:
+            staging = staging.upper()
+    quote = cfg.ident_quote
+    # validate early (raises on hostile names before any side effect)
+    sql = upsert_sql(target, staging, keys, df.columns, dialect, quote)
+
+    w = df if num_partitions is None else df.repartition(num_partitions)
+    if not quote:
+        # the writer also quotes COLUMN names in its CREATE TABLE; on an
+        # upper-folding engine the quote-less MERGE below can only see
+        # them if they are created upper-case
+        w = w.toDF(*[c.upper() for c in w.columns])
+    (
+        w.write.format("jdbc")
+        .option("url", cfg.url)
+        .option("dbtable", staging)
+        .option("user", cfg.user)
+        .option("password", cfg.password)
+        .option("driver", cfg.driver)
+        .mode("overwrite")
+        .save()
+    )
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName(cfg.driver)
+    except Exception:
+        pass  # embedded drivers self-register once the writer has run
+    conn = jvm.java.sql.DriverManager.getConnection(
+        cfg.url, cfg.user, cfg.password
+    )
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(sql)
+            st.executeUpdate(f"DROP TABLE {_ident(staging, quote)}")
+        finally:
+            st.close()
+    finally:
+        conn.close()

