@@ -1,0 +1,84 @@
+"""Streaming telemetry: per-micro-batch metrics as a DataFrame.
+
+The reference observes its pipeline with print statements
+(/root/reference/incremental_kafka_s3_cdc.py:312,328,351-355); a
+production ingest needs machine-readable lag/throughput history. Spark
+already emits everything per batch through `StreamingQueryListener`
+progress events — this module materializes them:
+
+- `StreamMetrics` buffers progress events driver-side (bounded
+  deque — listener callbacks must never grow without bound on a
+  stream that runs for months).
+- `metrics_frame` turns the buffer into a DataFrame for joins with
+  the rest of the observability stack (alerting thresholds, drift
+  monitors — see q_events_weekly_drift).
+
+Driver-side by design: progress events are one row per (query, batch)
+— metadata-sized at any corpus scale. The rows-per-second /
+duration-ms fields are Spark's own accounting, the same numbers the
+Structured Streaming UI plots.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import deque
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+METRICS_SCHEMA = (
+    "query_id string, run_id string, batch_id long, ts string, "
+    "num_input_rows long, input_rows_per_second double, "
+    "process_rows_per_second double, trigger_execution_ms long, "
+    "add_batch_ms long, state_rows long"
+)
+
+
+class StreamMetrics(StreamingQueryListener):
+    """Buffering listener; attach with
+    ``spark.streams.addListener(m)``, detach with ``removeListener``."""
+
+    def __init__(self, max_batches: int = 10_000):
+        self.progress = deque(maxlen=max_batches)
+
+    def onQueryStarted(self, event):  # noqa: N802 (Spark API casing)
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = json.loads(event.progress.json)
+        dur = p.get("durationMs", {}) or {}
+        state = p.get("stateOperators", []) or []
+        self.progress.append(
+            (
+                p.get("id"),
+                p.get("runId"),
+                int(p.get("batchId", -1)),
+                p.get("timestamp"),
+                int(p.get("numInputRows", 0)),
+                float(p.get("inputRowsPerSecond", 0.0) or 0.0),
+                float(p.get("processedRowsPerSecond", 0.0) or 0.0),
+                int(dur.get("triggerExecution", 0)),
+                int(dur.get("addBatch", 0)),
+                int(sum(s.get("numRowsTotal", 0) for s in state)),
+            )
+        )
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+
+def attach_metrics(
+    spark: SparkSession, max_batches: int = 10_000
+) -> StreamMetrics:
+    m = StreamMetrics(max_batches)
+    spark.streams.addListener(m)
+    return m
+
+
+def metrics_frame(spark: SparkSession, m: StreamMetrics) -> DataFrame:
+    """Snapshot the buffered batch history as a DataFrame."""
+    return spark.createDataFrame(list(m.progress), METRICS_SCHEMA)

@@ -405,3 +405,50 @@ def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
     sink2(df, 1)
     sink2(df, 2)
     assert applied == [(0, 3), (1, 3), (2, 3)]
+
+
+def test_stream_metrics_listener(spark, tmp_path):
+    """Per-batch telemetry: the listener buffers Spark's own progress
+    accounting and metrics_frame exposes it relationally."""
+    import time
+
+    from data_engineering_spark.streaming.metrics import (
+        attach_metrics,
+        metrics_frame,
+    )
+
+    src = tmp_path / "mx_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "event_id long, user_id long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    m = attach_metrics(spark)
+    try:
+        stream = spark.readStream.schema(
+            "event_id long, user_id long"
+        ).parquet(str(src))
+        q = (
+            stream.groupBy("user_id")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / "mx_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async; progress arrives shortly after
+        deadline = time.time() + 30
+        while not len(m.progress) and time.time() < deadline:
+            time.sleep(0.5)
+        mf = metrics_frame(spark, m)
+        rows = mf.collect()
+        assert rows, "no progress events captured"
+        total_in = sum(r["num_input_rows"] for r in rows)
+        assert total_in == 100
+        assert all(r["trigger_execution_ms"] >= 0 for r in rows)
+        assert any(r["state_rows"] > 0 for r in rows)  # the groupBy state
+        assert mf.schema["num_input_rows"].dataType.typeName() == "long"
+    finally:
+        spark.streams.removeListener(m)
