@@ -235,6 +235,19 @@ def pagerank(
     update as a broadcast one-row cross join, never a driver collect.
     Same localCheckpoint hygiene as connected_components (lineage
     truncated, superseded blocks released).
+
+    Cross-engine determinism: the per-source weight totals accumulate
+    in DECIMAL and the per-vertex contributions in FIXED-POINT BIGINT
+    (floor(x·1e12 + 0.5) — the same portable rounding as
+    quantize_embeddings; double→decimal casts are NOT portable at fine
+    scales because Spark rounds the shortest decimal representation
+    while DuckDB rounds the binary value). For a given edge set the
+    returned ranks are therefore bit-identical across engines and runs
+    — which is what lets q_events_pagerank carry a full DuckDB oracle
+    of 10 unrolled iterations. Precision trade: each contribution is
+    truncated at 1e-12 (deterministically); the BIGINT accumulator
+    caps at ~9e6 full-magnitude terms per vertex, far above any real
+    in-degree mass (contributions sum to <= 1 per vertex).
     """
     verts = (
         edges.select(F.col(src_col).alias("vertex"))
@@ -254,8 +267,15 @@ def pagerank(
             F.col(dst_col).alias("dst"),
             wcol.alias("w"),
         )
-        .withColumn("w_tot", F.sum("w").over(Window.partitionBy("src")))
-        .withColumn("frac", F.col("w") / F.col("w_tot"))
+        .withColumn(
+            "w_tot",
+            F.sum(F.col("w").cast("decimal(18,6)")).over(
+                Window.partitionBy("src")
+            ),
+        )
+        .withColumn(
+            "frac", F.col("w") / F.col("w_tot").cast("double")
+        )
         .select("src", "dst", "frac")
         .localCheckpoint(eager=True)
     )
@@ -268,21 +288,39 @@ def pagerank(
             out.join(ranks, out["src"] == ranks["vertex"])
             .select(
                 F.col("dst").alias("vertex"),
-                (F.col("rank") * F.col("frac")).alias("c"),
+                # per-row double product (identical IEEE everywhere),
+                # then portable fixed-point quantization + exact long
+                # accumulation — order-independent AND engine-exact
+                F.floor(
+                    F.col("rank") * F.col("frac") * F.lit(1e12)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("ci"),
             )
             .groupBy("vertex")
-            .agg(F.sum("c").alias("c"))
+            .agg(F.sum("ci").alias("ci"))
+            .withColumn(
+                "c", F.col("ci").cast("double") / F.lit(1e12)
+            )
         )
         # dangling + teleport mass: (1 - damping*flowed)/n, carried as
         # a broadcast one-row frame so the whole round is ONE job
         residual = contrib.agg(
             (
-                (F.lit(1.0) - F.lit(damping) * F.coalesce(F.sum("c"), F.lit(0.0)))
+                (
+                    F.lit(1.0)
+                    - F.lit(damping)
+                    * F.coalesce(
+                        F.sum("ci").cast("double") / F.lit(1e12),
+                        F.lit(0.0),
+                    )
+                )
                 / F.lit(float(n))
             ).alias("__res")
         )
         ranks = (
-            verts.join(contrib, "vertex", "left")
+            verts.join(contrib.select("vertex", "c"), "vertex", "left")
             .crossJoin(F.broadcast(residual))
             .select(
                 "vertex",

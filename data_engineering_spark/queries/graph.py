@@ -74,13 +74,72 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(_pairs(spark, sf_dir))
 
 
-@query("q_events_pagerank")
+def _pagerank_oracle(damping: float = 0.85, n_iter: int = 10) -> str:
+    """DuckDB mirror of operators/graph.pagerank over the transition
+    graph: the 10 fixed-point iterations UNROLLED as chained CTEs.
+    Bit-exact because both engines quantize each contribution with the
+    portable floor(x*1e12 + 0.5), accumulate in BIGINT, and do
+    identical per-row IEEE double arithmetic in between (decimal casts
+    of doubles are NOT portable at fine scales - see operators/graph)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [f"""
+    edges AS MATERIALIZED (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT event_type,
+                   lead(event_type) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events)
+      WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    verts AS MATERIALIZED (
+      SELECT src AS vertex FROM edges
+      UNION SELECT dst FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM verts),
+    outf AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(n AS DOUBLE) /
+             CAST(SUM(CAST(CAST(n AS DOUBLE) AS DECIMAL(18,6)))
+                    OVER (PARTITION BY src) AS DOUBLE) AS frac
+      FROM edges),
+    r0 AS MATERIALIZED (
+      SELECT vertex, CAST(1.0 AS DOUBLE) / (SELECT nd FROM nn) AS rank
+      FROM verts)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+    c{i} AS MATERIALIZED (
+      SELECT o.dst AS vertex,
+             SUM(CAST(FLOOR(r.rank * o.frac * 1e12 + 0.5) AS BIGINT))
+               AS ci
+      FROM outf o JOIN r{i-1} r ON o.src = r.vertex
+      GROUP BY o.dst),
+    res{i} AS MATERIALIZED (
+      SELECT (CAST(1.0 AS DOUBLE) - {d} *
+              COALESCE(CAST(SUM(ci) AS DOUBLE) / 1e12,
+                       CAST(0.0 AS DOUBLE)))
+             / (SELECT nd FROM nn) AS res
+      FROM c{i}),
+    r{i} AS MATERIALIZED (
+      SELECT v.vertex,
+             {d} * COALESCE(CAST(c.ci AS DOUBLE) / 1e12,
+                            CAST(0.0 AS DOUBLE))
+               + (SELECT res FROM res{i}) AS rank
+      FROM verts v LEFT JOIN c{i} c ON v.vertex = c.vertex)""")
+    parts.append(f"""
+    SELECT vertex AS event_type, CAST(rank AS DOUBLE) AS rank
+    FROM r{n_iter} ORDER BY event_type""")
+    return "WITH" + "".join(parts)
+
+
+@query("q_events_pagerank", oracle=_pagerank_oracle())
 def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the event-type transition graph (edges =
     q_events_transitions counts): which event states dominate the
-    user-behavior Markov chain. Float fixed-point iteration is
-    engine-specific by nature -> rows-only check (the operator's exact
-    math is pytest-verified against a numpy power iteration)."""
+    user-behavior Markov chain. Decimal-accumulated fixed-point
+    iteration makes the ranks bit-exact cross-engine, so the oracle is
+    the REAL thing: 10 iterations unrolled as DuckDB CTEs, compared
+    without rounding."""
     e = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -97,5 +156,5 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, "src", "dst", weight_col="n", n_iter=10)
     return pr.select(
         F.col("vertex").alias("event_type"),
-        F.round("rank", 6).alias("rank_r"),
+        F.col("rank").cast("double").alias("rank"),
     ).orderBy("event_type")
