@@ -316,3 +316,68 @@ def cap_per_group(
         .filter(F.col("__rank") <= n)
         .drop("__rank")
     )
+
+
+def water_fill(
+    demands: DataFrame,
+    key_col: str,
+    demand_col: str,
+    budget: int,
+) -> DataFrame:
+    """Water-filling budget allocation: split an integer `budget`
+    across sources so that alloc_i = min(demand_i, θ) with θ chosen so
+    the allocations exactly exhaust the budget (or every demand is
+    met). The max-min-fair answer to "take 50B tokens from these
+    sources without letting any one dominate" — small sources keep
+    everything, big sources are levelled to a common cap.
+
+    Closed form via one sort window, no iteration: sources sorted by
+    ascending demand are fully funded while
+    demand_k · (sources remaining) <= budget − (already funded);
+    everyone after the break-point gets θ = remaining/(n−K). All
+    comparisons run in exact integer arithmetic (demands and budget
+    are integers); θ is the single double division, identical IEEE in
+    any engine. Input is one row per source — an aggregate of the
+    corpus, so the window's single-partition sort is metadata-sized
+    even at 100 TB (the per-document scan happened upstream).
+
+    Returns (key, demand, alloc double).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__d", key_col)
+    full = Window.partitionBy()
+    ranked = demands.select(
+        F.col(key_col),
+        F.col(demand_col).cast("long").alias("__d"),
+    ).select(
+        key_col,
+        "__d",
+        F.row_number().over(w).alias("__k"),
+        F.sum("__d").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__prefix"),
+        F.count(F.lit(1)).over(full).alias("__n"),
+    )
+    funded = ranked.withColumn(
+        "__funded",
+        F.col("__d") * (F.col("__n") - F.col("__k") + 1)
+        <= F.lit(int(budget)) - (F.col("__prefix") - F.col("__d")),
+    )
+    # break-point: last fully-funded rank and the budget it consumed
+    # (0 / 0-consumed when even the smallest demand cannot be met)
+    bp = funded.filter(F.col("__funded")).agg(
+        F.coalesce(F.max("__k"), F.lit(0)).alias("__bk"),
+        F.coalesce(F.max("__prefix"), F.lit(0)).alias("__bprefix"),
+    )
+    out = funded.crossJoin(F.broadcast(bp)).select(
+        key_col,
+        F.col("__d").alias(demand_col),
+        F.when(F.col("__k") <= F.col("__bk"), F.col("__d").cast("double"))
+        .otherwise(
+            (F.lit(int(budget)) - F.col("__bprefix")).cast("double")
+            / (F.col("__n") - F.col("__bk")).cast("double")
+        )
+        .alias("alloc"),
+    )
+    return out

@@ -990,3 +990,46 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "q_doc_source_budget",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS demand
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT source, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, source) AS k,
+             SUM(demand) OVER (ORDER BY demand, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+             COUNT(*) OVER () AS n
+      FROM d),
+    f AS (
+      SELECT *, demand * (n - k + 1) <= 100000 - (pfx - demand) AS funded
+      FROM r),
+    bp AS (
+      SELECT COALESCE(MAX(k), 0) AS bk, COALESCE(MAX(pfx), 0) AS bpfx
+      FROM f WHERE funded)
+    SELECT source, demand,
+           CASE WHEN k <= bk THEN CAST(demand AS DOUBLE)
+                ELSE CAST(100000 - bpfx AS DOUBLE)
+                     / CAST(n - bk AS DOUBLE) END AS alloc
+    FROM f, bp ORDER BY source
+    """,
+)
+def q_doc_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling character budget across sources (100k chars):
+    small sources keep their full demand, large sources are levelled
+    to a common cap that exactly exhausts the budget — max-min-fair
+    corpus mixing. Exact integer window arithmetic up to the single
+    theta division, so the oracle matches bit-for-bit."""
+    from data_engineering_spark.operators.filters import water_fill
+
+    d = load_table(spark, sf_dir, "documents")
+    demands = d.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("demand")
+    )
+    return water_fill(demands, "source", "demand", budget=100_000).orderBy(
+        "source"
+    )

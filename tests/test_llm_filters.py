@@ -153,3 +153,27 @@ def test_c4_line_filter(spark):
     r2 = out[2]
     assert r2["n_kept_lines"] == 0 and not r2["keep"]
     assert r2["clean_text"] == ""
+
+
+def test_water_fill_properties(spark):
+    """Allocation exhausts the budget exactly when binding, never
+    exceeds any demand, and is max-min fair (small demands fully met,
+    big ones levelled to a common theta)."""
+    from data_engineering_spark.operators.filters import water_fill
+
+    d = spark.createDataFrame(
+        [("a", 10), ("b", 50), ("c", 200), ("d", 900)], ["src", "dem"]
+    )
+    # binding budget: 10 + 50 funded; theta = (300-60)/2 = 120
+    out = {r["src"]: r["alloc"] for r in
+           water_fill(d, "src", "dem", budget=300).collect()}
+    assert out == {"a": 10.0, "b": 50.0, "c": 120.0, "d": 120.0}
+    assert abs(sum(out.values()) - 300) < 1e-9
+    # loose budget: everyone gets their demand
+    out2 = {r["src"]: r["alloc"] for r in
+            water_fill(d, "src", "dem", budget=10_000).collect()}
+    assert out2 == {"a": 10.0, "b": 50.0, "c": 200.0, "d": 900.0}
+    # budget below the smallest demand: equal split, nobody fully funded
+    out3 = {r["src"]: r["alloc"] for r in
+            water_fill(d, "src", "dem", budget=8).collect()}
+    assert out3 == {"a": 2.0, "b": 2.0, "c": 2.0, "d": 2.0}
