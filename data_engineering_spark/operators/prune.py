@@ -95,3 +95,56 @@ def tune_runtime_bloom(
             spark.conf.set(k, v)
         except Exception:
             pass  # locked-down session: keep going with engine defaults
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    rate: float = 0.1,
+    salt: str = "js",
+) -> DataFrame:
+    """Estimate |left JOIN right| without running the join:
+    COORDINATED key sampling — both sides keep exactly the keys whose
+    shared deterministic hash lands under `rate`, so a sampled key
+    survives on BOTH sides or NEITHER. The joined sample count scaled
+    by 1/rate is then an unbiased estimator of the full join
+    cardinality (key-level inclusion is a single Bernoulli(rate) draw
+    shared by both sides: E[sample join size] = rate * true size —
+    the coordinated-sampling identity; independent per-side sampling
+    would scale by 1/rate² and square the variance).
+
+    The input a join planner needs BEFORE committing to a shuffle
+    strategy: runs on rate-sized fractions of both tables, one small
+    shuffle. Deterministic (hash-keyed like every sampler here), so
+    the estimate is reproducible and oracle-checkable — same contract
+    as bernoulli_sample.
+
+    Returns one row: (sampled_pairs long, estimated_pairs double).
+    """
+    from data_engineering_spark.operators.sketches import (
+        HASH_SPACE,
+        uniform_hash60,
+    )
+
+    cut = F.lit(int(rate * HASH_SPACE))
+
+    def keep(df: DataFrame, key: str, alias: str) -> DataFrame:
+        h = uniform_hash60(
+            F.concat(F.col(key).cast("string"), F.lit(salt))
+        )
+        # distinct output names so identical key names on both sides
+        # don't collide in the join condition
+        return df.filter(h < cut).select(F.col(key).alias(alias))
+
+    joined = keep(left, left_key, "__lk").join(
+        keep(right, right_key, "__rk"),
+        F.col("__lk") == F.col("__rk"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("sampled_pairs"),
+        (F.count(F.lit(1)).cast("double") / F.lit(rate)).alias(
+            "estimated_pairs"
+        ),
+    )

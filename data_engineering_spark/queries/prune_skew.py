@@ -156,3 +156,32 @@ def q_events_hybrid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_join_size_estimate",
+    oracle=f"""
+    WITH lk AS (
+      SELECT l_orderkey AS k FROM lineitem
+      WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || 'js'),
+                  1, 15))::BIGINT AS BIGINT) < {int(0.1 * (1 << 60))}),
+    rk AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'js'),
+                  1, 15))::BIGINT AS BIGINT) < {int(0.1 * (1 << 60))})
+    SELECT CAST(COUNT(*) AS BIGINT) AS sampled_pairs,
+           CAST(COUNT(*) AS DOUBLE) / 0.1 AS estimated_pairs
+    FROM lk JOIN rk ON lk.k = rk.k
+    """,
+)
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by coordinated 10% key sampling:
+    both sides keep keys under the SAME deterministic hash threshold,
+    so the sampled join size scales by exactly 1/rate (not 1/rate²) —
+    the number a planner wants before choosing a shuffle strategy for
+    lineitem ⋈ orders. Deterministic, so oracle-exact."""
+    from data_engineering_spark.operators.prune import join_size_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return join_size_estimate(li, o, "l_orderkey", "o_orderkey", rate=0.1)

@@ -64,3 +64,21 @@ def test_static_partition_filter_prunes_files(spark, partitioned_events):
     # mention the literal, and no other partition's files are listed
     assert "view" in plan
     assert q.count() == 1000
+
+
+def test_join_size_estimate_unbiased_and_deterministic(spark):
+    from data_engineering_spark.operators.prune import join_size_estimate
+
+    left = spark.createDataFrame(
+        [(i % 500, i) for i in range(5000)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(i, -i) for i in range(500)], ["k", "w"])
+    true_size = left.join(right, "k").count()  # 5000 (each key 10x1)
+    est = join_size_estimate(left, right, "k", "k", rate=0.2).collect()[0]
+    # 20% coordinated key sample: estimate within 30% of truth here
+    assert abs(est["estimated_pairs"] - true_size) / true_size < 0.3
+    again = join_size_estimate(left, right, "k", "k", rate=0.2).collect()[0]
+    assert again["sampled_pairs"] == est["sampled_pairs"]
+    # coordinated scaling: sampled count really is ~rate of the join,
+    # not rate^2 (independent sampling would give ~4% here)
+    assert est["sampled_pairs"] > 0.1 * true_size
