@@ -161,3 +161,54 @@ def reconcile_types(
             )
         out[f.name] = w
     return out
+
+
+def compat_report(
+    old: T.StructType, new: T.StructType
+) -> list[tuple[str, str, str]]:
+    """Classify every difference between two schema VERSIONS for
+    consumers of the table — the pre-flight a registry runs before
+    letting a producer publish `new` over `old`:
+
+    (column, change, severity) with severity:
+    - 'safe':     added nullable column; widening promotion
+      (int→long, float→double, decimal growth — old readers' values
+      are representable)
+    - 'warning':  added NON-nullable column (old writers cannot
+      produce it; readers are fine)
+    - 'breaking': dropped column, unpromotable type change, or
+      nullable→required tightening
+
+    Pure metadata, mirrors widen_type's lattice so the verdicts agree
+    with what merge_frames would actually do at ingest time.
+    """
+    o = {f.name: f for f in old.fields}
+    n = {f.name: f for f in new.fields}
+    out: list[tuple[str, str, str]] = []
+    for name, f in n.items():
+        if name not in o:
+            out.append(
+                (
+                    name,
+                    f"added {f.dataType.simpleString()}",
+                    "safe" if f.nullable else "warning",
+                )
+            )
+            continue
+        prev = o[name]
+        if f.dataType != prev.dataType:
+            w = widen_type(prev.dataType, f.dataType)
+            change = (
+                f"{prev.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+            )
+            if w == f.dataType:
+                out.append((name, f"widened {change}", "safe"))
+            else:
+                out.append((name, f"type change {change}", "breaking"))
+        if prev.nullable and not f.nullable:
+            out.append((name, "nullable -> required", "breaking"))
+    for name in o:
+        if name not in n:
+            out.append((name, "dropped", "breaking"))
+    return out

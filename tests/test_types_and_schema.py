@@ -187,3 +187,38 @@ def test_merge_rejects_incompatible_type_change(spark, tmp_path):
         [(2, "x", 200, "c")], "id long, val string, __ts_ms long, __op string")
     with pytest.raises(TypeError, match="val"):
         t.merge(bad)
+
+
+def test_compat_report_classification():
+    from pyspark.sql import types as T
+
+    from data_engineering_spark.cdc.schema_evolution import compat_report
+
+    old = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("v", T.FloatType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("gone", T.StringType(), True),
+            T.StructField("tight", T.StringType(), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),       # widened
+            T.StructField("v", T.StringType(), True),       # breaking
+            T.StructField("s", T.StringType(), True),       # unchanged
+            T.StructField("tight", T.StringType(), False),  # tightened
+            T.StructField("extra", T.DoubleType(), True),   # safe add
+            T.StructField("req", T.LongType(), False),      # warning add
+        ]
+    )
+    rep = {(c, sev) for c, _, sev in compat_report(old, new)}
+    assert rep == {
+        ("id", "safe"),
+        ("v", "breaking"),
+        ("tight", "breaking"),
+        ("extra", "safe"),
+        ("req", "warning"),
+        ("gone", "breaking"),
+    }
