@@ -71,3 +71,27 @@ def test_headline_exchange_budget(spark, name):
 def test_budget_covers_every_headline_query():
     missing = [n for n in HEADLINE if n not in EXCHANGE_BUDGET]
     assert not missing, f"add budgets for: {missing}"
+
+
+# round-4 session additions: not in the bench HEADLINE (kept stable for
+# round-over-round comparability) but plan-guarded all the same
+EXTRA_BUDGET = {
+    "q_events_hybrid_join": 16,
+    "q_orders_change_feed": 6,
+    "q_lineitem_weighted_median": 4,
+    "q_doc_debiased_sample": 2,
+    "q_doc_source_budget": 10,
+    "q_join_size_estimate": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_BUDGET))
+def test_extra_exchange_budget(spark, name):
+    spark.catalog.clearCache()
+    plan = plan_string(QUERIES[name](spark, SF))
+    n = plan.count("Exchange")
+    assert n <= EXTRA_BUDGET[name], (
+        f"{name}: {n} Exchange nodes (budget {EXTRA_BUDGET[name]})"
+    )
+    for node in PYTHON_NODES:
+        assert node not in plan, f"{name}: Python node {node} in plan"
