@@ -272,3 +272,160 @@ def pq_topk(
             F.round("cosine", 6).alias("cosine_r"),
         )
     )
+
+
+def build_ivf_pq_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 16,
+    k_codes: int = 64,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+):
+    """IVF-PQ: THE billion-vector index shape (coarse inverted lists
+    for probe pruning x product-quantized codes for memory) — what
+    FAISS calls IVFxx,PQyy. Returns (coarse centroids, codebooks,
+    encoded corpus (neighbor_id, __cluster, __codes)).
+
+    Build cost: one KMeans over the corpus (coarse), codebooks from a
+    bounded sample, one encode scan. Persist `encoded` partitioned by
+    __cluster so a probe touches only its clusters' files; both
+    centroid frames are metadata.
+    """
+    from data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    cents, assigned = build_ivf_index(
+        vectors, id_col, vec_col, n_clusters, seed
+    )
+    cb = pq_train(vectors, vec_col, m, k_codes, seed, sample_fraction)
+    enc = pq_encode(
+        assigned.select(
+            F.col("neighbor_id").alias("__vid"),
+            F.col("__cv").alias("__vec"),
+        ),
+        cb,
+        id_col="__vid",
+        vec_col="__vec",
+    )
+    encoded = enc.join(
+        assigned.select("neighbor_id", "__cluster"), "neighbor_id"
+    )
+    return cents, cb, encoded
+
+
+def ivf_pq_topk(
+    centroids_df: DataFrame,
+    codebooks: DataFrame,
+    encoded: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Serve ADC top-k over an IVF-PQ index: each query scores ONLY the
+    codes in its n_probe nearest coarse clusters. Combines the IVF
+    probe pruning (read n_probe/n_clusters of the index) with PQ's
+    16-32x compression: at 10^9 vectors the probed working set is a
+    few hundred MB of codes per query batch.
+
+    Implementation: queries are the bounded interactive side (pq_topk
+    contract) — per-query probe sets and LUT tensors are broadcast;
+    the encoded corpus streams through one mapInPandas that masks each
+    batch's rows by cluster membership per query and emits local
+    top-k; a final window keeps the global top-k. The corpus is never
+    shuffled, never decoded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = _codebook_matrix(codebooks)
+    m, _, dsub = cb.shape
+    cent_rows = sorted(centroids_df.collect(), key=lambda r: r["cluster"])
+    cents = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+    n_clusters = len(cents)
+
+    qpdf = queries.select(
+        F.col(id_col).alias(query_id_col),
+        as_double_vec(vec_col).alias("__qv"),
+    ).toPandas()
+    if not len(qpdf):
+        return encoded.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, rank int, neighbor_id long, "
+            "cosine_r double",
+        )
+    Q = np.stack(qpdf["__qv"].to_numpy())
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qu = Q / qn[:, None]
+    d2 = (
+        (Q**2).sum(1)[:, None] - 2 * Q @ cents.T + (cents**2).sum(1)[None, :]
+    )
+    probed = np.zeros((len(Q), n_clusters), dtype=bool)
+    for i in range(len(Q)):
+        probed[i, np.argsort(d2[i], kind="stable")[:n_probe]] = True
+    lut = np.einsum("qmd,mkd->qmk", Qu.reshape(len(Qu), m, dsub), cb)
+    cn2 = (cb**2).sum(2)
+    qids = qpdf[query_id_col].to_numpy()
+    bc = encoded.sparkSession.sparkContext.broadcast(
+        (lut, cn2, qids, probed)
+    )
+
+    def score(batches):
+        lut_, cn2_, qids_, probed_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["__codes"].to_numpy())
+            clusters = pdf["__cluster"].to_numpy()
+            n = len(codes)
+            dots = np.zeros((n, nq))
+            norm2 = np.zeros(n)
+            for sub in range(m):
+                dots += lut_[:, sub, codes[:, sub]].T
+                norm2 += cn2_[sub, codes[:, sub]]
+            norm = np.sqrt(norm2)
+            norm[norm == 0] = 1.0
+            cos = dots / norm[:, None]
+            mask = probed_[:, clusters].T  # (n, nq)
+            cos = np.where(mask, cos, -np.inf)
+            ids = pdf["neighbor_id"].to_numpy()
+            top = min(k + 1, n)
+            idx = np.argpartition(-cos, top - 1, axis=0)[:top]
+            out_q = np.repeat(qids_[None, :], top, 0).reshape(-1)
+            out_id = ids[idx].reshape(-1)
+            out_cos = np.take_along_axis(cos, idx, axis=0).reshape(-1)
+            keep = (out_id != out_q) & np.isfinite(out_cos)
+            yield pd.DataFrame(
+                {
+                    query_id_col: out_q[keep],
+                    "neighbor_id": out_id[keep],
+                    "cosine": out_cos[keep],
+                }
+            )
+
+    from pyspark.sql import Window
+
+    cands = encoded.mapInPandas(
+        score, f"{query_id_col} long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )

@@ -336,3 +336,22 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
     cb = pq_train(e, m=16, k_codes=64)
     return pq_topk(pq_encode(e, cb), cb, q, k=_K)
+
+
+@query("q_embedding_ivf_pq_topk")
+def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS's billion-scale shape): coarse probe pruning ×
+    product-quantized codes — each query reads n_probe/n_clusters of a
+    16×-compressed index. No SQL oracle (approximate, model-dependent);
+    tests/test_pq.py bounds recall against the exact top-k."""
+    from data_engineering_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    cents, cb, encoded = build_ivf_pq_index(
+        e, n_clusters=16, m=16, k_codes=64
+    )
+    return ivf_pq_topk(cents, cb, encoded, q, k=_K, n_probe=8)
