@@ -313,3 +313,34 @@ def test_mixture_sample_respects_caps(spark, targets):
         assert n <= sizes[d]
         if targets[d] >= sizes[d]:
             assert n == sizes[d]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=40_000),
+)
+def test_water_fill_invariants(spark, demands, budget):
+    """For ANY demand vector and budget: no source exceeds its demand,
+    the budget is exactly exhausted when binding (fully satisfied
+    otherwise), and allocation is monotone in demand (max-min
+    fairness)."""
+    from data_engineering_spark.operators.filters import water_fill
+
+    df = spark.createDataFrame(
+        [(f"s{i}", d) for i, d in enumerate(demands)], ["src", "dem"]
+    )
+    rows = water_fill(df, "src", "dem", budget=budget).collect()
+    alloc = {r["src"]: r["alloc"] for r in rows}
+    dem = {f"s{i}": d for i, d in enumerate(demands)}
+    assert all(alloc[s] <= dem[s] + 1e-9 for s in alloc)
+    total = sum(alloc.values())
+    expect = min(budget, sum(demands))
+    assert abs(total - expect) < 1e-6 * max(1, expect)
+    ordered = sorted(alloc, key=lambda s: (dem[s], s))
+    for a, b in zip(ordered, ordered[1:]):
+        assert alloc[a] <= alloc[b] + 1e-9
