@@ -186,22 +186,41 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """ADC top-k over a PQ-encoded corpus: (query_id, rank,
     neighbor_id, cosine_r). Queries are the interactive side (same
     bounded contract as ivf_topk's driver path): the (nq x m x k_codes)
     lookup-table tensor is broadcast; the corpus side streams through
     one mapInPandas emitting per-partition top-k only.
+
+    The contract is ENFORCED, not assumed: more than `max_query_rows`
+    queries raises instead of silently materializing a corpus-scale
+    frame on the driver (the LUT tensor grows ~nq·m·k_codes·8 B — at
+    10^6 queries x 16x64 that is already 8 GB of broadcast). For
+    corpus x corpus similarity use the block-grid GEMM join
+    (operators/similarity.similarity_join) or SemDeDup — all-pairs
+    over codes wants a different plan, not a bigger driver.
     """
     import numpy as np
     import pandas as pd
 
     cb = _codebook_matrix(codebooks)
     m, _, dsub = cb.shape
-    qpdf = queries.select(
+    qsel = queries.select(
         F.col(id_col).alias(query_id_col),
         as_double_vec(vec_col).alias("__qv"),
-    ).toPandas()
+    )
+    # limit(N+1).count() stops scanning at the threshold — a cheap
+    # size probe, never a full count of a runaway query side
+    if qsel.limit(max_query_rows + 1).count() > max_query_rows:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_query_rows="
+            f"{max_query_rows}; ADC serving broadcasts per-query "
+            "lookup tables and is for bounded query batches. For "
+            "corpus-scale sides use the block-grid similarity join."
+        )
+    qpdf = qsel.toPandas()
     if not len(qpdf):
         return encoded.sparkSession.createDataFrame(
             [], f"{query_id_col} long, rank int, neighbor_id long, cosine_r double"
@@ -327,6 +346,7 @@ def ivf_pq_topk(
     query_id_col: str = "query_id",
     k: int = 5,
     n_probe: int = 8,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Serve ADC top-k over an IVF-PQ index: each query scores ONLY the
     codes in its n_probe nearest coarse clusters. Combines the IVF
@@ -334,12 +354,14 @@ def ivf_pq_topk(
     16-32x compression: at 10^9 vectors the probed working set is a
     few hundred MB of codes per query batch.
 
-    Implementation: queries are the bounded interactive side (pq_topk
-    contract) — per-query probe sets and LUT tensors are broadcast;
-    the encoded corpus streams through one mapInPandas that masks each
-    batch's rows by cluster membership per query and emits local
-    top-k; a final window keeps the global top-k. The corpus is never
-    shuffled, never decoded.
+    Implementation: queries are the bounded interactive side —
+    per-query probe sets and LUT tensors are broadcast; the encoded
+    corpus streams through one mapInPandas that masks each batch's
+    rows by cluster membership per query and emits local top-k; a
+    final window keeps the global top-k. The corpus is never shuffled,
+    never decoded. The bound is ENFORCED like pq_topk's (loud error
+    over a silent driver materialization); corpus x corpus work
+    belongs to the block-grid similarity join, not ADC serving.
     """
     import numpy as np
     import pandas as pd
@@ -350,10 +372,16 @@ def ivf_pq_topk(
     cents = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
     n_clusters = len(cents)
 
-    qpdf = queries.select(
+    qsel = queries.select(
         F.col(id_col).alias(query_id_col),
         as_double_vec(vec_col).alias("__qv"),
-    ).toPandas()
+    )
+    if qsel.limit(max_query_rows + 1).count() > max_query_rows:
+        raise ValueError(
+            f"ivf_pq_topk: query side exceeds max_query_rows="
+            f"{max_query_rows}; see pq_topk's contract note."
+        )
+    qpdf = qsel.toPandas()
     if not len(qpdf):
         return encoded.sparkSession.createDataFrame(
             [],

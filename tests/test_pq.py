@@ -123,3 +123,16 @@ def test_ivf_pq_topk_recall(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
     assert all(r["neighbor_id"] != r["query_id"] for r in approx)
+
+
+def test_pq_topk_rejects_unbounded_query_side(spark):
+    """The bounded-query contract is enforced: a query frame past the
+    cap raises instead of silently landing corpus-scale data on the
+    driver."""
+    import pytest as _pytest
+
+    e = load_table(spark, SF, "embeddings")
+    cb = pq_train(e, m=4, k_codes=8)
+    enc = pq_encode(e, cb)
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        pq_topk(enc, cb, e, k=3, max_query_rows=10)
