@@ -85,6 +85,10 @@ def test_no_python_in_relational_hot_path(spark):
         # PCA's Gram partials are an Arrow batch pass at FIT time; the
         # projection itself is pure codegen
         "q_embedding_pca_project",
+        # PQ encode/ADC scoring are numpy-over-Arrow by design (code
+        # argmin + LUT gathers have no builtin-expression equivalent)
+        "q_embedding_pq_topk",
+        "q_embedding_ivf_pq_topk",
     }
     for name, fn in QUERIES.items():
         if name in ARROW_BATCH_OK:
