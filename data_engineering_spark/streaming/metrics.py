@@ -82,3 +82,51 @@ def attach_metrics(
 def metrics_frame(spark: SparkSession, m: StreamMetrics) -> DataFrame:
     """Snapshot the buffered batch history as a DataFrame."""
     return spark.createDataFrame(list(m.progress), METRICS_SCHEMA)
+
+
+def read_checkpoint_offsets(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Checkpoint introspection: the offset log as a DataFrame —
+    (batch_id, committed, offset_json). What "where is this stream,
+    exactly?" resolves to during an incident, without attaching a
+    running query: Structured Streaming writes one `offsets/<n>` file
+    per micro-batch (v1 header line, then one JSON line per source)
+    and a matching `commits/<n>` marker once the batch is durable. A
+    batch present in offsets but absent from commits is the one that
+    will be REPLAYED on restart — the exactly-once boundary made
+    visible.
+
+    Driver-side file reads (the checkpoint is metadata by
+    construction: one small file per batch).
+    """
+    import json
+    import os
+
+    def read_entries(sub: str) -> dict[int, list[str]]:
+        d = os.path.join(checkpoint_dir, sub)
+        out: dict[int, list[str]] = {}
+        if not os.path.isdir(d):
+            return out
+        for name in os.listdir(d):
+            if not name.isdigit():
+                continue
+            with open(os.path.join(d, name)) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+            out[int(name)] = lines
+        return out
+
+    offsets = read_entries("offsets")
+    commits = set(read_entries("commits"))
+    rows = []
+    for batch_id, lines in sorted(offsets.items()):
+        payload = []
+        for ln in lines[1:]:  # line 0 is the version header
+            try:
+                payload.append(json.loads(ln))
+            except ValueError:
+                payload.append(ln)
+        rows.append(
+            (batch_id, batch_id in commits, json.dumps(payload))
+        )
+    return spark.createDataFrame(
+        rows, "batch_id long, committed boolean, offset_json string"
+    )

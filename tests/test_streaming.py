@@ -452,3 +452,45 @@ def test_stream_metrics_listener(spark, tmp_path):
         assert mf.schema["num_input_rows"].dataType.typeName() == "long"
     finally:
         spark.streams.removeListener(m)
+
+
+def test_read_checkpoint_offsets(spark, tmp_path):
+    """The offset log surfaces batch ids, commit status, and source
+    offsets for a real checkpoint."""
+    from data_engineering_spark.streaming.metrics import (
+        read_checkpoint_offsets,
+    )
+
+    src = tmp_path / "co_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "event_id long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    ckpt = tmp_path / "co_ckpt"
+    q = (
+        spark.readStream.schema("event_id long")
+        .parquet(str(src))
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = read_checkpoint_offsets(spark, str(ckpt)).collect()
+    assert rows, "no offset entries found"
+    assert all(r["committed"] for r in rows)  # drained run: all durable
+    assert all(r["offset_json"].startswith("[") for r in rows)
+    # uncommitted batch is visible as the replay boundary
+    import os
+
+    commits = os.path.join(str(ckpt), "commits")
+    victim = sorted(os.listdir(commits))[-1]
+    os.rename(
+        os.path.join(commits, victim), os.path.join(commits, "zz.bak")
+    )
+    rows2 = {
+        r["batch_id"]: r["committed"]
+        for r in read_checkpoint_offsets(spark, str(ckpt)).collect()
+    }
+    assert rows2[int(victim)] is False
