@@ -91,3 +91,53 @@ def test_snapshot_table_derby_end_to_end(spark, tmp_path):
     assert "APP.items" in snapshotted_tables(spark, lake, 7)
     st.execute("DROP TABLE items")
     conn.commit()
+
+
+def test_admin_cli_subcommands(spark, tmp_path, capsys):
+    """python -m data_engineering_spark.admin: stats and inventory run
+    against a real table; offsets against a real checkpoint."""
+    from data_engineering_spark.admin.__main__ import build_parser, run
+
+    tbl = tmp_path / "lake" / "t1"
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, v double"
+    ).write.parquet(str(tbl))
+
+    rc = run(
+        build_parser().parse_args(
+            ["stats", "--table", str(tbl), "--cols", "id"]
+        ),
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "n_rows\t50" in out
+    assert "min_id\t0" in out and "max_id\t49" in out
+
+    rc = run(
+        build_parser().parse_args(
+            ["inventory", "--lake-root", str(tmp_path / "lake")]
+        ),
+        spark=spark,
+    )
+    assert rc == 0 and "t1" in capsys.readouterr().out
+
+    src = tmp_path / "cli_in"
+    src.mkdir()
+    spark.createDataFrame([(1,)], "x long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    ckpt = tmp_path / "cli_ckpt"
+    q = (
+        spark.readStream.schema("x long")
+        .parquet(str(src))
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rc = run(
+        build_parser().parse_args(["offsets", "--checkpoint", str(ckpt)]),
+        spark=spark,
+    )
+    assert rc == 0 and "true" in capsys.readouterr().out
