@@ -160,3 +160,46 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@query(
+    "q_events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT)
+             AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns via Spark 4's VARIANT type: `parse_json`
+    once into an open-schema binary-encoded value, then typed
+    `variant_get` extraction — the modern engine answer to schemaless
+    payloads (shredded access without a fixed struct, unlike
+    from_json). Integer aggregates keep it oracle-exact against
+    DuckDB's JSON extraction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.variant_get(F.parse_json("props"), "$.k", "int").alias(
+                "k"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
