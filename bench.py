@@ -51,6 +51,12 @@ HEADLINE = [
     # the two operational scans a pipeline runs on every batch
     "q_quality_checks",
     "q_events_skew_profile",
+    # round-4 session additions: bifurcated skew join, change-feed
+    # generation, PQ ANN serving — benched so regressions in the new
+    # scale machinery are visible round-over-round
+    "q_events_hybrid_join",
+    "q_orders_change_feed",
+    "q_embedding_pq_topk",
 ]
 
 

@@ -42,11 +42,15 @@ EXCHANGE_BUDGET = {
     "q_doc_cdc_chunks": 2,
     "q_quality_checks": 10,
     "q_events_skew_profile": 4,
+    "q_events_hybrid_join": 16,
+    "q_orders_change_feed": 6,
+    # ADC serving: window top-k over the mapInPandas candidates
+    "q_embedding_pq_topk": 2,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
 # GEMM similarity join is Arrow-batched by design (documented)
-PYTHON_OK = {"q_embedding_similarity_join"}
+PYTHON_OK = {"q_embedding_similarity_join", "q_embedding_pq_topk"}
 
 
 @pytest.mark.parametrize(
@@ -76,8 +80,6 @@ def test_budget_covers_every_headline_query():
 # round-4 session additions: not in the bench HEADLINE (kept stable for
 # round-over-round comparability) but plan-guarded all the same
 EXTRA_BUDGET = {
-    "q_events_hybrid_join": 16,
-    "q_orders_change_feed": 6,
     "q_lineitem_weighted_median": 4,
     "q_doc_debiased_sample": 2,
     "q_doc_source_budget": 10,
