@@ -154,3 +154,91 @@ def test_upsert_sql_dialects():
 
     with _pytest.raises(ValueError):
         upsert_sql("t;drop", "s", ["k"], ["k"], "ansi", "")
+
+
+def test_stream_to_jdbc_upsert_end_to_end(spark, derby, tmp_path):
+    """The serving-DB sync pipeline: file stream -> foreachBatch ->
+    idempotent jdbc_upsert into live Derby. Restarting the stream with
+    new input upserts increments; an idle restart applies nothing
+    (replay-skip of a delivered batch is covered by
+    test_streaming.test_idempotent_sink*, which drives the wrapper's
+    ledger directly — Spark 4's checkpoint-integrity guard forbids
+    hand-editing commit markers to fake a crash here)."""
+    import os
+
+    from data_engineering_spark.snapshot.jdbc_snapshot import jdbc_upsert
+    from data_engineering_spark.streaming.runner import idempotent_sink
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE stream_serve "
+        "(id BIGINT PRIMARY KEY, v DOUBLE, tag VARCHAR(10))"
+    )
+    st.close()
+    conn.close()
+    cfg = JdbcConfig(
+        url=URL, user="", password="", driver=DRIVER, ident_quote=""
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+
+    def run_stream():
+        sink = idempotent_sink(
+            lambda bdf, bid: jdbc_upsert(
+                spark, bdf, cfg, "stream_serve", ["id"]
+            ),
+            ledger,
+        )
+        q = (
+            spark.readStream.schema("id long, v double, tag string")
+            .parquet(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        # Spark 4 tracks active checkpoint paths; wait until this
+        # query has fully deregistered before a restart reuses ckpt
+        import time as _t
+
+        for _ in range(100):
+            if all(a.id != q.id for a in spark.streams.active):
+                break
+            _t.sleep(0.1)
+
+    def serving_state():
+        back = (
+            spark.read.format("jdbc")
+            .option("url", URL)
+            .option("dbtable", "stream_serve")
+            .option("driver", DRIVER)
+            .load()
+        )
+        return sorted(map(tuple, back.collect()))
+
+    spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "a")], "id long, v double, tag string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert serving_state() == [(1, 1.0, "a"), (2, 2.0, "a")]
+
+    # second input wave: update id=2, add id=3
+    spark.createDataFrame(
+        [(2, 20.0, "b"), (3, 3.0, "b")], "id long, v double, tag string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_stream()
+    assert serving_state() == [(1, 1.0, "a"), (2, 20.0, "b"), (3, 3.0, "b")]
+
+    # idle restart: same checkpoint, no new files -> nothing applied,
+    # serving state untouched, no new ledger entries
+    applied_before = len(os.listdir(ledger))
+    run_stream()
+    assert serving_state() == [(1, 1.0, "a"), (2, 20.0, "b"), (3, 3.0, "b")]
+    assert len(os.listdir(ledger)) == applied_before
