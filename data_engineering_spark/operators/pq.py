@@ -62,7 +62,10 @@ def _lloyd(X, k: int, iters: int, rng):
         if total == 0:  # fewer distinct points than k
             centers.append(X[rng.integers(n)])
             continue
-        centers.append(X[np.searchsorted(np.cumsum(d2 / total), rng.random())])
+        # clamp: float rounding can leave cumsum[-1] < 1.0 and the draw
+        # above it, which would index one past the end
+        idx = min(np.searchsorted(np.cumsum(d2 / total), rng.random()), n - 1)
+        centers.append(X[idx])
     C = np.stack(centers)
     for _ in range(iters):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)

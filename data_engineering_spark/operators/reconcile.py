@@ -113,17 +113,35 @@ def table_changes(
     whole-stage codegen (no row hashing round-trip through Python).
     """
     key_list = list(keys)
-    cmp = [c for c in new.columns if c not in set(key_list)]
-    o = old.select(
-        *key_list, *[F.col(c).alias(f"__o_{c}") for c in cmp]
-    ).withColumn("__in_old", F.lit(1))
-    n = new.select(
-        *key_list, *[F.col(c).alias(f"__n_{c}") for c in cmp]
-    ).withColumn("__in_new", F.lit(1))
+    # union of both sides' non-key columns, in new-then-old-only order:
+    # a column added in `new` (schema evolution) compares against NULL on
+    # the old side instead of raising an unresolved-column error, and a
+    # column dropped from `new` still reaches delete payloads
+    old_cols = set(old.columns)
+    new_cols = set(new.columns)
+    cmp = [c for c in new.columns if c not in set(key_list)] + [
+        c for c in old.columns if c not in set(key_list) and c not in new_cols
+    ]
+
+    def _side(df, present, tag):
+        return df.select(
+            *key_list,
+            *[
+                (F.col(c) if c in present else F.lit(None)).alias(f"__{tag}_{c}")
+                for c in cmp
+            ],
+        )
+
+    o = _side(old, old_cols, "o").withColumn("__in_old", F.lit(1))
+    n = _side(new, new_cols, "n").withColumn("__in_new", F.lit(1))
     j = o.join(n, key_list, "full_outer")
 
     differs = F.lit(False)
     for c in cmp:
+        if c not in new_cols:
+            # dropped column: the new image cannot carry it, comparing its
+            # old value vs NULL would mark every surviving row 'u' forever
+            continue
         differs = differs | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     op = (
         F.when(F.col("__in_old").isNull(), "c")

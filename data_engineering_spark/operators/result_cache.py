@@ -49,10 +49,19 @@ def _input_fingerprint(df: DataFrame) -> str:
 
 
 def cache_key(df: DataFrame) -> str:
+    fp = _input_fingerprint(df)
+    if not fp:
+        # No input files (JDBC scan, LocalRelation, in-memory frame): the
+        # plan text alone cannot see data changes, so a key would serve
+        # stale rows. The cache is file-backed-plans only by contract.
+        raise ValueError(
+            "result cache requires a file-backed plan: df.inputFiles() is "
+            "empty (JDBC/in-memory sources cannot be fingerprinted)"
+        )
     h = hashlib.sha256()
     h.update(_normalized_plan(df).encode())
     h.update(b"\x00")
-    h.update(_input_fingerprint(df).encode())
+    h.update(fp.encode())
     return h.hexdigest()[:32]
 
 

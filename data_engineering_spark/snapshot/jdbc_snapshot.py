@@ -439,7 +439,11 @@ def jdbc_upsert(
     # the default staging name there so the created identifier and the
     # folded reference coincide.
     if staging is None:
-        staging = f"{target}_stg"
+        # unique suffix: concurrent upserts into the same target must not
+        # share (and overwrite) one staging table
+        import uuid as _uuid
+
+        staging = f"{target}_stg_{_uuid.uuid4().hex[:8]}"
         if not cfg.ident_quote:
             staging = staging.upper()
     quote = cfg.ident_quote
@@ -474,8 +478,13 @@ def jdbc_upsert(
         st = conn.createStatement()
         try:
             st.executeUpdate(sql)
-            st.executeUpdate(f"DROP TABLE {_ident(staging, quote)}")
         finally:
+            # drop staging even when the MERGE fails — a leftover table
+            # would collide with (or leak into) the next run
+            try:
+                st.executeUpdate(f"DROP TABLE {_ident(staging, quote)}")
+            except Exception:
+                pass  # MERGE error is the one worth surfacing
             st.close()
     finally:
         conn.close()

@@ -242,3 +242,42 @@ def test_stream_to_jdbc_upsert_end_to_end(spark, derby, tmp_path):
     run_stream()
     assert serving_state() == [(1, 1.0, "a"), (2, 20.0, "b"), (3, 3.0, "b")]
     assert len(os.listdir(ledger)) == applied_before
+
+
+def test_jdbc_upsert_failed_merge_drops_staging(spark, derby):
+    """A MERGE that fails server-side (value too long for the target
+    column) must still drop its staging table, and concurrent-safe
+    default staging names must be unique per call."""
+    from data_engineering_spark.snapshot.jdbc_snapshot import jdbc_upsert
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE narrow (id BIGINT PRIMARY KEY, s VARCHAR(5))"
+    )
+    st.close()
+    conn.close()
+
+    cfg = JdbcConfig(
+        url=URL, user="", password="", driver=DRIVER, ident_quote=""
+    )
+    bad = spark.createDataFrame(
+        [(1, "way-too-long-for-varchar5")], "id long, s string"
+    )
+    with pytest.raises(Exception):
+        jdbc_upsert(spark, bad, cfg, "narrow", ["id"])
+
+    # no *_STG_* leftovers anywhere in the schema
+    conn = jvm.java.sql.DriverManager.getConnection(URL)
+    st = conn.createStatement()
+    rs = st.executeQuery(
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLENAME LIKE '%STG%'"
+    )
+    leftovers = []
+    while rs.next():
+        leftovers.append(rs.getString(1))
+    rs.close()
+    st.close()
+    conn.close()
+    assert leftovers == []

@@ -119,3 +119,35 @@ def test_table_changes_roundtrip_applies_back(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_table_changes_schema_evolution(spark):
+    """A column added in `new` compares vs NULL (no analysis error); a
+    column dropped from `new` does not flood updates but still rides
+    delete payloads as the before-image."""
+    from data_engineering_spark.operators.reconcile import table_changes
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "s", "legacy"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x1"), (2, "B", "x2")], ["id", "s", "added"]
+    )
+    feed = {r["id"]: r for r in table_changes(old, new, ["id"]).collect()}
+    # key 1: s unchanged, but `added` went NULL->x1 => update
+    assert feed[1]["__op"] == "u" and feed[1]["added"] == "x1"
+    assert feed[2]["__op"] == "u" and feed[2]["s"] == "B"
+    # key 3: delete, before-image carries the dropped column's value
+    assert feed[3]["__op"] == "d" and feed[3]["legacy"] == 30.0
+    assert feed[3]["added"] is None
+
+
+def test_table_changes_dropped_column_alone_is_silent(spark):
+    """If the ONLY schema difference is a dropped column, surviving keys
+    with unchanged remaining values emit nothing (no perpetual 'u')."""
+    from data_engineering_spark.operators.reconcile import table_changes
+
+    old = spark.createDataFrame([(1, "a", 9.0)], ["id", "s", "legacy"])
+    new = spark.createDataFrame([(1, "a")], ["id", "s"])
+    assert table_changes(old, new, ["id"]).count() == 0

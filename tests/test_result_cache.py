@@ -65,3 +65,18 @@ def test_cached_result_serves_from_cache(spark, tmp_path):
     second = cached_result(_agg(spark), root)
     assert [tuple(r) for r in second.collect()] == [("ZZ", 1, 1.0)]
     assert sorted(map(tuple, _agg(spark).collect())) == want  # sanity
+
+
+def test_cache_rejects_unfingerprintable_sources(spark, tmp_path):
+    """In-memory (LocalRelation) frames have no input files: a plan-only
+    key could alias two different datasets or go stale on a JDBC table,
+    so the cache must refuse instead of risking wrong results."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, s string").groupBy(
+        "s"
+    ).count()
+    with pytest.raises(ValueError, match="file-backed"):
+        cache_key(df)
+    with pytest.raises(ValueError, match="file-backed"):
+        cached_result(df, str(tmp_path))
