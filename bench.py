@@ -57,6 +57,9 @@ HEADLINE = [
     "q_events_hybrid_join",
     "q_orders_change_feed",
     "q_embedding_pq_topk",
+    # round-5: DSIR corpus selection (two corpus scans + broadcast
+    # scoring join) — benched so the new selection path stays visible
+    "q_doc_dsir_select",
 ]
 
 
@@ -138,6 +141,71 @@ def bench_cdc_ingest(spark, sf_dir: str) -> float:
     return round(dt, 3)
 
 
+def bench_bucketed_join(spark, sf_dir: str) -> float:
+    """The SCALE.md bucketing claim, measured: lineitem ⋈ orders on
+    orderkey with BOTH tables bucketed on the key reads co-located
+    buckets and plans with ZERO Exchange (asserted here, not assumed —
+    the shuffle this removes is the dominant one at 100 TB). Setup
+    (bucketed table writes) is untimed: it is the ingest-time cost the
+    lake pays once, amortized over every downstream join."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.plans.explain import plan_string
+    from data_engineering_spark.sources.lake_writer import (
+        write_bucketed_table,
+    )
+
+    wh = tempfile.mkdtemp(prefix="bench-bucketed-")
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem"),
+        "bench_b_lineitem", "l_orderkey", num_buckets=16,
+        path=f"{wh}/lineitem",
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"),
+        "bench_b_orders", "o_orderkey", num_buckets=16,
+        path=f"{wh}/orders",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def q():
+            l = spark.table("bench_b_lineitem")
+            o = spark.table("bench_b_orders")
+            # per-order revenue: the groupBy key IS the bucket key, so
+            # join AND aggregation both run on co-located buckets —
+            # the whole plan is Exchange-free
+            return (
+                l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("l_orderkey", "o_orderstatus")
+                .agg(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                    ).alias("rev")
+                )
+            )
+
+        assert "Exchange" not in plan_string(q().limit(1)), (
+            "bucketed join must plan shuffle-free"
+        )
+        q().write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bench_b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bench_b_orders")
+        shutil.rmtree(wh, ignore_errors=True)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session(app_name="data-engineering-spark-bench")
@@ -194,6 +262,9 @@ def main() -> None:
     timings["cdc_ingest_pipeline"] = min(
         bench_cdc_ingest(spark, sf_dir), bench_cdc_ingest(spark, sf_dir)
     )
+    # VERDICT r4 #7: the bucketed fact-fact join, benched (plan is
+    # assert-checked Exchange-free inside)
+    timings["bucketed_orderkey_join"] = bench_bucketed_join(spark, sf_dir)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -72,6 +72,17 @@ class LakeConfig:
     # plain appends either way. Equivalence: tests/test_mor.py +
     # test_cdc_backend_equivalence.
     backend: str = "cow"
+    # MOR maintenance policy (reference :405-423 runs Iceberg
+    # rewrite_data_files/expire_snapshots as scheduled maintenance —
+    # here it is a write-path hook): after a merge leaves
+    # delta_count() >= this threshold, fold the deltas into a new base
+    # so read amplification stays bounded under long ingest loops.
+    # None disables (manual compact() only). The compaction reads
+    # O(table), so the threshold trades ingest-side amortized cost
+    # against read-side delta resolution — 16 keeps reads within ~2x
+    # of a compacted scan while charging each batch 1/16th of a
+    # rewrite on average.
+    auto_compact_deltas: int | None = 16
     # Tables processed concurrently within one micro-batch. Spark job
     # submission is thread-safe and per-table merges are independent
     # (disjoint target paths), so a multi-table topic-pattern batch
@@ -300,3 +311,13 @@ class CdcEngine:
             attempts=self.config.merge_attempts,
             sleep_s=self.config.merge_retry_sleep_s,
         )
+        # auto-compaction keeps MOR read amplification bounded: state
+        # before and after compact() is identical by construction
+        # (compact materializes read()), so the hook is safe mid-stream
+        threshold = self.config.auto_compact_deltas
+        if (
+            isinstance(table, MergeTableMOR)
+            and threshold is not None
+            and table.delta_count() >= threshold
+        ):
+            table.compact()

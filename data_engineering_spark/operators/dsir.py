@@ -1,0 +1,190 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how target-like it is
+under hashed bag-of-n-gram language models, then resample the corpus
+toward the target distribution.
+
+The published recipe, re-expressed Spark-first:
+
+1. Features: unigrams + bigrams hashed into B buckets (hashed n-gram
+   model). JVM-side only — `xxhash64 % B` over token/bigram arrays,
+   explode, count. No Python in the scan.
+2. Two bucket distributions: `p_target` from the target slice,
+   `p_raw` from the full corpus, both add-one smoothed. Each is B rows
+   of metadata — broadcastable no matter the corpus size.
+3. Per-doc log importance weight
+   `log w(x) = Σ_b c_b(x) · (log p_t[b] − log p_r[b])` — one
+   broadcast join of doc-bucket counts against the B-row weight table
+   and a groupBy(doc) sum. Everything scales as one corpus scan plus
+   shuffles keyed on (doc) and (bucket).
+4. Selection: Gumbel top-k over `log w + G` gives an exact sample
+   from the softmax of the weights WITHOUT materializing a global
+   sort of all weights first — the per-partition top-k pattern.
+   Deterministic: the Gumbel noise derives from xxhash64(doc_id,seed)
+   (uniform in (0,1]), not an RNG.
+
+Oracle policy: `log` is a transcendental, which the repo's DuckDB
+oracles ban (cross-engine libm results differ in the last ulp), so
+the registry entry is rows-only; tests/test_dsir.py verifies weights
+against an independent numpy computation instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.text import tokens
+
+
+def _bucket(col: Column, num_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets))
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8192,
+) -> DataFrame:
+    """(doc, bucket, c): hashed unigram+bigram counts per document.
+    Built ROW-WISE (posexplode tokens → lead window → 2-element
+    explode), not by exploding a composed array expression — codegen
+    re-evaluates a generator's child per OUTPUT row, which turns
+    explode(bigram_array_expr) quadratic in document length (the same
+    trap ngram_jaccard_pairs documents with measurements)."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    )
+    nxt = F.lead("w", 1).over(Window.partitionBy("doc").orderBy("pos"))
+    # window evaluated in its own projection: generators cannot host
+    # window expressions (and the array child stays trivially cheap)
+    rows = tok.select("doc", "w", nxt.alias("w2"))
+    feats = rows.select(
+        "doc",
+        F.explode(
+            F.array(
+                F.col("w"),
+                F.when(
+                    F.col("w2").isNotNull(),
+                    F.concat_ws(" ", F.col("w"), F.col("w2")),
+                ),
+            )
+        ).alias("f"),
+    ).filter(F.col("f").isNotNull())
+    return (
+        feats.select("doc", _bucket(F.col("f"), num_buckets).alias("bucket"))
+        .groupBy("doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bucket_distribution(
+    bucket_counts: DataFrame, num_buckets: int
+) -> DataFrame:
+    """(bucket, logp): add-one-smoothed log probability per bucket.
+    Unseen buckets get the smoothed floor via the caller's outer join —
+    the frame itself only carries observed buckets (≤ B rows)."""
+    tot = bucket_counts.groupBy().agg(F.sum("c").alias("n"))
+    return (
+        bucket_counts.groupBy("bucket")
+        .agg(F.sum("c").alias("cb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log((F.col("cb") + 1.0) / (F.col("n") + float(num_buckets)))
+            .alias("logp"),
+            F.log(1.0 / (F.col("n") + float(num_buckets))).alias("log_floor"),
+        )
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8192,
+) -> DataFrame:
+    """(doc_id, log_w): per-document log importance weight
+    log p_target(x) − log p_raw(x) under the hashed n-gram models.
+
+    `target` is the slice defining what "good" looks like (a quality
+    domain, a curated corpus...). Distribution frames are ≤ B rows, so
+    the per-doc scoring join broadcasts them; corpus cost is the
+    feature scan + one (doc,bucket) aggregation."""
+    raw_counts = hashed_ngram_buckets(docs, id_col, text_col, num_buckets)
+    tgt_counts = hashed_ngram_buckets(target, id_col, text_col, num_buckets)
+    p_raw = bucket_distribution(raw_counts, num_buckets)
+    p_tgt = bucket_distribution(tgt_counts, num_buckets)
+    # one weight row per OBSERVED bucket of either model; missing side
+    # falls back to its smoothing floor. The floors are constants per
+    # model — carried on every row so the join below needs no second
+    # lookup.
+    weights = (
+        p_tgt.select(
+            "bucket",
+            F.col("logp").alias("lt"),
+            F.col("log_floor").alias("ft"),
+        )
+        .join(
+            p_raw.select(
+                "bucket",
+                F.col("logp").alias("lr"),
+                F.col("log_floor").alias("fr"),
+            ),
+            "bucket",
+            "full_outer",
+        )
+    )
+    # fill per-side floors: max() over the constant column is the
+    # constant itself (the floor never varies within a model)
+    floors = weights.agg(
+        F.max("ft").alias("ft"), F.max("fr").alias("fr")
+    )
+    weights = weights.crossJoin(F.broadcast(floors.select(
+        F.col("ft").alias("__ft"), F.col("fr").alias("__fr")
+    ))).select(
+        "bucket",
+        (F.coalesce(F.col("lt"), F.col("__ft"))
+         - F.coalesce(F.col("lr"), F.col("__fr"))).alias("dlog"),
+    )
+    return (
+        raw_counts.join(F.broadcast(weights), "bucket")
+        .groupBy("doc")
+        .agg(F.sum(F.col("c") * F.col("dlog")).alias("log_w"))
+        .select(F.col("doc").alias(id_col), "log_w")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8192,
+    seed: int = 42,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel top-k resampling: keep the k docs with the largest
+    `log_w/T + Gumbel(doc)` — an exact sample (without replacement)
+    from softmax(log_w/T), computed with an ordered LIMIT instead of a
+    global materialized sort. Deterministic via hash-derived uniforms.
+    Returns (doc_id, log_w, gumbel_key) for the selected docs."""
+    lw = dsir_log_weights(docs, target, id_col, text_col, num_buckets)
+    # u in (0,1]: top 63 hash bits scaled (shiftrightunsigned, not abs —
+    # abs(Long.MIN_VALUE) overflows); +1 keeps u away from 0 so log(u)
+    # is finite
+    h = F.shiftrightunsigned(F.xxhash64(F.col(id_col), F.lit(seed)), 1)
+    u = (h.cast("double") + 1.0) / float(1 << 63)
+    gumbel = -F.log(-F.log(u))
+    return (
+        lw.withColumn(
+            "gumbel_key", F.col("log_w") / F.lit(temperature) + gumbel
+        )
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

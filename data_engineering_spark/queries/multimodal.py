@@ -264,16 +264,62 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_dhash_neardup")
+def _dhash_oracle(max_hamming: int = 2) -> str:
+    """The dHash pipeline is deterministic INTEGER work end-to-end
+    (pixel bytes are ASCII codes, nearest-resample is floor-division
+    index math, bits are byte comparisons), so DuckDB can replay it
+    symbolically from the text: the 64 gradient bits become two 32-bit
+    integers (hi/lo — avoids BIGINT sign-bit gymnastics) and the
+    banded candidate join is replaced by the exact all-pairs popcount
+    (the banding is pigeonhole-exact, so the result sets are equal by
+    construction — THAT equality is what this oracle proves)."""
+    xs = [(i * 24) // 9 for i in range(9)]  # nearest-resample columns
+
+    def bit(k: int) -> str:
+        y, j = divmod(k, 8)
+        p1 = f"((({y}*h)//8)*24 + {xs[j] + 1})"
+        p2 = f"((({y}*h)//8)*24 + {xs[j + 1] + 1})"
+        return f"(ascii(substr(a,{p2},1)) > ascii(substr(a,{p1},1)))"
+
+    hi = " + ".join(
+        f"CASE WHEN {bit(k)} THEN {1 << (31 - k)} ELSE 0 END"
+        for k in range(32)
+    )
+    lo = " + ".join(
+        f"CASE WHEN {bit(k)} THEN {1 << (63 - k)} ELSE 0 END"
+        for k in range(32, 64)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS a
+      FROM documents),
+    sized AS (
+      SELECT doc_id, a,
+             LEAST(CAST(FLOOR(LENGTH(a) / 24) AS INT), 24) AS h
+      FROM base),
+    hashed AS (
+      SELECT doc_id, {hi} AS hi, {lo} AS lo
+      FROM sized WHERE h >= 9)
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(bit_count(xor(x.hi, y.hi))
+                + bit_count(xor(x.lo, y.lo)) AS INT) AS hamming
+    FROM hashed x JOIN hashed y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.hi, y.hi))
+          + bit_count(xor(x.lo, y.lo)) <= {max_hamming}
+    """
+
+
+@query("q_multimodal_dhash_neardup", oracle=_dhash_oracle())
 def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup end-to-end: the same synthetic 24-wide
     PGM payloads as q_multimodal_decode are dHashed (decode →
     grayscale → gradient bits, operators/multimodal.dhash_images) and
     near-dup pairs found by pigeonhole banding over the 64-bit hash +
-    exact popcount verify (dhash_neardup_pairs). Rows-only driver
-    check — the perceptual hash is numpy, not SQL; pytest proves the
-    hash/banding math (identity, noise tolerance, planted-pair recall,
-    no false negatives at the hamming budget)."""
+    exact popcount verify (dhash_neardup_pairs). Oracled exactly: the
+    hash is integer work DuckDB replays symbolically from the text,
+    and the oracle's all-pairs formulation proves the banding loses no
+    pairs (see _dhash_oracle); pytest additionally covers identity,
+    noise tolerance, and planted-pair recall."""
     from data_engineering_spark.operators.multimodal import (
         dhash_images,
         dhash_neardup_pairs,

@@ -220,3 +220,24 @@ def q_doc_debiased(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequency_debiased_sample(
         d, "doc_id", ["text"], target_rate=0.2, salt="fd1"
     ).select("doc_id", "lang", "n_copies", "sample_weight")
+
+
+@query("q_doc_dsir_select")
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR corpus selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights toward a target domain (source='src1' as the
+    curated slice) and Gumbel top-k resampling — the
+    importance-weighted way to tilt a 100 TB crawl toward a quality
+    distribution. Rows-only driver check: log() is a transcendental,
+    outside the repo's cross-engine oracle policy (libm last-ulp
+    divergence); tests/test_dsir.py verifies the weight math against
+    an independent numpy computation instead."""
+    from data_engineering_spark.operators.dsir import dsir_select
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src1")
+    return dsir_select(d, target, k=100).select(
+        "doc_id",
+        F.round("log_w", 6).alias("log_w_r"),
+        F.round("gumbel_key", 6).alias("gumbel_key_r"),
+    )

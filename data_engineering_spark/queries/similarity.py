@@ -120,7 +120,49 @@ def q_embedding_ivf_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=_K, quantized=True)
 
 
-@query("q_embedding_lsh_join")
+def _lsh_join_oracle() -> str:
+    """The LSH join IS deterministic given the seeded hyperplanes, so
+    it oracles exactly: the planes go to a parquet fixture (written at
+    registration from the operator's own RNG draw) and DuckDB replays
+    bucket assignment (sign of the plane dot — scale-invariant, so raw
+    vectors work where Spark uses unit vectors), the band-bucket
+    candidate join, and the exact cosine verify."""
+    from data_engineering_spark.queries._fixtures import lsh_planes_fixture
+
+    path = lsh_planes_fixture()
+    return f"""
+    WITH pl AS (SELECT band, plane, d, w FROM read_parquet('{path}')),
+    dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    dots AS (
+      SELECT m.vec_id, p.band, p.plane, SUM(m.x * p.w) AS dot
+      FROM dims m JOIN pl p ON p.d = m.d
+      GROUP BY 1, 2, 3),
+    buckets AS (
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN dot >= 0
+                           THEN CAST(POW(2, plane) AS BIGINT)
+                           ELSE 0 END) AS INT) AS bucket
+      FROM dots GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings)
+    SELECT c.id_a, c.id_b,
+           ROUND(list_cosine_similarity(va.v, vb.v), 6) AS cosine_r
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE list_cosine_similarity(va.v, vb.v) >= 0.9
+    """
+
+
+@query("q_embedding_lsh_join", oracle=_lsh_join_oracle())
 def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via banded sign-LSH — the 100 TB
     near-duplicate path (bucket-local scoring instead of n² pairs).
@@ -129,8 +171,9 @@ def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~3% candidates with ~0.99 recall at cosine 0.95. At thresholds
     near 0.45 sign-bit blocking cannot prune orthogonal-ish data (64%
     of all pairs share a 4-bit band bucket — measured) — that regime
-    belongs to the exact GEMM join. No SQL oracle (approximate); pytest
-    bounds recall against the exact join."""
+    belongs to the exact GEMM join. Oracled exactly via the hyperplane
+    fixture (see _lsh_join_oracle); pytest additionally bounds recall
+    against the exact join."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_similarity_join(
         e, threshold=0.9, num_bands=8, planes_per_band=8
@@ -297,19 +340,89 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embedding_pca_project")
+def _pca_oracle() -> str:
+    """Eigendecomposition isn't SQL — but the PROJECTION is, given the
+    model. The fixed point: the query fits, quantizes the model at
+    1e-9, writes it to a parquet fixture keyed by corpus row count
+    (distinct per scale factor, so one static SQL string serves all
+    sfs), and projects with the quantized model; DuckDB re-derives
+    pc1/pc2 by joining the fixture. Registration pre-seeds the fixture
+    with an independent local numpy fit (identical after quantization),
+    so oracle-before-query ordering also works. The model itself stays
+    numpy-verified in tests/test_pca.py."""
+    from data_engineering_spark.queries._fixtures import (
+        pca_fixture_path,
+        seed_pca_fixture,
+    )
+
+    try:
+        seed_pca_fixture()
+    except Exception:
+        pass  # no testdata in this environment: query-time write covers it
+    path = pca_fixture_path()
+    return f"""
+    WITH mw AS (
+      SELECT j, d, w FROM read_parquet('{path}')
+      WHERE corpus_n = (SELECT COUNT(*) FROM embeddings)),
+    dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    proj AS (
+      SELECT m.vec_id, w.j, SUM(m.x * w.w) AS s
+      FROM dims m JOIN mw w ON w.d = m.d
+      GROUP BY 1, 2),
+    off AS (SELECT j, w AS o FROM mw WHERE d = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(p1.s + o1.o, 6) AS pc1,
+           ROUND(p2.s + o2.o, 6) AS pc2
+    FROM embeddings e
+    JOIN proj p1 ON p1.vec_id = e.vec_id AND p1.j = 1
+    JOIN proj p2 ON p2.vec_id = e.vec_id AND p2.j = 2
+    JOIN off o1 ON o1.j = 1
+    JOIN off o2 ON o2.j = 2
+    """
+
+
+@query("q_embedding_pca_project", oracle=_pca_oracle())
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 principal components of the 64-dim embedding corpus,
     fit with the one-pass distributed Gram reduction (operators/pca)
-    and projected as a pure-codegen expression. No SQL oracle —
-    eigendecomposition isn't SQL-expressible — so the driver records a
-    rows-only check; tests/test_pca.py proves the math against numpy
-    (model equality, orthonormality, variance ordering,
-    partitioning-invariance)."""
-    from data_engineering_spark.operators.pca import pca_fit, pca_project
+    and projected as a pure-codegen expression. Oracled via the model
+    fixture (see _pca_oracle): the projection arithmetic, data
+    plumbing, and rounding are DuckDB-checked; the eigendecomposition
+    itself is numpy-verified in tests/test_pca.py (model equality,
+    orthonormality, variance ordering, partitioning-invariance)."""
+    import numpy as np
+
+    from data_engineering_spark.operators.pca import (
+        PCAModel,
+        pca_fit,
+        pca_project,
+    )
+    from data_engineering_spark.queries._fixtures import (
+        pca_model_rows,
+        round9_model,
+        write_pca_fixture,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    model = pca_fit(emb, "embedding", k=8)
+    raw = pca_fit(emb, "embedding", k=8)
+    mean, comps = round9_model(
+        np.array(raw.mean), np.array(raw.components)
+    )
+    model = PCAModel(
+        mean=tuple(float(v) for v in mean),
+        components=tuple(tuple(float(v) for v in row) for row in comps),
+        explained_variance=raw.explained_variance,
+        n_rows=raw.n_rows,
+    )
+    try:
+        write_pca_fixture(
+            pca_model_rows(mean, comps, raw.n_rows), raw.n_rows
+        )
+    except Exception:
+        pass  # fixture write is oracle support, never a query failure
     return pca_project(emb, "embedding", model).select(
         "vec_id",
         "label",
@@ -334,7 +447,11 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
-    cb = pq_train(e, m=16, k_codes=64)
+    # train on a bounded sample — the scale-correct call shape (at 10^9
+    # vectors the training set is ALWAYS a sample; codebook quality
+    # saturates around tens of thousands of rows). Only pq_encode
+    # touches the full corpus.
+    cb = pq_train(e, m=16, k_codes=64, sample_fraction=0.25)
     return pq_topk(pq_encode(e, cb), cb, q, k=_K)
 
 

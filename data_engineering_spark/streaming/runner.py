@@ -43,17 +43,48 @@ def kafka_stream(
     bootstrap_servers: str,
     subscribe_pattern: str,
     options: dict[str, str] | None = None,
+    max_offsets_per_trigger: int | None = 5_000_000,
 ) -> DataFrame:
     """Streaming Kafka scan by topic regex (reference read_from_kafka,
-    :360-371 — the ``$``-anchored pattern is preserved)."""
+    :360-371 — the ``$``-anchored pattern is preserved).
+
+    ``max_offsets_per_trigger`` bounds each micro-batch (records per
+    trigger across all matched partitions). The reference's
+    run-to-drain trigger (:387) with NO bound makes the first
+    micro-batch after downtime the ENTIRE backlog — at 100 TB that is
+    one giant shuffle that spills or OOMs. availableNow + a bound
+    drains the same backlog as a sequence of right-sized batches with
+    identical exactly-once semantics, so a bound is the default here
+    and opting OUT (None) is the explicit choice."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribePattern", f"{subscribe_pattern}$")
     )
-    for k, v in {**KAFKA_DEFAULTS, **(options or {})}.items():
+    opts = {**KAFKA_DEFAULTS, **(options or {})}
+    if max_offsets_per_trigger is not None:
+        opts.setdefault("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def file_envelope_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source twin of `kafka_stream` (archived-envelope replay and
+    the brokerless test path). ``max_files_per_trigger`` is the file
+    source's batch bound — with size-bounded landing files this bounds
+    rows per micro-batch the same way maxOffsetsPerTrigger does for
+    Kafka, and the bound survives checkpoint restarts (it is a source
+    option, not checkpoint state)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def run_cdc_stream(
@@ -94,6 +125,7 @@ def start_streams(
     patterns: Sequence[str],
     checkpoint_root: str,
     max_concurrent: int = 40,
+    max_offsets_per_trigger: int | None = 5_000_000,
 ) -> list[StreamingQuery]:
     """One stream per pattern (reference main loop :437-460). Streams
     are async by nature — no thread pool needed; Spark schedules the
@@ -102,7 +134,12 @@ def start_streams(
     for i, pattern in enumerate(patterns[: max_concurrent or None]):
         q = run_cdc_stream(
             engine,
-            kafka_stream(spark, bootstrap_servers, pattern),
+            kafka_stream(
+                spark,
+                bootstrap_servers,
+                pattern,
+                max_offsets_per_trigger=max_offsets_per_trigger,
+            ),
             checkpoint_dir=f"{checkpoint_root}/{i}",
         )
         queries.append(q)

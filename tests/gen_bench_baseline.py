@@ -2,6 +2,12 @@
 
 Run from the repo root on an otherwise idle machine:
     python tests/gen_bench_baseline.py
+
+The merge is a RATCHET (ADVICE r4): existing entries only ever get
+TIGHTER (min of old and measured), new queries are added at their
+measured time. A regeneration on a slow machine therefore cannot
+loosen the guard for the whole suite; a query that intentionally got
+slower needs its entry bumped by hand (explicit, reviewable).
 """
 
 from __future__ import annotations
@@ -42,10 +48,21 @@ def main() -> None:
         out[name] = round(best, 3)
         spark.catalog.clearCache()  # same rationale as bench.py
     path = os.path.join(os.path.dirname(__file__), "bench_guard_baseline.json")
+    prior: dict[str, float] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+    merged = {
+        name: min(t, prior[name]) if name in prior else t
+        for name, t in out.items()
+    }
+    # entries for queries no longer in HEADLINE drop out with their query
     with open(path, "w") as f:
-        json.dump(out, f, indent=2, sort_keys=True)
+        json.dump(merged, f, indent=2, sort_keys=True)
         f.write("\n")
-    print(json.dumps(out, sort_keys=True))
+    loosened = {k for k in merged if k in prior and merged[k] > prior[k]}
+    assert not loosened, loosened  # ratchet invariant
+    print(json.dumps(merged, sort_keys=True))
 
 
 if __name__ == "__main__":

@@ -494,3 +494,102 @@ def test_read_checkpoint_offsets(spark, tmp_path):
         for r in read_checkpoint_offsets(spark, str(ckpt)).collect()
     }
     assert rows2[int(victim)] is False
+
+
+def test_rate_limited_drain_bounds_batches_across_restart(spark, tmp_path):
+    """VERDICT r4 #5: a bounded availableNow drain must process a large
+    backlog as a SEQUENCE of size-bounded micro-batches (never one
+    backlog-sized batch), and the bound must keep holding after a
+    checkpoint restart — at 100 TB the unbounded first batch after
+    downtime is the difference between a drain and an OOM."""
+    from data_engineering_spark.streaming.runner import file_envelope_stream
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # 6 landing files x 4 rows: the row bound per batch is rows-per-file
+    # x maxFilesPerTrigger
+    for f in range(6):
+        envelope_frame(spark, [
+            sale(spark, f * 10 + i, f, 1.0, op="c", ts_ms=1000 + f * 10 + i)
+            for i in range(4)
+        ]).coalesce(1).write.mode("append").parquet(str(src))
+
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id):
+        seen.append(batch_df.count())
+
+    stream = file_envelope_stream(
+        spark, str(src), ENVELOPE_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sum(seen) == 24
+    assert len(seen) >= 6 and max(seen) <= 4  # bounded, never the backlog
+
+    # restart with 3 more files: bound still applies (it is a source
+    # option, not checkpoint state) and only NEW files are read
+    for f in range(6, 9):
+        envelope_frame(spark, [
+            sale(spark, f * 10 + i, f, 1.0, op="c", ts_ms=1000 + f * 10 + i)
+            for i in range(4)
+        ]).coalesce(1).write.mode("append").parquet(str(src))
+    seen.clear()
+    stream2 = file_envelope_stream(
+        spark, str(src), ENVELOPE_SCHEMA, max_files_per_trigger=1
+    )
+    q2 = (
+        stream2.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    assert sum(seen) == 12 and max(seen) <= 4
+
+
+def test_kafka_stream_defaults_include_offset_bound():
+    """The Kafka reader options must carry maxOffsetsPerTrigger by
+    default (and drop it when explicitly opted out) — builder-level
+    check, no broker in this sandbox."""
+    from data_engineering_spark.streaming import runner
+
+    captured = {}
+
+    class FakeReader:
+        def format(self, f):
+            captured["format"] = f
+            return self
+
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def load(self):
+            return None
+
+    class FakeSpark:
+        readStream = FakeReader()
+
+    runner.kafka_stream(FakeSpark(), "b:9092", "source_glaucus1\\..*")
+    assert captured["maxOffsetsPerTrigger"] == "5000000"
+    captured.clear()
+    runner.kafka_stream(
+        FakeSpark(), "b:9092", "t", max_offsets_per_trigger=None
+    )
+    assert "maxOffsetsPerTrigger" not in captured
+    captured.clear()
+    runner.kafka_stream(
+        FakeSpark(), "b:9092", "t",
+        options={"maxOffsetsPerTrigger": "123"},
+    )
+    assert captured["maxOffsetsPerTrigger"] == "123"  # caller wins
