@@ -116,18 +116,51 @@ def pq_train(
     if sample_fraction < 1.0:
         sample = sample.sample(fraction=sample_fraction, seed=seed)
     X = np.stack(sample.toPandas()["__v"].to_numpy())
+    cb = pq_train_matrix(X, m, k_codes, seed, iters)
+    return codebook_frame(vectors.sparkSession, cb)
+
+
+def pq_train_matrix(X, m: int, k_codes: int, seed: int, iters: int = 15):
+    """Codebook tensor (m, k_codes, dsub) from a local sample matrix —
+    deterministic given (X row order, seed): one shared RNG is drawn
+    sequentially across sub-spaces. Factored out so fixture seeding can
+    reproduce a query's codebooks bit-for-bit from the same sample."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     rng = np.random.default_rng(seed)
-    rows = []
-    for sub in range(m):
-        C = _lloyd(X[:, sub * dsub : (sub + 1) * dsub], k_codes, iters, rng)
-        rows += [
-            (sub, j, [float(x) for x in C[j]]) for j in range(len(C))
+    return np.stack(
+        [
+            _pad_codebook(
+                _lloyd(X[:, s * dsub : (s + 1) * dsub], k_codes, iters, rng),
+                k_codes,
+            )
+            for s in range(m)
         ]
-    return vectors.sparkSession.createDataFrame(
+    )
+
+
+def _pad_codebook(C, k_codes: int):
+    """k = min(k, n) in _lloyd can return fewer rows on tiny samples;
+    pad by repeating the last centroid so the tensor stays (k, dsub)
+    (duplicate codes are harmless — argmin picks the lowest index)."""
+    import numpy as np
+
+    if len(C) == k_codes:
+        return C
+    return np.vstack([C, np.repeat(C[-1:], k_codes - len(C), axis=0)])
+
+
+def codebook_frame(spark, cb) -> DataFrame:
+    rows = [
+        (sub, j, [float(x) for x in cb[sub, j]])
+        for sub in range(cb.shape[0])
+        for j in range(cb.shape[1])
+    ]
+    return spark.createDataFrame(
         rows, "m int, code int, centroid array<double>"
     )
 
@@ -271,11 +304,17 @@ def pq_topk(
             norm[norm == 0] = 1.0
             cos = dots / norm[:, None]  # (n, nq)
             ids = pdf["neighbor_id"].to_numpy()
+            # rows id-ascending + STABLE sort => local ties resolve by
+            # (cosine desc, id asc), exactly the global window's order —
+            # argpartition picked arbitrary survivors among equal
+            # cosines (identical codes => exactly equal values), which
+            # could drop the id the final top-k should keep
+            byid = np.argsort(ids, kind="stable")
+            ids, cos = ids[byid], cos[byid]
             # k+1: the self-match (cos 1.0) may occupy one local slot
             # before being dropped below
             top = min(k + 1, n)
-            # per-partition candidates: local top-k per query
-            idx = np.argpartition(-cos, top - 1, axis=0)[:top]  # (top, nq)
+            idx = np.argsort(-cos, axis=0, kind="stable")[:top]  # (top, nq)
             out_q = np.repeat(qids_[None, :], top, 0).reshape(-1)
             out_id = ids[idx].reshape(-1)
             out_cos = np.take_along_axis(cos, idx, axis=0).reshape(-1)
@@ -317,6 +356,8 @@ def build_ivf_pq_index(
     k_codes: int = 64,
     seed: int = 42,
     sample_fraction: float = 1.0,
+    centroids_df: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ):
     """IVF-PQ: THE billion-vector index shape (coarse inverted lists
     for probe pruning x product-quantized codes for memory) — what
@@ -326,16 +367,23 @@ def build_ivf_pq_index(
     Build cost: one KMeans over the corpus (coarse), codebooks from a
     bounded sample, one encode scan. Persist `encoded` partitioned by
     __cluster so a probe touches only its clusters' files; both
-    centroid frames are metadata.
+    centroid frames are metadata. Pre-trained `centroids_df` /
+    `codebooks` frames skip the respective training (externally or
+    deterministically trained quantizers).
     """
     from data_engineering_spark.operators.similarity import (
         build_ivf_index,
     )
 
     cents, assigned = build_ivf_index(
-        vectors, id_col, vec_col, n_clusters, seed
+        vectors, id_col, vec_col, n_clusters, seed,
+        centroids_df=centroids_df,
     )
-    cb = pq_train(vectors, vec_col, m, k_codes, seed, sample_fraction)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_train(vectors, vec_col, m, k_codes, seed, sample_fraction)
+    )
     enc = pq_encode(
         assigned.select(
             F.col("neighbor_id").alias("__vid"),
@@ -440,8 +488,11 @@ def ivf_pq_topk(
             mask = probed_[:, clusters].T  # (n, nq)
             cos = np.where(mask, cos, -np.inf)
             ids = pdf["neighbor_id"].to_numpy()
+            # deterministic tie-break: see pq_topk's selection note
+            byid = np.argsort(ids, kind="stable")
+            ids, cos = ids[byid], cos[byid]
             top = min(k + 1, n)
-            idx = np.argpartition(-cos, top - 1, axis=0)[:top]
+            idx = np.argsort(-cos, axis=0, kind="stable")[:top]
             out_q = np.repeat(qids_[None, :], top, 0).reshape(-1)
             out_id = ids[idx].reshape(-1)
             out_cos = np.take_along_axis(cos, idx, axis=0).reshape(-1)

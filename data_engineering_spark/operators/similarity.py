@@ -526,6 +526,7 @@ def build_ivf_index(
     seed: int = 42,
     quantized: bool = False,
     levels: int = 127,
+    centroids_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the persistent IVF index: one corpus scan + KMeans.
 
@@ -541,19 +542,48 @@ def build_ivf_index(
     assignments by __cluster so a probe touches only its clusters'
     files) and read them back for `ivf_topk_from_index` — the corpus
     is never re-scanned or re-clustered per query batch.
+    `centroids_df` supplies a pre-trained coarse quantizer (cluster,
+    centroid) instead of fitting ml.KMeans — the path for externally
+    trained/deterministic quantizers; assignment then runs as the same
+    broadcast-GEMM mapInPandas the query side uses (nearest centroid,
+    ties to the lowest cluster id).
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
+    spark = vectors.sparkSession
     feat = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("__cv"),
-    ).withColumn("__fv", array_to_vector(F.col("__cv")))
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__cluster"
-    ).fit(feat)
-    assigned = model.transform(feat).drop("__fv")
+    )
+    if centroids_df is not None:
+        cent_rows = sorted(
+            centroids_df.collect(), key=lambda r: r["cluster"]
+        )
+        centroids = np.stack(
+            [np.asarray(r["centroid"]) for r in cent_rows]
+        )
+        assigned = _assign_probes_distributed(
+            feat.withColumnRenamed("__cv", "__qv"),
+            centroids,
+            1,
+            "neighbor_id",
+            "neighbor_id long, __qv array<double>, __cluster int",
+        ).withColumnRenamed("__qv", "__cv")
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat_v = feat.withColumn("__fv", array_to_vector(F.col("__cv")))
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="__fv",
+            predictionCol="__cluster",
+        ).fit(feat_v)
+        assigned = model.transform(feat_v).drop("__fv")
+        centroids = np.stack([c for c in model.clusterCenters()])
+        centroids_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cluster int, centroid array<double>",
+        )
     if quantized:
         # floor(x+0.5) rounding per the cross-engine rule in
         # quantize_embeddings; per-vector scale cancels out of cosine
@@ -569,12 +599,6 @@ def build_ivf_index(
             )
         )
         assigned = assigned.withColumn("__q", codes).drop("__cv")
-    centroids = np.stack([c for c in model.clusterCenters()])
-    spark = vectors.sparkSession
-    centroids_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cluster int, centroid array<double>",
-    )
     return centroids_df, assigned
 
 

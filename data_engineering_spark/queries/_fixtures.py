@@ -131,12 +131,16 @@ def pca_model_rows(
 
 
 def write_pca_fixture(new_rows, corpus_n: int) -> str:
-    """Merge `new_rows` into the fixture, replacing any prior rows for
-    the same corpus_n (other scale factors' entries survive)."""
+    return _merge_keyed_rows(pca_fixture_path(), new_rows, corpus_n)
+
+
+def _merge_keyed_rows(path: str, new_rows, corpus_n: int) -> str:
+    """Merge `new_rows` (corpus_n, j, d, w) into the fixture, replacing
+    any prior rows for the same corpus_n (other scale factors' entries
+    survive)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = pca_fixture_path()
     keep = []
     if os.path.exists(path):
         t = pq.read_table(path)
@@ -166,6 +170,148 @@ def write_pca_fixture(new_rows, corpus_n: int) -> str:
             ),
         ),
     )
+    return path
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer — deterministic training shared by the Spark
+# query (collects the SAME stride sample) and the registration-time
+# fixture seeding (pyarrow read), so the centroid fixture is identical
+# no matter which side writes it first.
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS, IVF_SEED, IVF_ITERS, IVF_SAMPLE_CAP = 16, 42, 20, 32768
+
+
+def ivf_fixture_path() -> str:
+    return os.path.join(
+        FIXTURE_DIR, f"ivf_centroids_k{IVF_CLUSTERS}.parquet"
+    )
+
+
+def ivf_sample_stride(corpus_n: int) -> int:
+    return max(1, -(-corpus_n // IVF_SAMPLE_CAP))
+
+
+def ivf_train_centroids(x: np.ndarray) -> np.ndarray:
+    """Deterministic coarse quantizer: the repo's numpy k-means
+    (operators/pq._lloyd) on the stride sample, rows in vec_id order.
+    Same input matrix => bit-identical centroids on both paths."""
+    from data_engineering_spark.operators.pq import _lloyd
+
+    rng = np.random.default_rng(IVF_SEED)
+    return _lloyd(
+        np.ascontiguousarray(x, dtype=np.float64), IVF_CLUSTERS, IVF_ITERS, rng
+    )
+
+
+def ivf_centroid_rows(cents: np.ndarray, corpus_n: int):
+    return [
+        (corpus_n, int(c) + 1, i + 1, float(w))
+        for c in range(len(cents))
+        for i, w in enumerate(cents[c])
+    ]
+
+
+def write_ivf_fixture(cents: np.ndarray, corpus_n: int) -> str:
+    return _merge_keyed_rows(
+        ivf_fixture_path(), ivf_centroid_rows(cents, corpus_n), corpus_n
+    )
+
+
+def _stride_sample_matrix(sf_dir: str):
+    """(sample_matrix float64, corpus_n) for one sf dir — rows with
+    vec_id % stride == 0, ascending vec_id. The pyarrow twin of the
+    Spark-side collection in queries/similarity; both must produce the
+    SAME matrix for the fixtures to be order-independent."""
+    import pyarrow.parquet as pq
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(emb):
+        return None, 0
+    t = pq.read_table(emb, columns=["vec_id", "embedding"])
+    n = len(t)
+    if n == 0:
+        return None, 0
+    ids = np.asarray(t["vec_id"].to_pylist())
+    order = np.argsort(ids, kind="stable")
+    flat = t["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    x = flat.astype(np.float64).reshape(n, -1)[order]
+    stride = ivf_sample_stride(n)
+    return x[ids[order] % stride == 0], n
+
+
+def seed_ivf_fixture() -> str:
+    """Pre-seed IVF centroids for every testdata sf (pyarrow path —
+    identical arithmetic to the query-side training)."""
+    import pyarrow.parquet as pq
+
+    path = ivf_fixture_path()
+    have = set()
+    if os.path.exists(path):
+        have = set(pq.read_table(path)["corpus_n"].to_pylist())
+    for sf_dir in _PCA_TESTDATA_SFS:
+        sample, n = _stride_sample_matrix(sf_dir)
+        if sample is None or n in have:
+            continue
+        write_ivf_fixture(ivf_train_centroids(sample), n)
+        have.add(n)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# PQ codebooks — same shared-deterministic-training contract as IVF.
+# ---------------------------------------------------------------------------
+
+PQ_M, PQ_K_CODES, PQ_SEED, PQ_ITERS = 16, 64, 42, 15
+
+
+def pq_fixture_path() -> str:
+    return os.path.join(
+        FIXTURE_DIR, f"pq_codebooks_m{PQ_M}k{PQ_K_CODES}.parquet"
+    )
+
+
+def pq_train_sample(x: np.ndarray) -> np.ndarray:
+    from data_engineering_spark.operators.pq import pq_train_matrix
+
+    return pq_train_matrix(x, PQ_M, PQ_K_CODES, PQ_SEED, PQ_ITERS)
+
+
+def pq_codebook_rows(cb: np.ndarray, corpus_n: int):
+    """(corpus_n, j, d, w): j encodes (sub, code) as sub*k + code + 1;
+    d is the GLOBAL dimension index sub*dsub + local + 1, so the
+    oracle joins straight against the unnested embedding."""
+    m, k, dsub = cb.shape
+    return [
+        (corpus_n, sub * k + code + 1, sub * dsub + i + 1, float(w))
+        for sub in range(m)
+        for code in range(k)
+        for i, w in enumerate(cb[sub, code])
+    ]
+
+
+def write_pq_fixture(cb: np.ndarray, corpus_n: int) -> str:
+    return _merge_keyed_rows(
+        pq_fixture_path(), pq_codebook_rows(cb, corpus_n), corpus_n
+    )
+
+
+def seed_pq_fixture() -> str:
+    import pyarrow.parquet as pq
+
+    path = pq_fixture_path()
+    have = set()
+    if os.path.exists(path):
+        have = set(pq.read_table(path)["corpus_n"].to_pylist())
+    for sf_dir in _PCA_TESTDATA_SFS:
+        sample, n = _stride_sample_matrix(sf_dir)
+        if sample is None or n in have:
+            continue
+        write_pq_fixture(pq_train_sample(sample), n)
+        have.add(n)
     return path
 
 

@@ -95,29 +95,327 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embedding_ivf_topk")
+def _stride_sample_spark(e: DataFrame):
+    """Collect the deterministic training sample — the SAME matrix the
+    registration-time pyarrow seeding reads (vec_id % stride == 0,
+    ascending vec_id): (float64 matrix, corpus_n). Capped at
+    IVF_SAMPLE_CAP rows, which is also the honest 10⁹-vector shape:
+    quantizers train on samples."""
+    import numpy as np
+
+    from data_engineering_spark.operators.similarity import as_double_vec
+    from data_engineering_spark.queries import _fixtures as FX
+
+    n = e.count()
+    stride = FX.ivf_sample_stride(n)
+    pdf = (
+        e.filter(F.pmod("vec_id", F.lit(stride)) == 0)
+        .orderBy("vec_id")
+        .select(as_double_vec("embedding").alias("__v"))
+        .toPandas()
+    )
+    return np.stack(pdf["__v"].to_numpy()), n
+
+
+def _ivf_centroids_spark(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer on the Spark side, fixture-shared
+    with the oracle (see _stride_sample_spark) — both paths produce
+    bit-identical centroids, so oracle-vs-query execution order never
+    matters."""
+    from data_engineering_spark.queries import _fixtures as FX
+
+    x, n = _stride_sample_spark(e)
+    cents = FX.ivf_train_centroids(x)
+    try:
+        FX.write_ivf_fixture(cents, n)
+    except Exception:
+        pass  # fixture write is oracle support, never a query failure
+    return spark.createDataFrame(
+        [(i, [float(v) for v in cents[i]]) for i in range(len(cents))],
+        "cluster int, centroid array<double>",
+    )
+
+
+def _pq_codebooks_spark(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Deterministic PQ codebooks, fixture-shared with the oracle (same
+    contract as _ivf_centroids_spark)."""
+    from data_engineering_spark.operators.pq import codebook_frame
+    from data_engineering_spark.queries import _fixtures as FX
+
+    x, n = _stride_sample_spark(e)
+    cb = FX.pq_train_sample(x)
+    try:
+        FX.write_pq_fixture(cb, n)
+    except Exception:
+        pass
+    return codebook_frame(spark, cb)
+
+
+_PQ_ORACLE_COMMON = """
+    pqc AS (
+      SELECT CAST((j - 1) // {k} AS INT) AS sub, (j - 1) % {k} AS code,
+             d, w
+      FROM read_parquet('{path}')
+      WHERE corpus_n = (SELECT COUNT(*) FROM embeddings)),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT e2.vec_id, e2.sub, e2.code,
+               ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.sub
+                                  ORDER BY e2.d2, e2.code) AS rn
+        FROM (SELECT m.vec_id, c.sub, c.code,
+                     SUM((m.x - c.w) * (m.x - c.w)) AS d2
+              FROM dims m JOIN pqc c ON c.d = m.d
+              GROUP BY 1, 2, 3) e2) WHERE rn = 1),
+    cw AS (
+      SELECT e.vec_id, c.d, c.w
+      FROM enc e JOIN pqc c ON c.sub = e.sub AND c.code = e.code),
+    nrm AS (SELECT vec_id, SQRT(SUM(w * w)) AS cnorm FROM cw GROUP BY 1),
+    qn AS (SELECT vec_id AS query_id, SQRT(SUM(x * x)) AS qnorm
+           FROM dims WHERE vec_id < {nq} GROUP BY 1)
+"""
+
+
+def _pq_oracle() -> str:
+    """ADC replay: the codes are re-derived in SQL from the codebook
+    fixture (argmin over sub-space distances, ties to the lower code —
+    matching np.argmin), corpus norms come from the codes, and the dot
+    is the same code-centroid x query contraction the LUT computes."""
+    from data_engineering_spark.queries._fixtures import (
+        PQ_K_CODES,
+        pq_fixture_path,
+        seed_pq_fixture,
+    )
+
+    try:
+        seed_pq_fixture()
+    except Exception:
+        pass
+    common = _PQ_ORACLE_COMMON.format(
+        k=PQ_K_CODES, path=pq_fixture_path(), nq=_TOPK_QUERIES
+    )
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    {common},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(q.x * c.w) AS dot
+      FROM dims q JOIN cw c ON c.d = q.d
+      WHERE q.vec_id < {_TOPK_QUERIES} AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / COALESCE(NULLIF(qn.qnorm, 0), 1)
+                   / COALESCE(NULLIF(n.cnorm, 0), 1) AS cos
+      FROM dots d
+      JOIN qn ON qn.query_id = d.query_id
+      JOIN nrm n ON n.vec_id = d.neighbor_id)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine_r
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """
+
+
+def _ivf_pq_oracle() -> str:
+    """IVF-PQ replay: the IVF probe/assignment CTEs (coarse fixture)
+    composed with the ADC scoring CTEs (codebook fixture) — candidates
+    restricted to probed clusters, everything else identical to the
+    two standalone oracles."""
+    from data_engineering_spark.queries._fixtures import (
+        PQ_K_CODES,
+        ivf_fixture_path,
+        pq_fixture_path,
+        seed_ivf_fixture,
+        seed_pq_fixture,
+    )
+
+    try:
+        seed_ivf_fixture()
+        seed_pq_fixture()
+    except Exception:
+        pass
+    ivf_common = _IVF_ORACLE_COMMON.format(
+        path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
+    )
+    pq_common = _PQ_ORACLE_COMMON.format(
+        k=PQ_K_CODES, path=pq_fixture_path(), nq=_TOPK_QUERIES
+    )
+    return f"""{ivf_common},
+    {pq_common},
+    dots AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, SUM(q.x * c.w) AS dot
+      FROM probes p
+      JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      JOIN cw c ON c.vec_id = a.vec_id
+      JOIN dims q ON q.vec_id = p.query_id AND q.d = c.d
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / COALESCE(NULLIF(qn.qnorm, 0), 1)
+                   / COALESCE(NULLIF(n.cnorm, 0), 1) AS cos
+      FROM dots d
+      JOIN qn ON qn.query_id = d.query_id
+      JOIN nrm n ON n.vec_id = d.neighbor_id)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine_r
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """
+
+
+_IVF_ORACLE_COMMON = """
+    WITH cent AS (
+      SELECT j AS cluster, d, w FROM read_parquet('{path}')
+      WHERE corpus_n = (SELECT COUNT(*) FROM embeddings)),
+    dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    cd AS (
+      SELECT m.vec_id, c.cluster, SUM((m.x - c.w) * (m.x - c.w)) AS d2
+      FROM dims m JOIN cent c ON c.d = m.d
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM cd) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM cd WHERE vec_id < {nq}) WHERE rn <= {nprobe})
+"""
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of the IVF serve path given the centroid fixture:
+    nearest-centroid corpus assignment (euclidean, ties to the lower
+    cluster — mirroring the stable argsort), per-query probe set, exact
+    cosine within probed clusters, top-k with the (cosine desc, id)
+    total order. The quantizer itself is deterministic and
+    fixture-shared (see _ivf_centroids_spark)."""
+    from data_engineering_spark.queries._fixtures import (
+        ivf_fixture_path,
+        seed_ivf_fixture,
+    )
+
+    try:
+        seed_ivf_fixture()
+    except Exception:
+        pass  # no testdata here: the query-time write covers it
+    common = _IVF_ORACLE_COMMON.format(
+        path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
+    )
+    return f"""{common},
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(vq.v, vn.v) AS cos
+      FROM probes p
+      JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      JOIN v vq ON vq.vec_id = p.query_id
+      JOIN v vn ON vn.vec_id = a.vec_id)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine_r
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """
+
+
+def _ivf_sq8_oracle() -> str:
+    """SQ8 variant: the int8 codes replay EXACTLY in SQL
+    (floor(x/scale·127 + 0.5) is identical per-row IEEE work in both
+    engines), and scoring is the same asymmetric code-vs-float cosine
+    the operator computes."""
+    from data_engineering_spark.queries._fixtures import (
+        ivf_fixture_path,
+        seed_ivf_fixture,
+    )
+
+    try:
+        seed_ivf_fixture()
+    except Exception:
+        pass
+    common = _IVF_ORACLE_COMMON.format(
+        path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
+    )
+    return f"""{common},
+    scale AS (SELECT vec_id, MAX(ABS(x)) AS s FROM dims GROUP BY 1),
+    codes AS (
+      SELECT d.vec_id, d.d,
+             CASE WHEN s.s = 0 THEN 0.0
+                  ELSE FLOOR(d.x / s.s * 127 + 0.5) END AS q
+      FROM dims d JOIN scale s USING (vec_id)),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             SUM(cn.q * qd.x)
+               / (SQRT(SUM(cn.q * cn.q)) * SQRT(SUM(qd.x * qd.x))) AS cos
+      FROM probes p
+      JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      JOIN codes cn ON cn.vec_id = a.vec_id
+      JOIN dims qd ON qd.vec_id = p.query_id AND qd.d = cn.d
+      GROUP BY 1, 2)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine_r
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_K}
+    """
+
+
+@query("q_embedding_ivf_topk", oracle=_ivf_oracle())
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (KMeans clusters, probe the nearest 8 of
-    16) — the billion-vector ANN path. No SQL oracle (approximate and
-    model-dependent); pytest bounds recall against exact top-k."""
-    from data_engineering_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k (probe the nearest 8 of 16 clusters) —
+    the billion-vector ANN path. The coarse quantizer is the
+    deterministic sample-trained k-means (fixture-shared with the
+    oracle), so the whole serve path — distributed assignment, probe
+    join, exact scoring, top-k — is DuckDB-checked exactly; pytest
+    additionally bounds recall against the exact top-k."""
+    from data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
-    return ivf_topk(e, q, k=_K)
+    cents = _ivf_centroids_spark(spark, e)
+    centroids_df, assigned = build_ivf_index(e, centroids_df=cents)
+    return ivf_topk_from_index(centroids_df, assigned, q, k=_K, n_probe=8)
 
 
-@query("q_embedding_ivf_topk_sq8")
+@query("q_embedding_ivf_topk_sq8", oracle=_ivf_sq8_oracle())
 def q_embedding_ivf_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-SQ8: the IVF probe stage scores symmetric int8 codes instead
     of float vectors — 4× less index data read per probe, the memory-
-    bandwidth lever at 10⁹ vectors. No SQL oracle (approximate and
-    model-dependent); pytest bounds recall against exact top-k."""
-    from data_engineering_spark.operators.similarity import ivf_topk
+    bandwidth lever at 10⁹ vectors. Same deterministic quantizer and
+    fixture as q_embedding_ivf_topk, so the code quantization + ADC
+    cosine path is DuckDB-checked exactly too."""
+    from data_engineering_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
-    return ivf_topk(e, q, k=_K, quantized=True)
+    cents = _ivf_centroids_spark(spark, e)
+    centroids_df, assigned = build_ivf_index(
+        e, centroids_df=cents, quantized=True
+    )
+    return ivf_topk_from_index(centroids_df, assigned, q, k=_K, n_probe=8)
 
 
 def _lsh_join_oracle() -> str:
@@ -431,36 +729,33 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embedding_pq_topk")
+@query("q_embedding_pq_topk", oracle=_pq_oracle())
 def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 16 sub-space codebooks compress each
     64-float vector to 16 code bytes (16×); queries score codes via
     asymmetric-distance lookup tables without decoding. The compression
-    lever that fits a 10⁹-vector index in cluster memory. No SQL oracle
-    (approximate and model-dependent); tests/test_pq.py bounds recall
-    against the exact top-k."""
-    from data_engineering_spark.operators.pq import (
-        pq_encode,
-        pq_topk,
-        pq_train,
-    )
+    lever that fits a 10⁹-vector index in cluster memory. Codebooks are
+    the deterministic sample-trained k-means (fixture-shared with the
+    oracle), so the encode + ADC serve path is DuckDB-checked exactly;
+    tests/test_pq.py additionally bounds recall against the exact
+    top-k. Only pq_encode touches the full corpus — at 10⁹ vectors the
+    training set is ALWAYS a sample."""
+    from data_engineering_spark.operators.pq import pq_encode, pq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
-    # train on a bounded sample — the scale-correct call shape (at 10^9
-    # vectors the training set is ALWAYS a sample; codebook quality
-    # saturates around tens of thousands of rows). Only pq_encode
-    # touches the full corpus.
-    cb = pq_train(e, m=16, k_codes=64, sample_fraction=0.25)
+    cb = _pq_codebooks_spark(spark, e)
     return pq_topk(pq_encode(e, cb), cb, q, k=_K)
 
 
-@query("q_embedding_ivf_pq_topk")
+@query("q_embedding_ivf_pq_topk", oracle=_ivf_pq_oracle())
 def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (FAISS's billion-scale shape): coarse probe pruning ×
     product-quantized codes — each query reads n_probe/n_clusters of a
-    16×-compressed index. No SQL oracle (approximate, model-dependent);
-    tests/test_pq.py bounds recall against the exact top-k."""
+    16×-compressed index. Both quantizers are the deterministic
+    fixture-shared trainings, so the composed probe + ADC path is
+    DuckDB-checked exactly; tests/test_pq.py additionally bounds
+    recall against the exact top-k."""
     from data_engineering_spark.operators.pq import (
         build_ivf_pq_index,
         ivf_pq_topk,
@@ -469,6 +764,8 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
     cents, cb, encoded = build_ivf_pq_index(
-        e, n_clusters=16, m=16, k_codes=64
+        e, n_clusters=16, m=16, k_codes=64,
+        centroids_df=_ivf_centroids_spark(spark, e),
+        codebooks=_pq_codebooks_spark(spark, e),
     )
     return ivf_pq_topk(cents, cb, encoded, q, k=_K, n_probe=8)
