@@ -256,14 +256,45 @@ def minhash_near_dup_pairs(
     LRU eviction handles one-shot pipelines fine)."""
     assert num_hashes % num_bands == 0
 
-    # two consumers (signatures + verify sets) → persist, same rationale
-    # as text.ngram_jaccard_pairs
+    # ONE aggregation (collect_set right after the window's doc
+    # shuffle, so it adds no exchange) produces the per-doc shingle
+    # SET; signatures re-derive from it by explode + min-per-seed —
+    # still doc-partitioned, still shuffle-free (min over the multiset
+    # equals min over the set, so distinct rows were never needed for
+    # minhash in the first place) — and the SAME persisted frame is
+    # the verify side. The old shape paid a (doc,g) distinct shuffle,
+    # a signature groupBy shuffle, and a second collect_list
+    # aggregation behind a semi-join prune.
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
-    sh = shingle_rows(docs, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
     )
-    sigs = minhash_signatures(sh, num_hashes)
+    wspec = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", j).over(wspec) for j in range(1, n)]
+    grams = (
+        tok.select(
+            "doc",
+            F.concat_ws(" ", *parts).alias("g"),
+            F.lead("w", n - 1).over(wspec).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc", "g")
+    )
+    docsets = (
+        grams.groupBy("doc")
+        .agg(F.collect_set("g").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inv = docsets.select("doc", F.explode("sh").alias("g"))
+    sigs = inv.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
     bands = band_rows(sigs, num_hashes, num_bands)
 
     a = bands.select(F.col("doc").alias("doc_a"), "band", "bucket")
@@ -273,25 +304,14 @@ def minhash_near_dup_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        # three consumers (two sides of the doc prune + verify join)
+        # feeds the two verify joins
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # exact verify (same as the prefix-filter join's verify stage):
-    # shingle sets are collected ONLY for candidate docs — at corpus
-    # scale collect_list over non-candidates would dominate
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc"))
-        .union(cands.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
-    sets = (
-        sh.join(cand_docs, "doc", "left_semi")
-        .groupBy("doc")
-        .agg(F.collect_list("g").alias("sh"))
-    )
-    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # exact verify against the persisted sets — two hash joins, no
+    # re-aggregation (AQE broadcasts the small side)
+    sa = docsets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docsets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     result = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -315,5 +335,5 @@ def minhash_near_dup_pairs(
         return result
     out = result.localCheckpoint(eager=True)
     cands.unpersist()
-    sh.unpersist()
+    docsets.unpersist()
     return out
