@@ -107,6 +107,7 @@ def dsir_log_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 8192,
+    target_subset: bool = False,
 ) -> DataFrame:
     """(doc_id, log_w): per-document log importance weight
     log p_target(x) − log p_raw(x) under the hashed n-gram models.
@@ -114,9 +115,32 @@ def dsir_log_weights(
     `target` is the slice defining what "good" looks like (a quality
     domain, a curated corpus...). Distribution frames are ≤ B rows, so
     the per-doc scoring join broadcasts them; corpus cost is the
-    feature scan + one (doc,bucket) aggregation."""
+    feature scan + one (doc,bucket) aggregation.
+
+    ``target_subset=True`` declares that `target`'s rows are a subset
+    of `docs` (same ids): target features are then a semi-join slice of
+    the raw feature frame instead of a SECOND tokenize scan of the
+    target text — one corpus pass instead of 1+fraction. The slice path
+    persists the corpus feature frame, so it wins only when the corpus
+    scan dominates that materialization (large corpora / large
+    targets); at small scale the extra tokenize is cheaper (A/B at
+    sf0.1: 2.4 s two-scan vs 3.8 s subset)."""
+    from pyspark import StorageLevel
+
     raw_counts = hashed_ngram_buckets(docs, id_col, text_col, num_buckets)
-    tgt_counts = hashed_ngram_buckets(target, id_col, text_col, num_buckets)
+    if target_subset:
+        # raw_counts now feeds three consumers (raw distribution,
+        # target slice, scoring join) — persist the one corpus pass
+        raw_counts = raw_counts.persist(StorageLevel.MEMORY_AND_DISK)
+        tgt_counts = raw_counts.join(
+            target.select(F.col(id_col).alias("doc")).distinct(),
+            "doc",
+            "left_semi",
+        )
+    else:
+        tgt_counts = hashed_ngram_buckets(
+            target, id_col, text_col, num_buckets
+        )
     p_raw = bucket_distribution(raw_counts, num_buckets)
     p_tgt = bucket_distribution(tgt_counts, num_buckets)
     # one weight row per OBSERVED bucket of either model; missing side
@@ -168,13 +192,17 @@ def dsir_select(
     num_buckets: int = 8192,
     seed: int = 42,
     temperature: float = 1.0,
+    target_subset: bool = False,
 ) -> DataFrame:
     """Gumbel top-k resampling: keep the k docs with the largest
     `log_w/T + Gumbel(doc)` — an exact sample (without replacement)
     from softmax(log_w/T), computed with an ordered LIMIT instead of a
     global materialized sort. Deterministic via hash-derived uniforms.
     Returns (doc_id, log_w, gumbel_key) for the selected docs."""
-    lw = dsir_log_weights(docs, target, id_col, text_col, num_buckets)
+    lw = dsir_log_weights(
+        docs, target, id_col, text_col, num_buckets,
+        target_subset=target_subset,
+    )
     # u in (0,1]: top 63 hash bits scaled (shiftrightunsigned, not abs —
     # abs(Long.MIN_VALUE) overflows); +1 keeps u away from 0 so log(u)
     # is finite

@@ -236,6 +236,10 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     target = d.filter(F.col("source") == "src1")
+    # target_subset=False here: at bench scale the target slice's
+    # tokenize is cheaper than persisting the corpus feature frame (A/B
+    # measured 2.4s vs 3.8s at sf0.1); the subset path wins when the
+    # corpus scan dominates — see dsir_log_weights
     return dsir_select(d, target, k=100).select(
         "doc_id",
         F.round("log_w", 6).alias("log_w_r"),

@@ -104,3 +104,23 @@ def test_gumbel_select_deterministic_and_bounded(spark, corpus):
     # keys strictly ordered, finite
     keys = [r["gumbel_key"] for r in s1]
     assert all(np.isfinite(keys)) and keys == sorted(keys, reverse=True)
+
+
+def test_target_subset_path_identical(spark, corpus):
+    """target_subset=True (features sliced from the single corpus scan)
+    must produce exactly the two-scan path's weights."""
+    target = corpus.filter(F.col("doc_id").isin(1, 2, 5))
+    two_scan = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_log_weights(corpus, target, num_buckets=B).collect()
+    }
+    sliced = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_log_weights(
+            corpus, target, num_buckets=B, target_subset=True
+        ).collect()
+    }
+    assert set(sliced) == set(two_scan)
+    for d in two_scan:
+        # same math; only double partial-sum merge order differs
+        assert sliced[d] == pytest.approx(two_scan[d], abs=1e-9)

@@ -28,8 +28,9 @@ EXCHANGE_BUDGET = {
     "q_events_keep_last_per_user": 2,
     "q_events_sessionize": 2,
     "q_doc_dedup_exact": 6,
-    "q_doc_ngram_jaccard_pairs": 145,
-    "q_doc_minhash_neardup": 43,
+    # r5 PPJoin/collect_set rewrites: 145 -> 27 and 43 -> 15
+    "q_doc_ngram_jaccard_pairs": 27,
+    "q_doc_minhash_neardup": 15,
     "q_cosine_topk": 4,
     "q_embedding_similarity_join": 2,
     "q_events_tumbling_window": 4,
@@ -46,6 +47,9 @@ EXCHANGE_BUDGET = {
     "q_orders_change_feed": 6,
     # ADC serving: window top-k over the mapInPandas candidates
     "q_embedding_pq_topk": 2,
+    # two hashed-ngram count pipelines (raw + target) + broadcast
+    # scoring join; the textual count repeats shared subtrees
+    "q_doc_dsir_select": 48,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")

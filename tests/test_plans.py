@@ -71,8 +71,11 @@ def test_no_python_in_relational_hot_path(spark):
         "q_embedding_semdedup",
         # LSH bucket assignment is a sign-GEMM over Arrow batches
         "q_embedding_lsh_join",
-        # IVF probes are assigned driver-side/numpy by design
+        # IVF probes are assigned driver-side/numpy by design; since r5
+        # the deterministic-quantizer corpus assignment is the
+        # broadcast-GEMM mapInPandas (both variants)
         "q_embedding_ivf_topk",
+        "q_embedding_ivf_topk_sq8",
         # WAV decode is an Arrow-batched binary parser (mapInPandas) —
         # the payload build around it stays JVM
         "q_multimodal_wav",
