@@ -475,6 +475,123 @@ def decode_wav(
     return src.mapInPandas(decode, DECODED_AUDIO_SCHEMA)
 
 
+def _wav_pcm_first_channel(buf: bytes):
+    """(sample_rate, first-channel float64 samples in [-1, 1)) from a
+    RIFF/WAVE PCM payload, or None for malformed/non-PCM input. Same
+    chunk-walk as decode_wav; factored for the feature extractors."""
+    import numpy as np
+
+    if len(buf) < 44 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+        return None
+    bytes_per = bits // 8
+    n_frames = len(data) // (bytes_per * n_ch)
+    if bits == 16:
+        arr = np.frombuffer(data[: n_frames * n_ch * 2], dtype="<i2")
+        ch0 = arr.reshape(-1, n_ch)[:, 0].astype(np.float64) / 32768.0
+    else:
+        arr = np.frombuffer(data[: n_frames * n_ch], dtype=np.uint8)
+        ch0 = (
+            arr.reshape(-1, n_ch)[:, 0].astype(np.float64) - 128.0
+        ) / 128.0
+    return rate, ch0
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "payload",
+    n_fft: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Spectral front-end features per WAV payload — the audio
+    equivalent of the image histogram/dHash extractors, and the slot a
+    real model front-end (mel filterbank, codec embedding) plugs into:
+
+    - frame the first channel (`n_fft` window, `hop` stride), Hann
+      window, rfft power spectrum averaged over frames;
+    - `band_db`: mean power folded into `n_bands` equal bins of the
+      rfft range, in dB (10·log10, floored at -120);
+    - `centroid_hz`: spectral centroid of the mean spectrum.
+
+    All numpy inside mapInPandas over Arrow batches: payload bytes
+    never shuffle, one fixed-width feature row leaves the scan per
+    item. Undecodable or too-short (< n_fft samples) payloads emit
+    NULL features. Deterministic for fixed inputs, so rows-only driver
+    checks are stable; the numerics are pytest-pinned against known
+    sinusoids (an FFT has no SQL twin)."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("payload"))
+    out_schema = (
+        "id long, n_fft_frames int, centroid_hz double, "
+        "band_db array<double>"
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
+        edges = np.linspace(0, n_fft // 2 + 1, n_bands + 1).astype(int)
+
+        def one(buf: bytes):
+            parsed = _wav_pcm_first_channel(bytes(buf))
+            if parsed is None:
+                return None
+            rate, x = parsed
+            if len(x) < n_fft:
+                return None
+            n_frames = 1 + (len(x) - n_fft) // hop
+            idx = (
+                np.arange(n_fft)[None, :]
+                + hop * np.arange(n_frames)[:, None]
+            )
+            spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+            mean_spec = spec.mean(axis=0)
+            freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+            total = mean_spec.sum()
+            centroid = (
+                float((freqs * mean_spec).sum() / total) if total > 0 else 0.0
+            )
+            bands = [
+                float(
+                    10.0
+                    * np.log10(max(mean_spec[a:b].mean(), 1e-12))
+                )
+                for a, b in zip(edges[:-1], edges[1:])
+            ]
+            return n_frames, round(centroid, 3), [round(b, 3) for b in bands]
+
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf["id"], pdf["payload"]):
+                r = one(buf)
+                rows.append((i, None, None, None) if r is None else (i, *r))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "n_fft_frames", "centroid_hz", "band_db"],
+            )
+
+    return src.mapInPandas(feats, out_schema)
+
+
 def dhash_images(
     df: DataFrame,
     id_col: str = "id",

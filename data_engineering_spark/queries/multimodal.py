@@ -354,3 +354,53 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(hashes, max_hamming=2).orderBy(
         "id_a", "id_b"
     )
+
+
+@query("q_multimodal_audio_features")
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral front-end over the synthetic WAV payloads (same
+    byte-exact JVM payload build as q_multimodal_wav): framed Hann
+    rfft power folded to 8 band energies + spectral centroid per doc
+    (operators/multimodal.audio_spectral_features). Rows-only driver
+    check — an FFT has no SQL twin; tests/test_multimodal.py pins the
+    numerics against known sinusoids."""
+    from data_engineering_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(
+            "doc_id",
+            F.regexp_replace("text", "[^ -~]", "").alias("__a"),
+        )
+        .withColumn("__n", F.length("__a"))
+        .filter(F.col("__n") >= 256)  # one full FFT frame minimum
+    )
+
+    def le(v, width):
+        bs = [
+            F.lpad(
+                F.hex(F.expr(f"shiftright({v}, {8 * i})") % 256), 2, "0"
+            )
+            for i in range(width)
+        ]
+        return F.unhex(F.concat(*bs))
+
+    ascii_ = lambda s: F.encode(F.lit(s), "utf-8")  # noqa: E731
+    payload = F.concat(
+        ascii_("RIFF"), le("__n + 36", 4), ascii_("WAVE"),
+        ascii_("fmt "), le("16", 4),
+        F.unhex(F.lit("0100")), F.unhex(F.lit("0100")),
+        le("8000", 4), le("8000", 4),
+        F.unhex(F.lit("0100")), F.unhex(F.lit("0800")),
+        ascii_("data"), le("__n", 4),
+        F.encode(F.col("__a"), "utf-8"),
+    )
+    feats = audio_spectral_features(
+        base.select("doc_id", payload.alias("payload")), id_col="doc_id"
+    )
+    return feats.select(
+        F.col("id").alias("doc_id"), "n_fft_frames", "centroid_hz",
+        "band_db",
+    )

@@ -79,6 +79,8 @@ def test_no_python_in_relational_hot_path(spark):
         # WAV decode is an Arrow-batched binary parser (mapInPandas) —
         # the payload build around it stays JVM
         "q_multimodal_wav",
+        # framed-FFT features are numpy by nature (same slot)
+        "q_multimodal_audio_features",
         # Misra-Gries candidate pass is a per-partition bounded-counter
         # scan (mapInPandas) — the exact-count phase stays JVM
         "q_doc_heavy_hitter_terms",
