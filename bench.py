@@ -60,6 +60,10 @@ HEADLINE = [
     # round-5: DSIR corpus selection (two corpus scans + broadcast
     # scoring join) — benched so the new selection path stays visible
     "q_doc_dsir_select",
+    # round-5: the composed curation pipeline (exact dedup → quality →
+    # near-dup canonicalization → domain cap) — the end-to-end flow a
+    # training-data user runs; benched as one unit
+    "q_corpus_curated",
 ]
 
 

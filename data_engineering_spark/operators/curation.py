@@ -1,0 +1,124 @@
+"""Composed corpus-curation pipeline: the end-to-end training-data
+flow a user of this engine actually runs, chained from the tested
+building blocks:
+
+    raw → exact dedup → quality filter (Gopher band) →
+    near-dup canonicalization (exact-Jaccard clusters, keep best) →
+    domain cap → curated corpus (+ per-stage funnel counts)
+
+Every stage is an existing operator (dedup_exact, gopher_metrics,
+ngram_jaccard_pairs + connected_components, cap_per_group), so the
+pipeline adds NO new semantics — only the composition and the funnel
+accounting. Scale shape is the sum of its parts: one fixed-width-hash
+shuffle (exact dedup), a scan-stage projection (quality), the PPJoin
+near-dup machinery over the survivors (bounded candidates), and one
+keyed rank window (cap). The funnel counts are lazy count aggregates
+unioned into one frame — ONE action materializes the whole report.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.dedup import dedup_exact
+from data_engineering_spark.operators.filters import (
+    cap_per_group,
+    gopher_metrics,
+)
+from data_engineering_spark.operators.graph import connected_components
+from data_engineering_spark.operators.text import ngram_jaccard_pairs
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cap_cols: tuple[str, ...] = ("source", "lang"),
+    cap_n: int = 5,
+    jaccard_threshold: float = 0.6,
+    score_col: str | None = None,
+) -> tuple[DataFrame, list[tuple[str, DataFrame]]]:
+    """Returns (curated corpus frame, ordered [(stage, frame)] list —
+    first entry is the raw input, last is the curated output).
+
+    Stage semantics (each deterministic, each with a DuckDB twin in
+    queries/curation.py's funnel oracle):
+    - exact_dedup: lowest-id doc per identical text
+    - quality: Gopher keep band (token count / word length / alpha)
+    - near_dedup: exact-Jaccard (>= threshold) connected components,
+      keep the best-scored member (ties: lowest id); singletons survive
+    - domain_cap: at most cap_n docs per cap_cols group, best first
+
+    `score_col` ranks cluster members and the cap (higher = better);
+    default is the text length. Passing a stored column (e.g. n_chars)
+    keeps oracle parity exact when text may contain astral codepoints
+    (Spark's length counts UTF-16 code units, DuckDB's codepoints).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    exact = dedup_exact(docs, [text_col], id_col).drop("n_copies")
+
+    gm = gopher_metrics(exact, id_col=id_col, text_col=text_col)
+    quality = exact.join(
+        gm.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+    )
+    # the near-dup stage consumes `quality` three ways (pairs, member
+    # join, length score); persist the survivor set once
+    quality = quality.persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = ngram_jaccard_pairs(
+        quality.select(F.col(id_col), F.col(text_col)),
+        id_col=id_col,
+        text_col=text_col,
+        threshold=jaccard_threshold,
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    score = (
+        F.col(score_col) if score_col else F.length(text_col)
+    )
+    member = quality.withColumn("__len", score).join(
+        comp.select(
+            F.col("vertex").alias(id_col), F.col("component").alias("__c")
+        ),
+        id_col,
+        "left",
+    ).withColumn("__cluster", F.coalesce("__c", F.col(id_col)))
+    w = Window.partitionBy("__cluster").orderBy(
+        F.desc("__len"), F.asc(id_col)
+    )
+    canonical = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__c", "__cluster")
+    )
+
+    capped = cap_per_group(
+        canonical, list(cap_cols), "__len", cap_n, tiebreaker=id_col
+    ).drop("__len")
+
+    stages = [
+        ("raw", docs),
+        ("exact_dedup", exact),
+        ("quality", quality),
+        ("near_dedup", canonical.drop("__len")),
+        ("domain_cap", capped),
+    ]
+    return capped, stages
+
+
+def funnel_counts(stages: list[tuple[str, DataFrame]]) -> DataFrame:
+    """(seq, stage, n_docs) — one lazy union of count aggregates, so
+    the whole funnel report is a single action."""
+    frames = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(i).alias("seq"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)

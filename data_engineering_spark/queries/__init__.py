@@ -6,6 +6,7 @@ Importing this package registers every query + oracle into
 
 from data_engineering_spark.queries import (  # noqa: F401
     collections,
+    curation,
     diagnostics,
     events_analytics,
     events_cdc,

@@ -50,6 +50,9 @@ EXCHANGE_BUDGET = {
     # two hashed-ngram count pipelines (raw + target) + broadcast
     # scoring join; the textual count repeats shared subtrees
     "q_doc_dsir_select": 48,
+    # composed curation funnel (dedup window + PPJoin machinery +
+    # cluster/cap windows); pure JVM end to end
+    "q_corpus_curated": 34,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
