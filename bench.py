@@ -64,6 +64,10 @@ HEADLINE = [
     # near-dup canonicalization → domain cap) — the end-to-end flow a
     # training-data user runs; benched as one unit
     "q_corpus_curated",
+    # round-5: LSH star-edge cluster assignment — the linear-edge-output
+    # near-dup path that stays sub-linear on tools/scale_curve.py's
+    # 16x corpora while the pair-emitting family goes quadratic
+    "q_doc_star_dedup_clusters",
 ]
 
 

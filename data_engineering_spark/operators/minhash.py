@@ -235,36 +235,26 @@ def minhash_incremental_pairs(
     return out
 
 
-def minhash_near_dup_pairs(
+def _shingle_sets_and_bands(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.6,
-    num_hashes: int = 64,
-    num_bands: int = 32,
-    release_cache: bool = False,
-) -> DataFrame:
-    """Near-duplicate pairs with exact-verified Jaccard >= threshold,
-    candidates via banded MinHash-LSH. Output matches
-    text.ngram_jaccard_pairs: (doc_a, doc_b, common, jaccard_r).
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    num_bands: int,
+):
+    """(persisted (doc, sh) shingle-set frame, (doc, band, bucket) band
+    rows derived from it) — the shared front half of the LSH operators.
 
-    ``release_cache=True``: eagerly materialize the (small) verified
-    pairs and unpersist the shingle/candidate caches before returning —
-    for long-lived sessions that must not accumulate cached blocks.
-    Default False keeps the plan lazy (the eager pass costs real time;
-    LRU eviction handles one-shot pipelines fine)."""
-    assert num_hashes % num_bands == 0
-
-    # ONE aggregation (collect_set right after the window's doc
-    # shuffle, so it adds no exchange) produces the per-doc shingle
-    # SET; signatures re-derive from it by explode + min-per-seed —
-    # still doc-partitioned, still shuffle-free (min over the multiset
-    # equals min over the set, so distinct rows were never needed for
-    # minhash in the first place) — and the SAME persisted frame is
-    # the verify side. The old shape paid a (doc,g) distinct shuffle,
-    # a signature groupBy shuffle, and a second collect_list
-    # aggregation behind a semi-join prune.
+    ONE aggregation (collect_set right after the window's doc shuffle,
+    so it adds no exchange) produces the per-doc shingle SET;
+    signatures re-derive from it by explode + min-per-seed — still
+    doc-partitioned, still shuffle-free (min over the multiset equals
+    min over the set, so distinct rows were never needed for minhash in
+    the first place) — and the SAME persisted frame is the verify side.
+    The old shape paid a (doc,g) distinct shuffle, a signature groupBy
+    shuffle, and a second collect_list aggregation behind a semi-join
+    prune. Caller owns the persist (unpersist when done)."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -295,7 +285,34 @@ def minhash_near_dup_pairs(
             for i in range(num_hashes)
         ]
     )
-    bands = band_rows(sigs, num_hashes, num_bands)
+    return docsets, band_rows(sigs, num_hashes, num_bands)
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    num_bands: int = 32,
+    release_cache: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs with exact-verified Jaccard >= threshold,
+    candidates via banded MinHash-LSH. Output matches
+    text.ngram_jaccard_pairs: (doc_a, doc_b, common, jaccard_r).
+
+    ``release_cache=True``: eagerly materialize the (small) verified
+    pairs and unpersist the shingle/candidate caches before returning —
+    for long-lived sessions that must not accumulate cached blocks.
+    Default False keeps the plan lazy (the eager pass costs real time;
+    LRU eviction handles one-shot pipelines fine)."""
+    assert num_hashes % num_bands == 0
+    from pyspark import StorageLevel
+
+    docsets, bands = _shingle_sets_and_bands(
+        docs, id_col, text_col, n, num_hashes, num_bands
+    )
 
     a = bands.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc").alias("doc_b"), "band", "bucket")
@@ -337,3 +354,115 @@ def minhash_near_dup_pairs(
     cands.unpersist()
     docsets.unpersist()
     return out
+
+
+def star_edges(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) star edges from (doc, band, bucket) band
+    rows: each bucket links its members to the bucket's minimum doc —
+    <= num_bands edges per document, whatever the bucket sizes, and the
+    star graph's connected components equal the bucket-clique graph's.
+    agg+join rather than a window so AQE skew-join splitting applies to
+    monster buckets (the boilerplate-clique case this path exists for).
+    """
+    reps = bands.groupBy("band", "bucket").agg(F.min("doc").alias("rep"))
+    return (
+        bands.join(reps, ["band", "bucket"])
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_star_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    num_bands: int = 32,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup CLUSTER assignment with linear edge output — the
+    duplicate-heavy-corpus scale path.
+
+    Every pair-emitting near-dup operator (`minhash_near_dup_pairs`,
+    `text.ngram_jaccard_pairs`) pays an inherent O(sum cluster^2)
+    output term: a boilerplate page copied a million times is a
+    10^12-pair clique. tools/scale_curve.py `SCALE_MODE=dupes` measures
+    exactly this (alpha -> 2 as clique size grows with corpus size).
+    When the goal is CLUSTERS rather than the pair list, the cliques
+    are never needed: within each LSH band bucket it is enough to link
+    every member to the bucket's minimum doc id (a star), which
+    preserves bucket-graph connectivity exactly while emitting
+    <= num_bands edges per document — linear, whatever the duplicate
+    profile. This is the standard trick of large-scale LSH dedup
+    pipelines (one representative edge per bucket instead of the
+    bucket clique).
+
+    `verify=True` re-checks each star edge with the EXACT shingle
+    Jaccard and drops edges below `threshold`. Semantics note: the
+    verified-star graph is a SUBGRAPH of the verified full-pairs graph
+    restricted to star edges — it can only split clusters relative to
+    exact transitive closure (never merges documents the full graph
+    would keep apart), and the split requires a bucket whose
+    representative is a banding false positive to a member while other
+    members are true pairs — a <~1e-6-probability event per bucket at
+    the default banding (see module docstring). `verify=False` gives
+    exact bucket-graph components (pure LSH semantics, zero text
+    re-reads after signatures).
+
+    Returns (id_col, cluster_id) for EVERY input document; singletons
+    are their own cluster. cluster_id is the component's minimum doc
+    id — canonical and engine-independent.
+
+    Plan: shingle-set aggregation (one doc shuffle), band rows, a
+    (band, bucket) min aggregation joined back to the band rows (two
+    shuffles on bucket keys — agg+join rather than a window so AQE
+    skew-join splitting applies to the monster buckets this operator
+    exists for), edge distinct, the usual exact-verify hash joins
+    against the persisted shingle sets, then pointer-jumping connected
+    components over a linear-size edge list.
+    """
+    assert num_hashes % num_bands == 0
+
+    docsets, bands = _shingle_sets_and_bands(
+        docs, id_col, text_col, n, num_hashes, num_bands
+    )
+    star = star_edges(bands)
+    if verify:
+        sa = docsets.select(
+            F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")
+        )
+        sb = docsets.select(
+            F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        common = F.size(F.array_intersect("sh_a", "sh_b"))
+        star = (
+            star.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "__j",
+                common / (F.size("sh_a") + F.size("sh_b") - common),
+            )
+            .filter(F.col("__j") >= threshold)
+            .select("doc_a", "doc_b")
+        )
+    from data_engineering_spark.operators.graph import connected_components
+
+    comp = connected_components(star, "doc_a", "doc_b")
+    return (
+        docs.select(F.col(id_col))
+        .join(
+            comp.select(
+                F.col("vertex").alias(id_col),
+                F.col("component").alias("cluster_id"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )

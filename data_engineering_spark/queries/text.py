@@ -986,3 +986,59 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.asc("w1"), F.asc("w2")
     ).limit(25)
+
+
+@query(
+    "q_doc_star_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok),
+    inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n AS na, b.n AS nb, COUNT(*) AS common
+      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    dup AS (
+      SELECT doc_a, doc_b FROM prs
+      WHERE common * 1.0 / (na + nb - common) >= 0.6),
+    ed AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION SELECT doc_b, doc_a FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM ed
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u),
+    comp AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def q_doc_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment via LSH star edges — the
+    duplicate-heavy-corpus scale path (linear edge output instead of
+    the O(sum cluster^2) pair cliques; see
+    operators/minhash.minhash_star_clusters and the
+    tools/scale_curve.py dupes-mode curve that motivates it).
+
+    Oracle = connected components of the exact-Jaccard >= 0.6 pair
+    graph, singletons kept. The star graph reaches the same components
+    because (a) banding recall at 0.6 is ~1-1e-6 and (b) a verified
+    star preserves bucket-graph connectivity unless a bucket's
+    representative is a banding false positive while other members are
+    true pairs (see operator docstring) — so on deterministic data the
+    two constructions agree and the hash must match."""
+    from data_engineering_spark.operators.minhash import (
+        minhash_star_clusters,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_star_clusters(d, threshold=0.6)

@@ -53,6 +53,9 @@ EXCHANGE_BUDGET = {
     # composed curation funnel (dedup window + PPJoin machinery +
     # cluster/cap windows); pure JVM end to end
     "q_corpus_curated": 34,
+    # star clusters: the CC loop's localCheckpoint truncates lineage,
+    # so the final plan is just the label join over checkpointed labels
+    "q_doc_star_dedup_clusters": 4,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")

@@ -1,0 +1,186 @@
+"""Weak-scaling curve for the flagship corpus operators.
+
+The correctness gate runs at sf0.01/sf0.1; this tool answers the OTHER
+question the engine is designed around: how does runtime grow as the
+corpus grows? It replicates the documents table at 1x/4x/16x (env
+`SCALE_STEPS` to override, e.g. "1,4,16,64") and times each flagship
+operator at every scale, reporting the per-step scaling exponent
+    alpha = log(t_big / t_small) / log(scale_big / scale_small)
+— alpha ~= 1.0 is linear (the 100 TB-safe shape), alpha >= 1.5 means
+the operator has a super-linear term that WILL bite at cluster scale.
+
+Replica construction (deterministic, Spark-side, no driver loops):
+doc_id is remapped to `doc_id + k * (max_id + 1)` so ids stay unique;
+lang/source are preserved; n_chars is recomputed from the new text.
+Two modes (`SCALE_MODE`), because they measure DIFFERENT hazards:
+
+- `distinct` (default): replica k > 0 sorts each document's words by
+  xxhash64(word, position, k) — a per-doc pseudorandom permutation, so
+  replicas share essentially no word n-gram shingles. This measures
+  how the operators grow on a corpus of genuinely distinct documents
+  (the candidate-generation / shuffle / window terms).
+- `dupes`: replica k rotates the word list by a k-dependent offset.
+  Rotation preserves almost every adjacent n-gram, so every replica is
+  a near-duplicate of its original: at 16x each document sits in a
+  16-clique and any operator that EMITS all qualifying pairs pays the
+  inherent O(sum cluster^2) output term. This is the duplicate-heavy
+  crawl shape (boilerplate clusters), kept deliberately as the
+  adversarial curve.
+
+Run on an otherwise idle machine (same rule as bench.py):
+
+    python tools/scale_curve.py                 # distinct, 1x/4x/16x
+    SCALE_MODE=dupes python tools/scale_curve.py
+    SCALE_STEPS=1,4 python tools/scale_curve.py
+
+Prints one human table plus one machine-readable JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_engineering_spark.catalog import load_table  # noqa: E402
+from data_engineering_spark.queries import QUERIES  # noqa: E402
+from data_engineering_spark.session import get_session  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MODE = os.environ.get("SCALE_MODE", "distinct")
+OUT_ROOT = f"/tmp/spark_graft_scale_{MODE}"
+STEPS = [int(s) for s in os.environ.get("SCALE_STEPS", "1,4,16").split(",")]
+
+# the operators whose 100 TB story SCALE.md argues; all read only the
+# documents table, so the scaled dirs carry just documents.parquet
+FLAGSHIP = [
+    "q_doc_dedup_exact",
+    "q_doc_gopher_filters",
+    "q_doc_ngram_jaccard_pairs",
+    "q_doc_minhash_neardup",
+    "q_doc_dedup_clusters",
+    "q_doc_star_dedup_clusters",
+    "q_doc_dsir_select",
+    "q_corpus_curated",
+]
+if os.environ.get("SCALE_QUERIES"):
+    FLAGSHIP = os.environ["SCALE_QUERIES"].split(",")
+
+
+def build_scaled(spark, scale: int) -> str:
+    out = os.path.join(OUT_ROOT, f"x{scale}")
+    dst = os.path.join(out, "documents.parquet")
+    if os.path.exists(dst):
+        return out
+    docs = load_table(spark, BASE_SF, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    reps = []
+    for k in range(scale):
+        r = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * (max_id + 1))
+        )
+        if k > 0:
+            if MODE == "dupes":
+                # rotation: keeps nearly every adjacent n-gram — the
+                # replica IS a near-duplicate (clique-growth curve)
+                w = F.split(F.col("text"), " ")
+                rot = F.lit(1) + F.pmod(
+                    F.lit(k * 7), F.greatest(F.size(w) - 1, F.lit(1))
+                )
+                new_text = F.array_join(
+                    F.concat(
+                        F.slice(w, rot + 1, F.size(w) - rot),
+                        F.slice(w, F.lit(1), rot),
+                    ),
+                    " ",
+                )
+            else:
+                # per-doc pseudorandom word permutation: destroys all
+                # adjacency, so replicas share ~no shingles with their
+                # original or with each other (distinct-corpus curve)
+                new_text = F.expr(
+                    "array_join(transform(array_sort(transform("
+                    "  split(text, ' '), (x, i) -> "
+                    f" struct(xxhash64(x, i, {k}) AS h, x AS w))), "
+                    " s -> s.w), ' ')"
+                )
+            r = r.withColumn("text", new_text).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        reps.append(r)
+    united = reps[0]
+    for r in reps[1:]:
+        united = united.unionByName(r)
+    os.makedirs(out, exist_ok=True)
+    tmp = dst + "_dir"
+    united.repartition(max(1, scale)).write.mode("overwrite").parquet(tmp)
+    # queries expect a single documents.parquet path; coalesce the
+    # part-files into one (duckdb + load_table both read a file path)
+    import pyarrow.parquet as pq
+
+    pq.write_table(pq.read_table(tmp), dst)
+    shutil.rmtree(tmp)
+    return out
+
+
+def main() -> None:
+    spark = get_session(app_name="scale-curve")
+    dirs = {s: build_scaled(spark, s) for s in STEPS}
+    # codegen warmup per query shape on the smallest scale
+    for name in FLAGSHIP:
+        QUERIES[name](spark, dirs[STEPS[0]]).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+    results: dict[str, dict[int, float]] = {n: {} for n in FLAGSHIP}
+    for scale in STEPS:
+        for name in FLAGSHIP:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, dirs[scale]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][scale] = round(best, 3)
+            spark.catalog.clearCache()
+    header = ["query"] + [f"x{s}" for s in STEPS] + [
+        f"alpha[{a}->{b}]" for a, b in zip(STEPS, STEPS[1:])
+    ]
+    print("\t".join(header))
+    alphas: dict[str, list[float]] = {}
+    for name in FLAGSHIP:
+        row = [name] + [f"{results[name][s]:.3f}" for s in STEPS]
+        al = []
+        for a, b in zip(STEPS, STEPS[1:]):
+            al.append(
+                round(
+                    math.log(results[name][b] / results[name][a])
+                    / math.log(b / a),
+                    2,
+                )
+            )
+        alphas[name] = al
+        print("\t".join(row + [str(x) for x in al]))
+    print(
+        json.dumps(
+            {
+                "base_sf": BASE_SF,
+                "mode": MODE,
+                "steps": STEPS,
+                "secs": {n: results[n] for n in FLAGSHIP},
+                "alpha": alphas,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
