@@ -68,6 +68,9 @@ HEADLINE = [
     # near-dup path that stays sub-linear on tools/scale_curve.py's
     # 16x corpora while the pair-emitting family goes quadratic
     "q_doc_star_dedup_clusters",
+    # round-5: the same curation funnel on the star backend — the
+    # variant a 100 TB run would use (alpha 0.28 vs 2.1, SCALE.md)
+    "q_corpus_curated_star",
 ]
 
 

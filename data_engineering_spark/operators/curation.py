@@ -40,6 +40,7 @@ def curate_corpus(
     cap_n: int = 5,
     jaccard_threshold: float = 0.6,
     score_col: str | None = None,
+    near_dup: str = "ppjoin",
 ) -> tuple[DataFrame, list[tuple[str, DataFrame]]]:
     """Returns (curated corpus frame, ordered [(stage, frame)] list —
     first entry is the raw input, last is the curated output).
@@ -56,6 +57,14 @@ def curate_corpus(
     default is the text length. Passing a stored column (e.g. n_chars)
     keeps oracle parity exact when text may contain astral codepoints
     (Spark's length counts UTF-16 code units, DuckDB's codepoints).
+
+    `near_dup` picks the clustering backend: "ppjoin" (exact
+    prefix-filter pair join + transitive closure) or "star"
+    (minhash_star_clusters — linear edge output, the duplicate-heavy /
+    large-corpus scale path; see SCALE.md's weak-scaling curves for
+    when the pair join's sum(df^2) term makes this the only option).
+    The two agree whenever banding recall holds (~1-1e-6 per pair at
+    32x2 bands), which the shared oracle checks end-to-end.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -70,30 +79,54 @@ def curate_corpus(
     # join, length score); persist the survivor set once
     quality = quality.persist(StorageLevel.MEMORY_AND_DISK)
 
-    pairs = ngram_jaccard_pairs(
-        quality.select(F.col(id_col), F.col(text_col)),
-        id_col=id_col,
-        text_col=text_col,
-        threshold=jaccard_threshold,
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b")
     score = (
         F.col(score_col) if score_col else F.length(text_col)
     )
-    member = quality.withColumn("__len", score).join(
-        comp.select(
-            F.col("vertex").alias(id_col), F.col("component").alias("__c")
-        ),
-        id_col,
-        "left",
-    ).withColumn("__cluster", F.coalesce("__c", F.col(id_col)))
+    if near_dup == "star":
+        from data_engineering_spark.operators.minhash import (
+            minhash_star_clusters,
+        )
+
+        clusters = minhash_star_clusters(
+            quality.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=jaccard_threshold,
+        )
+        member = quality.withColumn("__len", score).join(
+            clusters.withColumnRenamed("cluster_id", "__cluster"),
+            id_col,
+        )
+    elif near_dup == "ppjoin":
+        pairs = ngram_jaccard_pairs(
+            quality.select(F.col(id_col), F.col(text_col)),
+            id_col=id_col,
+            text_col=text_col,
+            threshold=jaccard_threshold,
+        )
+        comp = connected_components(pairs, "doc_a", "doc_b")
+        member = (
+            quality.withColumn("__len", score)
+            .join(
+                comp.select(
+                    F.col("vertex").alias(id_col),
+                    F.col("component").alias("__c"),
+                ),
+                id_col,
+                "left",
+            )
+            .withColumn("__cluster", F.coalesce("__c", F.col(id_col)))
+            .drop("__c")
+        )
+    else:
+        raise ValueError(f"near_dup must be 'ppjoin' or 'star': {near_dup}")
     w = Window.partitionBy("__cluster").orderBy(
         F.desc("__len"), F.asc(id_col)
     )
     canonical = (
         member.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__c", "__cluster")
+        .drop("__rn", "__cluster")
     )
 
     capped = cap_per_group(

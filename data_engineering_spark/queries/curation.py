@@ -118,6 +118,29 @@ def q_corpus_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_curated_star",
+    oracle=f"""
+    WITH RECURSIVE {_FUNNEL_CTE}
+    SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM capped
+    """,
+)
+def q_corpus_curated_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same curation funnel with the STAR near-dup backend
+    (minhash_star_clusters) — the large-corpus scale path. Same oracle
+    as q_corpus_curated: the two backends must agree wherever banding
+    recall holds, so the full SQL twin checks both the funnel AND the
+    backend equivalence end-to-end (SCALE.md weak-scaling section for
+    why this variant exists: the whole funnel stays sub-linear where
+    the pair-join funnel goes quadratic)."""
+    d = load_table(spark, sf_dir, "documents")
+    final, _ = curate_corpus(d, score_col="n_chars", near_dup="star")
+    return final.select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("long")
+    )
+
+
+@query(
     "q_corpus_curation_funnel",
     oracle=f"""
     WITH RECURSIVE {_FUNNEL_CTE}

@@ -66,3 +66,30 @@ def test_curated_corpus_exports_to_shards(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_star_backend_matches_ppjoin_backend(spark):
+    """near_dup='star' must produce the identical curated corpus and
+    funnel counts as the exact pair-join backend on data where banding
+    recall holds (which the shared DuckDB oracle also checks at all
+    three driver scales)."""
+    d = _corpus(spark)
+    pp_final, pp_stages = curate_corpus(d, cap_n=3)
+    st_final, st_stages = curate_corpus(d, cap_n=3, near_dup="star")
+    assert sorted(r["doc_id"] for r in pp_final.collect()) == sorted(
+        r["doc_id"] for r in st_final.collect()
+    )
+    pp_counts = {
+        (r["stage"], r["n_docs"]) for r in funnel_counts(pp_stages).collect()
+    }
+    st_counts = {
+        (r["stage"], r["n_docs"]) for r in funnel_counts(st_stages).collect()
+    }
+    assert pp_counts == st_counts
+
+
+def test_unknown_near_dup_backend_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="near_dup"):
+        curate_corpus(_corpus(spark), near_dup="bogus")

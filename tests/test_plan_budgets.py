@@ -56,6 +56,9 @@ EXCHANGE_BUDGET = {
     # star clusters: the CC loop's localCheckpoint truncates lineage,
     # so the final plan is just the label join over checkpointed labels
     "q_doc_star_dedup_clusters": 4,
+    # star-backend funnel: dedup/cap windows + the LSH band machinery
+    # reappearing in the verify branch of the textual plan
+    "q_corpus_curated_star": 49,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")

@@ -69,6 +69,7 @@ FLAGSHIP = [
     "q_doc_star_dedup_clusters",
     "q_doc_dsir_select",
     "q_corpus_curated",
+    "q_corpus_curated_star",
 ]
 if os.environ.get("SCALE_QUERIES"):
     FLAGSHIP = os.environ["SCALE_QUERIES"].split(",")
