@@ -263,6 +263,13 @@ def main() -> None:
         # Each query still builds and uses its own cache INSIDE its
         # timed runs — this only removes cross-query interference.
         spark.catalog.clearCache()
+        # Python GC FIRST: py4j releases its JVM-side references only
+        # when the Python proxies are finalized, and the ContextCleaner
+        # can't free checkpoint blocks that py4j still pins — without
+        # this, the System.gc() below has nothing to collect
+        import gc
+
+        gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:

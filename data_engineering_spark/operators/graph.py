@@ -53,9 +53,15 @@ def connected_components(
     # twice inside a single job (both union branches scan before any
     # persist block exists — measured 2x the pair-pipeline cost). The
     # checkpointed one-direction frame is then mirrored for free.
+    # persist + count, NOT a direct localCheckpoint: the direct RDD
+    # path re-executes an expensive edge pipeline un-optimized
+    # (measured 143.7 s vs 62 s total at 16x scale — see
+    # operators/materialize.py). e1 itself needs no checkpoint — `e`
+    # checkpoints immediately after, reading e1 from the cache.
     e1 = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    ).localCheckpoint(eager=True)
+    ).persist()
+    e1.count()
     e = (
         e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -249,24 +255,35 @@ def pagerank(
     caps at ~9e6 full-magnitude terms per vertex, far above any real
     in-degree mass (contributions sum to <= 1 per vertex).
     """
-    verts = (
-        edges.select(F.col(src_col).alias("vertex"))
-        .union(edges.select(F.col(dst_col).alias("vertex")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
     )
-    n = verts.count()
+
     wcol = (
         F.col(weight_col).cast("double")
         if weight_col
         else F.lit(1.0)
     )
-    out = (
+    # checkpoint the edge projection ONCE through the optimized action
+    # path (materialize.py); verts/out then derive from the cheap
+    # checkpointed frame instead of re-running the caller's edge
+    # pipeline twice on the slow RDD path
+    ed = eager_checkpoint(
         edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
             wcol.alias("w"),
         )
+    )
+    verts = (
+        ed.select(F.col("src").alias("vertex"))
+        .union(ed.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = verts.count()
+    out = (
+        ed
         .withColumn(
             "w_tot",
             F.sum(F.col("w").cast("decimal(18,6)")).over(
@@ -279,6 +296,7 @@ def pagerank(
         .select("src", "dst", "frac")
         .localCheckpoint(eager=True)
     )
+    ed.unpersist(blocking=False)
     ranks = verts.select(
         "vertex", (F.lit(1.0) / F.lit(float(n))).alias("rank")
     ).localCheckpoint(eager=True)

@@ -228,7 +228,14 @@ def minhash_incremental_pairs(
     )
     if not release_cache:
         return result
-    out = result.localCheckpoint(eager=True)
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    # NOT a direct localCheckpoint: the RDD path re-executes the
+    # whole pipeline un-optimized and skips populating the very
+    # persists this flag exists to release (materialize.py)
+    out = eager_checkpoint(result)
     cands.unpersist()
     bands_new.unpersist()
     sh_new.unpersist()
@@ -350,7 +357,14 @@ def minhash_near_dup_pairs(
     )
     if not release_cache:
         return result
-    out = result.localCheckpoint(eager=True)
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    # NOT a direct localCheckpoint: the RDD path re-executes the
+    # whole pipeline un-optimized and skips populating the very
+    # persists this flag exists to release (materialize.py)
+    out = eager_checkpoint(result)
     cands.unpersist()
     docsets.unpersist()
     return out

@@ -283,7 +283,14 @@ def ngram_jaccard_pairs(
     )
     if not release_cache:
         return result
-    out = result.localCheckpoint(eager=True)
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    # NOT a direct localCheckpoint: the RDD path re-executes the
+    # whole pipeline un-optimized and skips populating the very
+    # persists this flag exists to release (materialize.py)
+    out = eager_checkpoint(result)
     cands.unpersist()
     docsets.unpersist()
     return out
@@ -814,7 +821,14 @@ def span_dedup(
     )
     if not release_cache:
         return result
-    out = result.localCheckpoint(eager=True)
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    # NOT a direct localCheckpoint: the RDD path re-executes the
+    # whole pipeline un-optimized and skips populating the very
+    # persists this flag exists to release (materialize.py)
+    out = eager_checkpoint(result)
     blocks.unpersist()
     return out
 

@@ -151,7 +151,19 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             results[name][scale] = round(best, 3)
+            # same inter-query hygiene as bench.py: catalog caches,
+            # then Python GC (py4j must drop its JVM refs), then a JVM
+            # GC nudge so the ContextCleaner frees checkpoint blocks —
+            # measured 1.4-1.7x inflation of later x16 queries without
+            # this (cross-query block-manager pressure)
+            import gc
+
             spark.catalog.clearCache()
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     header = ["query"] + [f"x{s}" for s in STEPS] + [
         f"alpha[{a}->{b}]" for a, b in zip(STEPS, STEPS[1:])
     ]
