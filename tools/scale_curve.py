@@ -55,27 +55,86 @@ from data_engineering_spark.session import get_session  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MODE = os.environ.get("SCALE_MODE", "distinct")
-OUT_ROOT = f"/tmp/spark_graft_scale_{MODE}"
+_TAG = MODE if os.environ.get("SCALE_TABLE", "documents") == "documents" else "events"
+OUT_ROOT = f"/tmp/spark_graft_scale_{_TAG}"
 STEPS = [int(s) for s in os.environ.get("SCALE_STEPS", "1,4,16").split(",")]
 
-# the operators whose 100 TB story SCALE.md argues; all read only the
-# documents table, so the scaled dirs carry just documents.parquet
-FLAGSHIP = [
-    "q_doc_dedup_exact",
-    "q_doc_gopher_filters",
-    "q_doc_ngram_jaccard_pairs",
-    "q_doc_minhash_neardup",
-    "q_doc_dedup_clusters",
-    "q_doc_star_dedup_clusters",
-    "q_doc_dsir_select",
-    "q_corpus_curated",
-    "q_corpus_curated_star",
-]
+# the operators whose 100 TB story SCALE.md argues. TABLE=documents
+# (default) covers the corpus operators; TABLE=events covers the
+# events/window core (replicas add new users with identical per-user
+# histories — weak scaling by user population, the natural growth
+# axis). Each scaled dir carries only its one table.
+TABLE = os.environ.get("SCALE_TABLE", "documents")
+FLAGSHIP = {
+    "documents": [
+        "q_doc_dedup_exact",
+        "q_doc_gopher_filters",
+        "q_doc_ngram_jaccard_pairs",
+        "q_doc_minhash_neardup",
+        "q_doc_dedup_clusters",
+        "q_doc_star_dedup_clusters",
+        "q_doc_dsir_select",
+        "q_corpus_curated",
+        "q_corpus_curated_star",
+    ],
+    "events": [
+        "q_events_keep_last_per_user",
+        "q_events_sessionize",
+        "q_events_tumbling_window",
+        "q_events_skew_profile",
+        "q_events_dau_wau_mau",
+        "q_events_funnel",
+        "q_events_transitions",
+    ],
+}[TABLE]
 if os.environ.get("SCALE_QUERIES"):
     FLAGSHIP = os.environ["SCALE_QUERIES"].split(",")
 
 
+def build_scaled_events(spark, scale: int) -> str:
+    """Replica k: event_id/user_id shifted past the originals — k-fold
+    more users, each with the original per-user history (ts untouched:
+    same window, denser traffic — the realistic growth axis for the
+    window/sessionize family). MODE does not apply to events."""
+    out = os.path.join(OUT_ROOT, f"x{scale}")
+    dst = os.path.join(out, "events.parquet")
+    if os.path.exists(dst):
+        return out
+    # write plain TIMESTAMP_MICROS: the default INT96 output becomes
+    # timestamp[ns] when pyarrow coalesces the part-files, and an
+    # adjusted-to-UTC nanos column is exactly the shape load_table's
+    # nanosAsLong compatibility path does not cover
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    ev = load_table(spark, BASE_SF, "events")
+    top = ev.agg(F.max("event_id"), F.max("user_id")).collect()[0]
+    max_e, max_u = top[0], top[1]
+    reps = []
+    for k in range(scale):
+        reps.append(
+            ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(k * (max_e + 1))
+            ).withColumn(
+                "user_id", F.col("user_id") + F.lit(k * (max_u + 1))
+            )
+        )
+    united = reps[0]
+    for r in reps[1:]:
+        united = united.unionByName(r)
+    os.makedirs(out, exist_ok=True)
+    tmp = dst + "_dir"
+    united.repartition(max(1, scale)).write.mode("overwrite").parquet(tmp)
+    import pyarrow.parquet as pq
+
+    pq.write_table(pq.read_table(tmp), dst)
+    shutil.rmtree(tmp)
+    return out
+
+
 def build_scaled(spark, scale: int) -> str:
+    if TABLE == "events":
+        return build_scaled_events(spark, scale)
     out = os.path.join(OUT_ROOT, f"x{scale}")
     dst = os.path.join(out, "documents.parquet")
     if os.path.exists(dst):
