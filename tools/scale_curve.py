@@ -55,7 +55,11 @@ from data_engineering_spark.session import get_session  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MODE = os.environ.get("SCALE_MODE", "distinct")
-_TAG = MODE if os.environ.get("SCALE_TABLE", "documents") == "documents" else "events"
+_TAG = (
+    MODE
+    if os.environ.get("SCALE_TABLE", "documents") == "documents"
+    else os.environ["SCALE_TABLE"]
+)
 OUT_ROOT = f"/tmp/spark_graft_scale_{_TAG}"
 STEPS = [int(s) for s in os.environ.get("SCALE_STEPS", "1,4,16").split(",")]
 
@@ -66,6 +70,17 @@ STEPS = [int(s) for s in os.environ.get("SCALE_STEPS", "1,4,16").split(",")]
 # axis). Each scaled dir carries only its one table.
 TABLE = os.environ.get("SCALE_TABLE", "documents")
 FLAGSHIP = {
+    "embeddings": [
+        # fixed 8-query serving set over a growing corpus — the ANN
+        # serving shape. similarity_join is the exact all-pairs
+        # BASELINE and is quadratic by design (kept to show it);
+        # the serving paths must stay ~linear.
+        "q_cosine_topk",
+        "q_embedding_similarity_join",
+        "q_embedding_pq_topk",
+        "q_embedding_ivf_topk",
+        "q_embedding_lsh_join",
+    ],
     "documents": [
         "q_doc_dedup_exact",
         "q_doc_gopher_filters",
@@ -132,9 +147,49 @@ def build_scaled_events(spark, scale: int) -> str:
     return out
 
 
+def build_scaled_embeddings(spark, scale: int) -> str:
+    """Replica k: vec_id shifted past the originals; the embedding is
+    rotated k dimensions (norm-preserving, decorrelates direction), so
+    the corpus grows with distinct vectors while the fixed query set
+    (vec_id < 8, replica 0) stays put — the serving shape."""
+    out = os.path.join(OUT_ROOT, f"x{scale}")
+    dst = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(dst):
+        return out
+    e = load_table(spark, BASE_SF, "embeddings")
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    reps = []
+    for k in range(scale):
+        r = e.withColumn("vec_id", F.col("vec_id") + F.lit(k * (max_id + 1)))
+        if k > 0:
+            v = F.col("embedding")
+            rot = F.lit(k % 64)
+            r = r.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(v, rot + 1, F.size(v) - rot),
+                    F.slice(v, F.lit(1), rot),
+                ),
+            )
+        reps.append(r)
+    united = reps[0]
+    for r in reps[1:]:
+        united = united.unionByName(r)
+    os.makedirs(out, exist_ok=True)
+    tmp = dst + "_dir"
+    united.repartition(max(1, scale)).write.mode("overwrite").parquet(tmp)
+    import pyarrow.parquet as pq
+
+    pq.write_table(pq.read_table(tmp), dst)
+    shutil.rmtree(tmp)
+    return out
+
+
 def build_scaled(spark, scale: int) -> str:
     if TABLE == "events":
         return build_scaled_events(spark, scale)
+    if TABLE == "embeddings":
+        return build_scaled_embeddings(spark, scale)
     out = os.path.join(OUT_ROOT, f"x{scale}")
     dst = os.path.join(out, "documents.parquet")
     if os.path.exists(dst):
