@@ -31,7 +31,7 @@ import numpy as np
 
 FIXTURE_DIR = "/tmp/spark_graft_fixtures"
 
-_LSH_BANDS, _LSH_PLANES_PER_BAND, _LSH_DIM, _LSH_SEED = 8, 8, 64, 42
+_LSH_BANDS, _LSH_PLANES_PER_BAND, _LSH_DIM, _LSH_SEED = 16, 5, 64, 42
 _PCA_K = 8
 _PCA_TESTDATA_SFS = (
     "/root/testdata/sf0.001",

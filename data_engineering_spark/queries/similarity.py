@@ -456,25 +456,28 @@ def _lsh_join_oracle() -> str:
     FROM cand c
     JOIN v va ON va.vec_id = c.id_a
     JOIN v vb ON vb.vec_id = c.id_b
-    WHERE list_cosine_similarity(va.v, vb.v) >= 0.9
+    WHERE list_cosine_similarity(va.v, vb.v) >= 0.4
     """
 
 
 @query("q_embedding_lsh_join", oracle=_lsh_join_oracle())
 def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via banded sign-LSH — the 100 TB
-    near-duplicate path (bucket-local scoring instead of n² pairs).
+    near-duplicate path (bucket-local GEMM scoring instead of n²
+    pairs; candidates never materialize as shuffle rows).
 
-    Tuned for its honest regime: 8 bands × 8 planes prunes random pairs
-    to ~3% candidates with ~0.99 recall at cosine 0.95. At thresholds
-    near 0.45 sign-bit blocking cannot prune orthogonal-ish data (64%
-    of all pairs share a 4-bit band bucket — measured) — that regime
-    belongs to the exact GEMM join. Oracled exactly via the hyperplane
-    fixture (see _lsh_join_oracle); pytest additionally bounds recall
-    against the exact join."""
+    Tuned so the oracle is NON-trivial on this corpus (max pairwise
+    cosine 0.51 at sf0.01 / 0.60 at sf0.1 — measured): threshold 0.4
+    yields 59 / 920 true pairs, and 16 bands × 5 planes holds ~0.81
+    detection at cosine 0.4 while 32-way buckets still prune. Tighter
+    thresholds (the classic 0.9 near-dup regime) are a parameter
+    choice, not a different plan. Oracled exactly via the hyperplane
+    fixture (see _lsh_join_oracle — DuckDB replays bucket assignment
+    and the candidate spec); pytest additionally bounds recall against
+    the exact join."""
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_similarity_join(
-        e, threshold=0.9, num_bands=8, planes_per_band=8
+        e, threshold=0.4, num_bands=16, planes_per_band=5
     )
 
 
