@@ -59,6 +59,7 @@ _TAG = (
     MODE
     if os.environ.get("SCALE_TABLE", "documents") == "documents"
     else os.environ["SCALE_TABLE"]
+    + ("_dupes" if MODE == "dupes" else "")
 )
 OUT_ROOT = f"/tmp/spark_graft_scale_{_TAG}"
 STEPS = [int(s) for s in os.environ.get("SCALE_STEPS", "1,4,16").split(",")]
@@ -69,7 +70,45 @@ STEPS = [int(s) for s in os.environ.get("SCALE_STEPS", "1,4,16").split(",")]
 # histories — weak scaling by user population, the natural growth
 # axis). Each scaled dir carries only its one table.
 TABLE = os.environ.get("SCALE_TABLE", "documents")
+def _neardup_lsh(spark, d):
+    from data_engineering_spark.operators.similarity import (
+        lsh_bucketed_similarity_join,
+    )
+
+    e = load_table(spark, d, "embeddings")
+    return lsh_bucketed_similarity_join(
+        e, threshold=0.9, num_bands=12, planes_per_band=12
+    )
+
+
+def _neardup_exact(spark, d):
+    from data_engineering_spark.operators.similarity import (
+        cosine_similarity_join,
+    )
+
+    e = load_table(spark, d, "embeddings")
+    return cosine_similarity_join(e, 0.9)
+
+
+# curve-only probes at the near-dup operating point (threshold 0.9,
+# 12x12 banding: ~4096-way buckets, detection ~1.0 at the clique
+# cosine ~0.995) — the registered q_embedding_lsh_join is pinned to
+# the oracle-checkable threshold 0.4, so the high-threshold regime is
+# exercised here instead
+EXTRA_QUERIES = {
+    "x_embedding_lsh_neardup_t09": _neardup_lsh,
+    "x_embedding_exact_join_t09": _neardup_exact,
+}
+
 FLAGSHIP = {
+    "embeddings_dupes": [
+        # duplicate-heavy corpus (perturbed replicas form scale-sized
+        # cliques at cosine ~0.995): the exact join pays n^2 GEMM
+        # flops regardless of output; banded LSH pays bucket mass.
+        # This is the crossover the near-dup path exists for.
+        "x_embedding_lsh_neardup_t09",
+        "x_embedding_exact_join_t09",
+    ],
     "embeddings": [
         # fixed 8-query serving set over a growing corpus — the ANN
         # serving shape. similarity_join is the exact all-pairs
@@ -101,7 +140,7 @@ FLAGSHIP = {
         "q_events_funnel",
         "q_events_transitions",
     ],
-}[TABLE]
+}[TABLE + "_dupes" if TABLE == "embeddings" and MODE == "dupes" else TABLE]
 if os.environ.get("SCALE_QUERIES"):
     FLAGSHIP = os.environ["SCALE_QUERIES"].split(",")
 
@@ -162,15 +201,31 @@ def build_scaled_embeddings(spark, scale: int) -> str:
     for k in range(scale):
         r = e.withColumn("vec_id", F.col("vec_id") + F.lit(k * (max_id + 1)))
         if k > 0:
-            v = F.col("embedding")
-            rot = F.lit(k % 64)
-            r = r.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice(v, rot + 1, F.size(v) - rot),
-                    F.slice(v, F.lit(1), rot),
-                ),
-            )
+            if MODE == "dupes":
+                # per-dim multiplicative jitter in [0.96, 1.04]
+                # (deterministic in (dim, k)): the replica stays a
+                # near-duplicate of its base (cosine ~0.995), so each
+                # base vector becomes a scale-sized clique — the
+                # boilerplate-crawl shape for the embedding space
+                mult = k * 41 + 13
+                r = r.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, i) -> x * (1.0d"
+                        f" + 0.04d * (pmod((i + 1) * {mult}, 19) - 9.0d)"
+                        " / 9.0d))"
+                    ),
+                )
+            else:
+                v = F.col("embedding")
+                rot = F.lit(k % 64)
+                r = r.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice(v, rot + 1, F.size(v) - rot),
+                        F.slice(v, F.lit(1), rot),
+                    ),
+                )
         reps.append(r)
     united = reps[0]
     for r in reps[1:]:
@@ -245,12 +300,16 @@ def build_scaled(spark, scale: int) -> str:
     return out
 
 
+def _resolve(name):
+    return EXTRA_QUERIES.get(name) or QUERIES[name]
+
+
 def main() -> None:
     spark = get_session(app_name="scale-curve")
     dirs = {s: build_scaled(spark, s) for s in STEPS}
     # codegen warmup per query shape on the smallest scale
     for name in FLAGSHIP:
-        QUERIES[name](spark, dirs[STEPS[0]]).write.format("noop").mode(
+        _resolve(name)(spark, dirs[STEPS[0]]).write.format("noop").mode(
             "overwrite"
         ).save()
         spark.catalog.clearCache()
@@ -260,7 +319,7 @@ def main() -> None:
             best = float("inf")
             for _ in range(2):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, dirs[scale]).write.format("noop").mode(
+                _resolve(name)(spark, dirs[scale]).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
