@@ -700,13 +700,62 @@ def ivf_topk_from_index(
     )
 
 
+def lsh_params_for(
+    threshold: float,
+    target_recall: float = 0.9,
+    max_bands: int = 64,
+    max_planes: int = 24,
+) -> tuple[int, int]:
+    """Pick (num_bands, planes_per_band) for sign-LSH at a cosine
+    threshold: the most selective banding that still detects a pair AT
+    the threshold with probability >= target_recall.
+
+    Sign-LSH math: two vectors at angle θ agree on one hyperplane sign
+    with p = 1 - θ/π; a pair survives a band iff all r planes agree
+    (p^r) and is a candidate if any of b bands fires —
+    recall(c) = 1 - (1 - p^r)^b. Candidate mass falls ~2^r per extra
+    plane (bucket width doubles), so the planner maximizes r first,
+    then takes the smallest b that clears the recall bar. Pairs ABOVE
+    the threshold have higher p, hence strictly higher detection — the
+    bar binds at the threshold exactly.
+
+    Raises ValueError when no (b <= max_bands, r >= 1) clears the bar
+    (thresholds near 0 need intractably many bands — that regime
+    belongs to the exact GEMM join, see cosine_similarity_join)."""
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}"
+        )
+    p = 1.0 - math.acos(threshold) / math.pi
+    for r in range(max_planes, 0, -1):
+        miss = 1.0 - p**r
+        if miss >= 1.0:
+            continue
+        b = (
+            1
+            if miss <= 0.0
+            else math.ceil(math.log(1.0 - target_recall) / math.log(miss))
+        )
+        if b <= max_bands:
+            return b, r
+    raise ValueError(
+        f"no banding within {max_bands} bands x {max_planes} planes "
+        f"reaches recall {target_recall} at cosine {threshold}; use the "
+        "exact join for this regime"
+    )
+
+
 def lsh_bucketed_similarity_join(
     vectors: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_bands: int = 16,
-    planes_per_band: int = 4,
+    num_bands: int | None = None,
+    planes_per_band: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate similarity join: multi-band random-hyperplane LSH.
@@ -714,9 +763,10 @@ def lsh_bucketed_similarity_join(
     Banding is what makes sign-LSH usable below cosine ~0.9: a pair is a
     candidate if ALL `planes_per_band` sign bits agree in ANY of the
     `num_bands` bands — detection probability
-    1 - (1 - (1 - θ/π)^r)^b. Defaults (b=16, r=4) give ~0.97 recall at
-    cosine 0.5 and prune hard below ~0.2. Candidates are then scored
-    exactly, so false positives cost time, never correctness.
+    1 - (1 - (1 - θ/π)^r)^b. When banding is not given it is planned
+    from the threshold by `lsh_params_for` (most selective banding
+    that keeps >= 0.9 detection AT the threshold). Candidates are then
+    scored exactly, so false positives cost time, never correctness.
 
     Scale shape: each vector emits `num_bands` (band, bucket) rows, and
     candidates are scored INSIDE their bucket with a chunked GEMM
@@ -737,6 +787,12 @@ def lsh_bucketed_similarity_join(
     """
     import numpy as np
 
+    if num_bands is None or planes_per_band is None:
+        planned_b, planned_r = lsh_params_for(threshold)
+        num_bands = planned_b if num_bands is None else num_bands
+        planes_per_band = (
+            planned_r if planes_per_band is None else planes_per_band
+        )
     dim = vector_dim(vectors, vec_col)
     if dim is None:
         return vectors.sparkSession.createDataFrame(

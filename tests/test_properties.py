@@ -321,3 +321,46 @@ def test_ivf_index_parquet_roundtrip_matches_direct(spark, tmp_path):
             )
         )
         assert got == want, f"quantized={quantized}"
+
+
+def test_lsh_params_planner():
+    """Planner returns the most selective banding clearing the recall
+    bar; the closed-form recall at the threshold must actually clear
+    it, and one more plane per band must not fit within the band cap
+    (maximality)."""
+    import math
+
+    from data_engineering_spark.operators.similarity import lsh_params_for
+
+    for threshold, recall in [
+        (0.9, 0.9), (0.8, 0.9), (0.6, 0.9), (0.45, 0.9),
+        (0.9, 0.99), (0.5, 0.8),
+    ]:
+        b, r = lsh_params_for(threshold, recall)
+        p = 1.0 - math.acos(threshold) / math.pi
+        achieved = 1.0 - (1.0 - p**r) ** b
+        assert achieved >= recall, (threshold, recall, b, r, achieved)
+        # maximality: r+1 planes would need more than max_bands bands
+        if r < 24:
+            need = math.ceil(
+                math.log(1.0 - recall) / math.log(1.0 - p ** (r + 1))
+            )
+            assert need > 64, (threshold, recall, r, need)
+
+    # detection is monotone above the threshold: a pair at a higher
+    # cosine is detected at least as often
+    b, r = lsh_params_for(0.6, 0.9)
+    det = [
+        1.0 - (1.0 - (1.0 - math.acos(c) / math.pi) ** r) ** b
+        for c in (0.6, 0.7, 0.8, 0.9)
+    ]
+    assert det == sorted(det)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        # near-orthogonal threshold + tight recall + few bands: no
+        # banding works — the exact-join regime
+        lsh_params_for(0.01, 0.999, max_bands=8)
+    with _pytest.raises(ValueError):
+        lsh_params_for(1.5, 0.9)
