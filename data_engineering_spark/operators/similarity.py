@@ -700,6 +700,74 @@ def ivf_topk_from_index(
     )
 
 
+def _lsh_banded(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_bands: int,
+    planes_per_band: int,
+    seed: int,
+) -> DataFrame:
+    """(id, __v unit vector, band, bucket) band rows for sign-LSH —
+    `num_bands` rows per vector. Shared by the batch similarity join,
+    the persistent index build, and the incremental ingest probe, so
+    bucket assignment is identical in all three (same plane draw:
+    `rng(seed).standard_normal((bands, planes, dim))` — the order the
+    oracle fixture replays, see queries/_fixtures.lsh_planes_fixture).
+
+    Bucket assignment is a (batch × dim) @ (dim × planes) sign matrix —
+    numpy GEMM over Arrow batches. The expression alternatives both
+    lose: higher-order-function dots allocate arrays per plane
+    evaluation (~30 µs each × b·r planes), and exploding raw bucket
+    expressions re-evaluates them per output row (generator child
+    re-eval). Same rationale as the GEMM similarity join."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_bands, planes_per_band, dim))
+
+    v = with_unit_vector(vectors, vec_col, "__v").select(
+        F.col(id_col).alias("id"), "__v"
+    )
+    flat_planes = planes.reshape(num_bands * planes_per_band, dim)
+    pow2 = 2 ** np.arange(planes_per_band)
+    out_schema = "id long, __v array<double>, " + ", ".join(
+        f"__b{b} int" for b in range(num_bands)
+    )
+
+    def assign(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            V = np.stack(batch["__v"].to_numpy())
+            bits = (V @ flat_planes.T >= 0).reshape(
+                len(batch), num_bands, planes_per_band
+            )
+            buckets = (bits * pow2).sum(axis=2)
+            out = {"id": batch["id"], "__v": batch["__v"]}
+            for b in range(num_bands):
+                out[f"__b{b}"] = buckets[:, b].astype("int32")
+            yield pd.DataFrame(out)
+
+    with_buckets = v.mapInPandas(assign, out_schema)
+    return with_buckets.select(
+        "id",
+        "__v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    F.col(f"__b{bnd}").alias("bucket"),
+                )
+                for bnd in range(num_bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "__v", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_params_for(
     threshold: float,
     target_recall: float = 0.9,
@@ -798,55 +866,10 @@ def lsh_bucketed_similarity_join(
         return vectors.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine_r double"
         )
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_bands, planes_per_band, dim))
-
-    v = with_unit_vector(vectors, vec_col, "__v").select(
-        F.col(id_col).alias("id"), "__v"
+    banded = _lsh_banded(
+        vectors, id_col, vec_col, dim, num_bands, planes_per_band, seed
     )
-    # Bucket assignment is a (batch × dim) @ (dim × planes) sign matrix —
-    # numpy GEMM over Arrow batches. The expression alternatives both
-    # lose: higher-order-function dots allocate arrays per plane
-    # evaluation (~30 µs each × b·r planes), and exploding raw bucket
-    # expressions re-evaluates them per output row (generator child
-    # re-eval). Same rationale as the GEMM similarity join.
     import pandas as pd
-
-    flat_planes = planes.reshape(num_bands * planes_per_band, dim)
-    pow2 = 2 ** np.arange(planes_per_band)
-    out_schema = "id long, __v array<double>, " + ", ".join(
-        f"__b{b} int" for b in range(num_bands)
-    )
-
-    def assign(batches):
-        for batch in batches:
-            if not len(batch):
-                continue
-            V = np.stack(batch["__v"].to_numpy())
-            bits = (V @ flat_planes.T >= 0).reshape(
-                len(batch), num_bands, planes_per_band
-            )
-            buckets = (bits * pow2).sum(axis=2)
-            out = {"id": batch["id"], "__v": batch["__v"]}
-            for b in range(num_bands):
-                out[f"__b{b}"] = buckets[:, b].astype("int32")
-            yield pd.DataFrame(out)
-
-    with_buckets = v.mapInPandas(assign, out_schema)
-    banded = with_buckets.select(
-        "id",
-        "__v",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bnd).alias("band"),
-                    F.col(f"__b{bnd}").alias("bucket"),
-                )
-                for bnd in range(num_bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "__v", F.col("bb.band").alias("band"),
-             F.col("bb.bucket").alias("bucket"))
 
     # bucket-local exact scoring: each (band, bucket) group GEMMs its
     # own members and emits only pairs at/above threshold. A bucket of
@@ -899,6 +922,137 @@ def lsh_bucketed_similarity_join(
         survivors.groupBy("id_a", "id_b")
         .agg(F.round(F.max("cosine"), 6).alias("cosine_r"))
     )
+
+
+def embedding_lsh_index(
+    vectors: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bands: int | None = None,
+    planes_per_band: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistent sign-LSH index of an embedding corpus: (id, band,
+    bucket) — `num_bands` fixed-width rows per vector, the embedding-
+    space twin of minhash_band_index (minhash.py:102). Write it out as
+    a normal parquet table (partition by `band` for co-located probe
+    joins); incremental ingest then near-dup-checks each new batch
+    against the full corpus WITHOUT re-bucketing corpus vectors
+    (embedding_incremental_pairs). ~24 bytes/vector/band of state.
+
+    Banding must match the later probes — pass the same explicit
+    (num_bands, planes_per_band, seed) to both, or the same threshold
+    so both sides plan identically via lsh_params_for."""
+    if num_bands is None or planes_per_band is None:
+        if threshold is None:
+            raise ValueError(
+                "give either threshold (to plan banding) or explicit "
+                "num_bands + planes_per_band"
+            )
+        planned_b, planned_r = lsh_params_for(threshold)
+        num_bands = planned_b if num_bands is None else num_bands
+        planes_per_band = (
+            planned_r if planes_per_band is None else planes_per_band
+        )
+    dim = vector_dim(vectors, vec_col)
+    if dim is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id long, band int, bucket int"
+        )
+    return _lsh_banded(
+        vectors, id_col, vec_col, dim, num_bands, planes_per_band, seed
+    ).select("id", "band", "bucket")
+
+
+def embedding_incremental_pairs(
+    new_vecs: DataFrame,
+    corpus_vecs: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bands: int | None = None,
+    planes_per_band: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs of an incoming embedding batch against an
+    INDEXED corpus (plus within-batch pairs) — the daily-ingest shape
+    of the embedding dedup path, mirroring minhash_incremental_pairs.
+
+    `corpus_index` is (id, band, bucket) from embedding_lsh_index
+    (typically read back from parquet). Corpus vectors are touched
+    only through a semi-join pruned scan of candidate ids — everything
+    else about the corpus flows through the fixed-width index, so a
+    small batch probes 10⁹ indexed vectors at batch cost: candidates
+    are bounded by the index rows in buckets the BATCH occupies.
+    New/corpus ids must be disjoint.
+
+    Output matches lsh_bucketed_similarity_join: (id_a, id_b,
+    cosine_r), id_a < id_b, exact cosine >= threshold, each pair
+    containing at least one new id (corpus-internal pairs were the
+    index build's job). Within-batch pairs GEMM-score in their
+    buckets; batch-vs-corpus candidates score via JVM zip_with dot on
+    the pruned vector join (candidate count is batch-bounded, so the
+    pair join that is wrong for the full corpus is right here)."""
+    if num_bands is None or planes_per_band is None:
+        planned_b, planned_r = lsh_params_for(threshold)
+        num_bands = planned_b if num_bands is None else num_bands
+        planes_per_band = (
+            planned_r if planes_per_band is None else planes_per_band
+        )
+    within = lsh_bucketed_similarity_join(
+        new_vecs,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_bands=num_bands,
+        planes_per_band=planes_per_band,
+        seed=seed,
+    )
+    dim = vector_dim(new_vecs, vec_col)
+    if dim is None:
+        return within
+    banded_new = _lsh_banded(
+        new_vecs, id_col, vec_col, dim, num_bands, planes_per_band, seed
+    )
+    cross = (
+        banded_new.select(F.col("id").alias("new_id"), "band", "bucket")
+        .join(
+            corpus_index.select(
+                F.col("id").alias("old_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    uv_new = with_unit_vector(new_vecs, vec_col, "__uv").select(
+        F.col(id_col).alias("new_id"), F.col("__uv").alias("__vn")
+    )
+    # pruned corpus scan: only candidate old ids are read and unit-
+    # normalized — the one touch of corpus vector data
+    uv_old = with_unit_vector(
+        corpus_vecs.join(
+            cross.select(F.col("old_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        vec_col,
+        "__uv",
+    ).select(F.col(id_col).alias("old_id"), F.col("__uv").alias("__vo"))
+    scored = (
+        cross.join(uv_new, "new_id")
+        .join(uv_old, "old_id")
+        .withColumn("cosine", dot_flat(F.col("__vn"), F.col("__vo"), dim))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("new_id", "old_id").alias("id_a"),
+            F.greatest("new_id", "old_id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine_r"),
+        )
+    )
+    return within.unionByName(scored)
 
 
 def mmr_topk(

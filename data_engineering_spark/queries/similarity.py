@@ -418,7 +418,7 @@ def q_embedding_ivf_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_from_index(centroids_df, assigned, q, k=_K, n_probe=8)
 
 
-def _lsh_join_oracle() -> str:
+def _lsh_join_oracle(cand_where: str = "") -> str:
     """The LSH join IS deterministic given the seeded hyperplanes, so
     it oracles exactly: the planes go to a parquet fixture (written at
     registration from the operator's own RNG draw) and DuckDB replays
@@ -448,7 +448,8 @@ def _lsh_join_oracle() -> str:
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket
-       AND a.vec_id < b.vec_id),
+       AND a.vec_id < b.vec_id
+      {cand_where}),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings)
     SELECT c.id_a, c.id_b,
@@ -478,6 +479,37 @@ def q_embedding_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_similarity_join(
         e, threshold=0.4, num_bands=16, planes_per_band=5
+    )
+
+
+@query(
+    "q_embedding_incremental_neardup",
+    oracle=_lsh_join_oracle(
+        "WHERE a.vec_id % 5 = 0 OR b.vec_id % 5 = 0"
+    ),
+)
+def q_embedding_incremental_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental embedding near-dup: a 20% batch (vec_id % 5 = 0)
+    probes the persistent sign-LSH index of the other 80% — the
+    daily-ingest shape where corpus vectors are touched only through
+    a candidate-pruned scan and everything else flows through the
+    (id, band, bucket) index. Same banding/fixture as
+    q_embedding_lsh_join, so the oracle replays bucket assignment and
+    restricts candidates to pairs with >= 1 new id; pytest separately
+    proves incremental ∪ corpus-internal == the full batch join."""
+    from data_engineering_spark.operators.similarity import (
+        embedding_incremental_pairs,
+        embedding_lsh_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    idx = embedding_lsh_index(old, num_bands=16, planes_per_band=5)
+    return embedding_incremental_pairs(
+        new, old, idx, threshold=0.4, num_bands=16, planes_per_band=5
     )
 
 

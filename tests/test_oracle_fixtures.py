@@ -60,16 +60,22 @@ def test_keyed_fixture_merge_preserves_other_corpora(tmp_path):
 
 
 def test_lsh_planes_fixture_matches_operator_draw():
+    nb, r, dim, seed = (
+        FX._LSH_BANDS,
+        FX._LSH_PLANES_PER_BAND,
+        FX._LSH_DIM,
+        FX._LSH_SEED,
+    )
     path = FX.lsh_planes_fixture()
     t = papq.read_table(path)
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((8, 8, 64))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nb, r, dim))
     got = {}
     for b, p, d, w in zip(*[t[c].to_pylist() for c in ("band", "plane", "d", "w")]):
         got[(b, p, d)] = w
     assert got[(0, 0, 1)] == planes[0, 0, 0]
-    assert got[(7, 7, 64)] == planes[7, 7, 63]
-    assert len(got) == 8 * 8 * 64
+    assert got[(nb - 1, r - 1, dim)] == planes[nb - 1, r - 1, dim - 1]
+    assert len(got) == nb * r * dim
 
 
 def test_round9_model_idempotent():

@@ -71,6 +71,8 @@ def test_no_python_in_relational_hot_path(spark):
         "q_embedding_semdedup",
         # LSH bucket assignment is a sign-GEMM over Arrow batches
         "q_embedding_lsh_join",
+        # incremental probe reuses the same banding + bucket GEMM
+        "q_embedding_incremental_neardup",
         # IVF probes are assigned driver-side/numpy by design; since r5
         # the deterministic-quantizer corpus assignment is the
         # broadcast-GEMM mapInPandas (both variants)

@@ -364,3 +364,42 @@ def test_lsh_params_planner():
         lsh_params_for(0.01, 0.999, max_bands=8)
     with _pytest.raises(ValueError):
         lsh_params_for(1.5, 0.9)
+
+
+def test_embedding_incremental_pairs_equivalence(spark):
+    """Incremental (batch-vs-index + within-batch) pairs plus the
+    corpus-internal pairs must partition EXACTLY the full batch join's
+    output: banding is per-vector, so candidate buckets don't depend
+    on which side a vector arrived with."""
+    from data_engineering_spark.operators.similarity import (
+        embedding_incremental_pairs,
+        embedding_lsh_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    kw = dict(num_bands=16, planes_per_band=5)
+    t = 0.4
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_similarity_join(emb, t, **kw).collect()
+    }
+    idx = embedding_lsh_index(old, **kw)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_incremental_pairs(
+            new, old, idx, t, **kw
+        ).collect()
+    }
+    old_only = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_similarity_join(old, t, **kw).collect()
+    }
+    assert inc | old_only == full
+    assert inc & old_only == set()
+    assert full, "fixture corpus must produce pairs at this threshold"
+    # every incremental pair involves at least one new id
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b in inc)
