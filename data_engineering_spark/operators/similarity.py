@@ -869,58 +869,91 @@ def lsh_bucketed_similarity_join(
     banded = _lsh_banded(
         vectors, id_col, vec_col, dim, num_bands, planes_per_band, seed
     )
+    survivors = _score_buckets(banded, threshold)
+    # a pair found in several bands reappears with the bitwise-same
+    # cosine (same vectors, same GEMM); max is the safe dedup reducer
+    return (
+        survivors.groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cosine"), 6).alias("cosine_r"))
+    )
+
+
+def _score_buckets(
+    banded: DataFrame, threshold: float, mixed: bool = False
+) -> DataFrame:
+    """Bucket-local exact scoring: each (band, bucket) group GEMMs its
+    own members and emits only pairs at/above threshold — candidate
+    pairs exist as numpy flops, never as shuffle rows. A bucket of m
+    rows costs m²·dim flops (m_new·m with `mixed`) — ~100× cheaper per
+    candidate than shuffling (id_a, id_b) rows through distinct +
+    re-attach joins. Chunked so a skewed bucket never allocates an
+    m×m matrix.
+
+    `mixed=False`: all i<j pairs. `mixed=True`: `banded` carries a
+    boolean `__new` column and only pairs with >= 1 new member are
+    scored/emitted (each exactly once per group: a new row claims the
+    pair when its id is smaller OR the partner is old)."""
+    import numpy as np
     import pandas as pd
 
-    # bucket-local exact scoring: each (band, bucket) group GEMMs its
-    # own members and emits only pairs at/above threshold. A bucket of
-    # m rows costs m²·dim flops in numpy — ~100× cheaper per candidate
-    # than shuffling (id_a, id_b) rows through distinct + re-attach
-    # joins. Chunked so a skewed bucket never allocates an m×m matrix.
     block = 2048
+
+    def _empty():
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
 
     def score_bucket(pdf):
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
+            return _empty()
         order = pdf["id"].to_numpy().argsort(kind="stable")
         ids = pdf["id"].to_numpy()[order]
         V = np.stack(pdf["__v"].to_numpy()[order])
         out_a, out_b, out_c = [], [], []
-        for i0 in range(0, m, block):
-            A = V[i0:i0 + block]
-            for j0 in range(i0, m, block):
-                G = A @ V[j0:j0 + block].T
-                ii, jj = np.nonzero(G >= threshold)
-                gi, gj = ii + i0, jj + j0
-                keep = gi < gj
-                if keep.any():
-                    out_a.append(ids[gi[keep]])
-                    out_b.append(ids[gj[keep]])
-                    out_c.append(G[ii[keep], jj[keep]])
+        if mixed:
+            newmask = pdf["__new"].to_numpy()[order]
+            nidx = np.flatnonzero(newmask)
+            if not len(nidx):
+                return _empty()
+            # ids are sorted, so index comparisons ARE id comparisons
+            for i0 in range(0, len(nidx), block):
+                rows = nidx[i0:i0 + block]
+                A = V[rows]
+                for j0 in range(0, m, block):
+                    G = A @ V[j0:j0 + block].T
+                    ii, jj = np.nonzero(G >= threshold)
+                    gi, gj = rows[ii], jj + j0
+                    keep = (gi < gj) | ((gj < gi) & ~newmask[gj])
+                    if keep.any():
+                        gik, gjk = gi[keep], gj[keep]
+                        out_a.append(ids[np.minimum(gik, gjk)])
+                        out_b.append(ids[np.maximum(gik, gjk)])
+                        out_c.append(G[ii[keep], jj[keep]])
+        else:
+            for i0 in range(0, m, block):
+                A = V[i0:i0 + block]
+                for j0 in range(i0, m, block):
+                    G = A @ V[j0:j0 + block].T
+                    ii, jj = np.nonzero(G >= threshold)
+                    gi, gj = ii + i0, jj + j0
+                    keep = gi < gj
+                    if keep.any():
+                        out_a.append(ids[gi[keep]])
+                        out_b.append(ids[gj[keep]])
+                        out_c.append(G[ii[keep], jj[keep]])
         if not out_a:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
+            return _empty()
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a),
              "id_b": np.concatenate(out_b),
              "cosine": np.concatenate(out_c)}
         )
 
-    survivors = banded.groupBy("band", "bucket").applyInPandas(
+    return banded.groupBy("band", "bucket").applyInPandas(
         score_bucket, "id_a long, id_b long, cosine double"
-    )
-    # a pair found in several bands reappears with the bitwise-same
-    # cosine (same vectors, same GEMM); max is the safe dedup reducer
-    return (
-        survivors.groupBy("id_a", "id_b")
-        .agg(F.round(F.max("cosine"), 6).alias("cosine_r"))
     )
 
 
@@ -934,12 +967,22 @@ def embedding_lsh_index(
     seed: int = 42,
 ) -> DataFrame:
     """Persistent sign-LSH index of an embedding corpus: (id, band,
-    bucket) — `num_bands` fixed-width rows per vector, the embedding-
-    space twin of minhash_band_index (minhash.py:102). Write it out as
-    a normal parquet table (partition by `band` for co-located probe
-    joins); incremental ingest then near-dup-checks each new batch
-    against the full corpus WITHOUT re-bucketing corpus vectors
-    (embedding_incremental_pairs). ~24 bytes/vector/band of state.
+    bucket, __v unit vector) — `num_bands` fixed-width rows per
+    vector, the embedding-space twin of minhash_band_index
+    (minhash.py:102). Write it out as a normal parquet table
+    (partition by `band`, cluster by `bucket` for listing-level probe
+    pruning); incremental ingest then near-dup-checks each new batch
+    against the full corpus WITHOUT touching the corpus table at all
+    (embedding_incremental_pairs reads ONLY index rows in buckets the
+    batch occupies).
+
+    The index carries the unit vector (dim × 8 bytes per band row) so
+    probes can GEMM-score inside buckets instead of exploding
+    candidate pairs into shuffle rows — measured 5.6× cheaper at 32 k
+    corpus vectors and growing with corpus size (SCALE.md). That
+    storage is the classic LSH space/time trade (an IVF/PQ-style
+    compressed variant would store SQ8 codes instead); band count
+    controls it linearly.
 
     Banding must match the later probes — pass the same explicit
     (num_bands, planes_per_band, seed) to both, or the same threshold
@@ -958,16 +1001,15 @@ def embedding_lsh_index(
     dim = vector_dim(vectors, vec_col)
     if dim is None:
         return vectors.sparkSession.createDataFrame(
-            [], "id long, band int, bucket int"
+            [], "id long, band int, bucket int, __v array<double>"
         )
     return _lsh_banded(
         vectors, id_col, vec_col, dim, num_bands, planes_per_band, seed
-    ).select("id", "band", "bucket")
+    ).select("id", "band", "bucket", "__v")
 
 
 def embedding_incremental_pairs(
     new_vecs: DataFrame,
-    corpus_vecs: DataFrame,
     corpus_index: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
@@ -980,79 +1022,54 @@ def embedding_incremental_pairs(
     INDEXED corpus (plus within-batch pairs) — the daily-ingest shape
     of the embedding dedup path, mirroring minhash_incremental_pairs.
 
-    `corpus_index` is (id, band, bucket) from embedding_lsh_index
-    (typically read back from parquet). Corpus vectors are touched
-    only through a semi-join pruned scan of candidate ids — everything
-    else about the corpus flows through the fixed-width index, so a
-    small batch probes 10⁹ indexed vectors at batch cost: candidates
-    are bounded by the index rows in buckets the BATCH occupies.
+    `corpus_index` is (id, band, bucket, __v) from embedding_lsh_index
+    (typically read back from parquet). The corpus table itself is
+    never touched: the probe semi-joins the index down to buckets the
+    BATCH occupies, unions those rows with the batch's band rows, and
+    GEMM-scores inside each bucket (`_score_buckets(mixed=True)` —
+    only new×all products are computed and only pairs with >= 1 new
+    member emitted). Candidate pairs therefore exist as numpy flops,
+    never as shuffle rows — the earlier pair-join probe melted at
+    exactly that point (probe cost tracked corpus size: 20.6 s →
+    115.5 s from 2 k to 32 k corpus vectors; see SCALE.md).
     New/corpus ids must be disjoint.
 
     Output matches lsh_bucketed_similarity_join: (id_a, id_b,
     cosine_r), id_a < id_b, exact cosine >= threshold, each pair
     containing at least one new id (corpus-internal pairs were the
-    index build's job). Within-batch pairs GEMM-score in their
-    buckets; batch-vs-corpus candidates score via JVM zip_with dot on
-    the pruned vector join (candidate count is batch-bounded, so the
-    pair join that is wrong for the full corpus is right here)."""
+    index build's job)."""
     if num_bands is None or planes_per_band is None:
         planned_b, planned_r = lsh_params_for(threshold)
         num_bands = planned_b if num_bands is None else num_bands
         planes_per_band = (
             planned_r if planes_per_band is None else planes_per_band
         )
-    within = lsh_bucketed_similarity_join(
-        new_vecs,
-        threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        num_bands=num_bands,
-        planes_per_band=planes_per_band,
-        seed=seed,
-    )
     dim = vector_dim(new_vecs, vec_col)
     if dim is None:
-        return within
+        return new_vecs.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_r double"
+        )
     banded_new = _lsh_banded(
         new_vecs, id_col, vec_col, dim, num_bands, planes_per_band, seed
     )
-    cross = (
-        banded_new.select(F.col("id").alias("new_id"), "band", "bucket")
-        .join(
-            corpus_index.select(
-                F.col("id").alias("old_id"), "band", "bucket"
-            ),
-            ["band", "bucket"],
-        )
-        .select("new_id", "old_id")
-        .distinct()
+    touched = banded_new.select("band", "bucket").distinct()
+    # listing/row-group pruning does the heavy lifting when the index
+    # is stored partitioned by band: only touched buckets are read
+    corpus_rows = corpus_index.join(
+        touched, ["band", "bucket"], "left_semi"
     )
-    uv_new = with_unit_vector(new_vecs, vec_col, "__uv").select(
-        F.col(id_col).alias("new_id"), F.col("__uv").alias("__vn")
-    )
-    # pruned corpus scan: only candidate old ids are read and unit-
-    # normalized — the one touch of corpus vector data
-    uv_old = with_unit_vector(
-        corpus_vecs.join(
-            cross.select(F.col("old_id").alias(id_col)).distinct(),
-            id_col,
-            "left_semi",
-        ),
-        vec_col,
-        "__uv",
-    ).select(F.col(id_col).alias("old_id"), F.col("__uv").alias("__vo"))
-    scored = (
-        cross.join(uv_new, "new_id")
-        .join(uv_old, "old_id")
-        .withColumn("cosine", dot_flat(F.col("__vn"), F.col("__vo"), dim))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.least("new_id", "old_id").alias("id_a"),
-            F.greatest("new_id", "old_id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine_r"),
+    union = corpus_rows.select(
+        "id", "__v", "band", "bucket", F.lit(False).alias("__new")
+    ).unionByName(
+        banded_new.select(
+            "id", "__v", "band", "bucket", F.lit(True).alias("__new")
         )
     )
-    return within.unionByName(scored)
+    survivors = _score_buckets(union, threshold, mixed=True)
+    return (
+        survivors.groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cosine"), 6).alias("cosine_r"))
+    )
 
 
 def mmr_topk(

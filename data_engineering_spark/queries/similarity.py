@@ -493,9 +493,9 @@ def q_embedding_incremental_neardup(
 ) -> DataFrame:
     """Incremental embedding near-dup: a 20% batch (vec_id % 5 = 0)
     probes the persistent sign-LSH index of the other 80% — the
-    daily-ingest shape where corpus vectors are touched only through
-    a candidate-pruned scan and everything else flows through the
-    (id, band, bucket) index. Same banding/fixture as
+    daily-ingest shape where the corpus table is never touched; the
+    probe reads only index rows in buckets the batch occupies and
+    GEMM-scores inside buckets. Same banding/fixture as
     q_embedding_lsh_join, so the oracle replays bucket assignment and
     restricts candidates to pairs with >= 1 new id; pytest separately
     proves incremental ∪ corpus-internal == the full batch join."""
@@ -509,7 +509,7 @@ def q_embedding_incremental_neardup(
     old = e.filter(F.col("vec_id") % 5 != 0)
     idx = embedding_lsh_index(old, num_bands=16, planes_per_band=5)
     return embedding_incremental_pairs(
-        new, old, idx, threshold=0.4, num_bands=16, planes_per_band=5
+        new, idx, threshold=0.4, num_bands=16, planes_per_band=5
     )
 
 

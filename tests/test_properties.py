@@ -390,9 +390,7 @@ def test_embedding_incremental_pairs_equivalence(spark):
     idx = embedding_lsh_index(old, **kw)
     inc = {
         (r["id_a"], r["id_b"])
-        for r in embedding_incremental_pairs(
-            new, old, idx, t, **kw
-        ).collect()
+        for r in embedding_incremental_pairs(new, idx, t, **kw).collect()
     }
     old_only = {
         (r["id_a"], r["id_b"])
