@@ -71,6 +71,9 @@ HEADLINE = [
     # round-5: the same curation funnel on the star backend — the
     # variant a 100 TB run would use (alpha 0.28 vs 2.1, SCALE.md)
     "q_corpus_curated_star",
+    # round-5: daily-ingest embedding dedup — batch probes the
+    # persistent LSH index at batch cost (flat probe, SCALE.md)
+    "q_embedding_incremental_neardup",
 ]
 
 

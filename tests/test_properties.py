@@ -401,3 +401,39 @@ def test_embedding_incremental_pairs_equivalence(spark):
     assert full, "fixture corpus must produce pairs at this threshold"
     # every incremental pair involves at least one new id
     assert all(a % 5 == 0 or b % 5 == 0 for a, b in inc)
+
+
+def test_embedding_lsh_index_parquet_roundtrip(spark, tmp_path):
+    """The serve-many flow: index written partitioned by band, read
+    back from disk, probed — identical pairs to the in-memory index
+    (schema and bucket assignment survive the round-trip; the band
+    partition column comes back as int)."""
+    from data_engineering_spark.operators.similarity import (
+        embedding_incremental_pairs,
+        embedding_lsh_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    kw = dict(num_bands=16, planes_per_band=5)
+
+    idx = embedding_lsh_index(old, **kw)
+    path = str(tmp_path / "lsh_index")
+    idx.write.partitionBy("band").parquet(path)
+    stored = spark.read.parquet(path).withColumn(
+        "band", F.col("band").cast("int")
+    )
+
+    mem = {
+        tuple(r)
+        for r in embedding_incremental_pairs(new, idx, 0.4, **kw).collect()
+    }
+    disk = {
+        tuple(r)
+        for r in embedding_incremental_pairs(
+            new, stored, 0.4, **kw
+        ).collect()
+    }
+    assert mem == disk and mem

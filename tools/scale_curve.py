@@ -119,6 +119,7 @@ FLAGSHIP = {
         "q_embedding_pq_topk",
         "q_embedding_ivf_topk",
         "q_embedding_lsh_join",
+        "q_embedding_incremental_neardup",
     ],
     "documents": [
         "q_doc_dedup_exact",
