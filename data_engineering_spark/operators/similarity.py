@@ -825,6 +825,7 @@ def lsh_bucketed_similarity_join(
     num_bands: int | None = None,
     planes_per_band: int | None = None,
     seed: int = 42,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Approximate similarity join: multi-band random-hyperplane LSH.
 
@@ -869,7 +870,9 @@ def lsh_bucketed_similarity_join(
     banded = _lsh_banded(
         vectors, id_col, vec_col, dim, num_bands, planes_per_band, seed
     )
-    survivors = _score_buckets(banded, threshold)
+    survivors = _score_buckets(
+        banded, threshold, max_bucket_rows=max_bucket_rows
+    )
     # a pair found in several bands reappears with the bitwise-same
     # cosine (same vectors, same GEMM); max is the safe dedup reducer
     return (
@@ -879,7 +882,10 @@ def lsh_bucketed_similarity_join(
 
 
 def _score_buckets(
-    banded: DataFrame, threshold: float, mixed: bool = False
+    banded: DataFrame,
+    threshold: float,
+    mixed: bool = False,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Bucket-local exact scoring: each (band, bucket) group GEMMs its
     own members and emits only pairs at/above threshold — candidate
@@ -892,11 +898,62 @@ def _score_buckets(
     `mixed=False`: all i<j pairs. `mixed=True`: `banded` carries a
     boolean `__new` column and only pairs with >= 1 new member are
     scored/emitted (each exactly once per group: a new row claims the
-    pair when its id is smaller OR the partner is old)."""
+    pair when its id is smaller OR the partner is old).
+
+    `max_bucket_rows` caps the rows any ONE task scores: buckets over
+    the cap are triangle-tiled — each row hashes to one of
+    B = ceil(m / cap) blocks and is replicated to the B tiles
+    (min(blk, c), max(blk, c)); tile (bi, bj) scores only
+    block-bi × block-bj products, so every unordered pair meets in
+    exactly one tile and semantics are unchanged while the mega-bucket
+    fans out to B(B+1)/2 parallel tasks of ~2·cap rows. Replication
+    cost is B copies per row — pay it only on the skewed buckets,
+    which is why this is a per-bucket rewrite, not a global one."""
     import numpy as np
     import pandas as pd
 
     block = 2048
+    tiled = max_bucket_rows is not None
+    group_cols = ["band", "bucket"]
+    if tiled:
+        cap = int(max_bucket_rows)
+        if cap < 2:
+            raise ValueError(f"max_bucket_rows must be >= 2, got {cap}")
+        keep_cols = ["id", "__v", "band", "bucket"] + (
+            ["__new"] if mixed else []
+        )
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__m")
+        )
+        banded = (
+            banded.join(sizes, ["band", "bucket"])
+            .withColumn(
+                "__nb",
+                F.greatest(
+                    F.lit(1), F.ceil(F.col("__m") / F.lit(cap))
+                ).cast("int"),
+            )
+            .withColumn(
+                "__blk",
+                F.pmod(F.xxhash64("id"), F.col("__nb")).cast("int"),
+            )
+            .withColumn(
+                "__tile",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, __nb - 1), c -> struct("
+                        "least(__blk, c) AS bi, greatest(__blk, c) AS bj))"
+                    )
+                ),
+            )
+            .select(
+                *keep_cols,
+                "__blk",
+                F.col("__tile.bi").alias("__bi"),
+                F.col("__tile.bj").alias("__bj"),
+            )
+        )
+        group_cols = ["band", "bucket", "__bi", "__bj"]
 
     def _empty():
         return pd.DataFrame(
@@ -905,20 +962,49 @@ def _score_buckets(
              "cosine": pd.Series(dtype="float64")}
         )
 
-    def score_bucket(pdf):
-        m = len(pdf)
-        if m < 2:
+    def _frame(out_a, out_b, out_c):
+        if not out_a:
             return _empty()
-        order = pdf["id"].to_numpy().argsort(kind="stable")
-        ids = pdf["id"].to_numpy()[order]
-        V = np.stack(pdf["__v"].to_numpy()[order])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a),
+             "id_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_c)}
+        )
+
+    def _score_cross(ids, V, a_idx, b_idx, newmask):
+        # block-bi × block-bj products; each pair meets exactly once,
+        # orientation by id
         out_a, out_b, out_c = [], [], []
-        if mixed:
-            newmask = pdf["__new"].to_numpy()[order]
+        for i0 in range(0, len(a_idx), block):
+            ai = a_idx[i0:i0 + block]
+            A = V[ai]
+            for j0 in range(0, len(b_idx), block):
+                bj = b_idx[j0:j0 + block]
+                G = A @ V[bj].T
+                ii, jj = np.nonzero(G >= threshold)
+                gi, gj = ai[ii], bj[jj]
+                if newmask is not None:
+                    keep = newmask[gi] | newmask[gj]
+                    gi, gj = gi[keep], gj[keep]
+                    vals = G[ii[keep], jj[keep]]
+                else:
+                    vals = G[ii, jj]
+                if len(gi):
+                    ia, ib = ids[gi], ids[gj]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_c.append(vals)
+        return _frame(out_a, out_b, out_c)
+
+    def _score_triangular(ids, V, newmask):
+        # ids must be sorted ascending: index comparisons ARE id
+        # comparisons
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        if newmask is not None:
             nidx = np.flatnonzero(newmask)
             if not len(nidx):
                 return _empty()
-            # ids are sorted, so index comparisons ARE id comparisons
             for i0 in range(0, len(nidx), block):
                 rows = nidx[i0:i0 + block]
                 A = V[rows]
@@ -944,15 +1030,29 @@ def _score_buckets(
                         out_a.append(ids[gi[keep]])
                         out_b.append(ids[gj[keep]])
                         out_c.append(G[ii[keep], jj[keep]])
-        if not out_a:
-            return _empty()
-        return pd.DataFrame(
-            {"id_a": np.concatenate(out_a),
-             "id_b": np.concatenate(out_b),
-             "cosine": np.concatenate(out_c)}
-        )
+        return _frame(out_a, out_b, out_c)
 
-    return banded.groupBy("band", "bucket").applyInPandas(
+    def score_bucket(pdf):
+        m = len(pdf)
+        if m < 2:
+            return _empty()
+        if tiled and pdf["__bi"].iat[0] != pdf["__bj"].iat[0]:
+            ids = pdf["id"].to_numpy()
+            V = np.stack(pdf["__v"].to_numpy())
+            newmask = pdf["__new"].to_numpy() if mixed else None
+            blk = pdf["__blk"].to_numpy()
+            a_idx = np.flatnonzero(blk == pdf["__bi"].iat[0])
+            b_idx = np.flatnonzero(blk != pdf["__bi"].iat[0])
+            if not len(a_idx) or not len(b_idx):
+                return _empty()
+            return _score_cross(ids, V, a_idx, b_idx, newmask)
+        order = pdf["id"].to_numpy().argsort(kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.stack(pdf["__v"].to_numpy()[order])
+        newmask = pdf["__new"].to_numpy()[order] if mixed else None
+        return _score_triangular(ids, V, newmask)
+
+    return banded.groupBy(*group_cols).applyInPandas(
         score_bucket, "id_a long, id_b long, cosine double"
     )
 
@@ -1017,6 +1117,7 @@ def embedding_incremental_pairs(
     num_bands: int | None = None,
     planes_per_band: int | None = None,
     seed: int = 42,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs of an incoming embedding batch against an
     INDEXED corpus (plus within-batch pairs) — the daily-ingest shape
@@ -1065,7 +1166,9 @@ def embedding_incremental_pairs(
             "id", "__v", "band", "bucket", F.lit(True).alias("__new")
         )
     )
-    survivors = _score_buckets(union, threshold, mixed=True)
+    survivors = _score_buckets(
+        union, threshold, mixed=True, max_bucket_rows=max_bucket_rows
+    )
     return (
         survivors.groupBy("id_a", "id_b")
         .agg(F.round(F.max("cosine"), 6).alias("cosine_r"))

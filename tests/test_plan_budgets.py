@@ -59,11 +59,20 @@ EXCHANGE_BUDGET = {
     # star-backend funnel: dedup/cap windows + the LSH band machinery
     # reappearing in the verify branch of the textual plan
     "q_corpus_curated_star": 49,
+    # batch banding (×2: touched-buckets probe + union branch) + the
+    # index semi-join + grouped GEMM + band dedup
+    "q_embedding_incremental_neardup": 8,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
 # GEMM similarity join is Arrow-batched by design (documented)
-PYTHON_OK = {"q_embedding_similarity_join", "q_embedding_pq_topk"}
+PYTHON_OK = {
+    "q_embedding_similarity_join",
+    "q_embedding_pq_topk",
+    # banding sign-GEMM + bucket-local scoring are Arrow-batched by
+    # design (see operators/similarity._lsh_banded/_score_buckets)
+    "q_embedding_incremental_neardup",
+}
 
 
 @pytest.mark.parametrize(

@@ -437,3 +437,59 @@ def test_embedding_lsh_index_parquet_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert mem == disk and mem
+
+
+def test_lsh_join_tiled_equals_untiled(spark):
+    """Triangle tiling for over-cap buckets must not change results —
+    every unordered pair meets in exactly one tile. Fixture forces the
+    skew: many near-identical vectors co-bucket everywhere."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(60):  # one fat clique
+        rows.append((i, (base + 0.01 * rng.standard_normal(16)).tolist()))
+    for i in range(60, 90):  # background
+        rows.append((i, rng.standard_normal(16).tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kw = dict(num_bands=4, planes_per_band=3)
+    plain = {
+        tuple(r)
+        for r in lsh_bucketed_similarity_join(df, 0.5, **kw).collect()
+    }
+    tiled = {
+        tuple(r)
+        for r in lsh_bucketed_similarity_join(
+            df, 0.5, max_bucket_rows=8, **kw
+        ).collect()
+    }
+    assert plain == tiled and len(plain) >= 60 * 59 / 2
+
+
+def test_incremental_tiled_equals_untiled(spark):
+    """Same invariance for the mixed-mode (batch-vs-index) scorer."""
+    from data_engineering_spark.operators.similarity import (
+        embedding_incremental_pairs,
+        embedding_lsh_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    kw = dict(num_bands=16, planes_per_band=5)
+    idx = embedding_lsh_index(old, **kw)
+    plain = {
+        tuple(r)
+        for r in embedding_incremental_pairs(new, idx, 0.4, **kw).collect()
+    }
+    tiled = {
+        tuple(r)
+        for r in embedding_incremental_pairs(
+            new, idx, 0.4, max_bucket_rows=16, **kw
+        ).collect()
+    }
+    assert plain == tiled and plain
