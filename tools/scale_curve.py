@@ -81,6 +81,20 @@ def _neardup_lsh(spark, d):
     )
 
 
+def _neardup_lsh_tiled(spark, d):
+    # same plan, per-task GEMM capped: over-cap buckets triangle-tile
+    # into bounded parallel tasks (the clique-straggler mitigation)
+    from data_engineering_spark.operators.similarity import (
+        lsh_bucketed_similarity_join,
+    )
+
+    e = load_table(spark, d, "embeddings")
+    return lsh_bucketed_similarity_join(
+        e, threshold=0.9, num_bands=12, planes_per_band=12,
+        max_bucket_rows=2048,
+    )
+
+
 def _neardup_exact(spark, d):
     from data_engineering_spark.operators.similarity import (
         cosine_similarity_join,
@@ -97,6 +111,7 @@ def _neardup_exact(spark, d):
 # exercised here instead
 EXTRA_QUERIES = {
     "x_embedding_lsh_neardup_t09": _neardup_lsh,
+    "x_embedding_lsh_neardup_t09_tiled": _neardup_lsh_tiled,
     "x_embedding_exact_join_t09": _neardup_exact,
 }
 
@@ -106,6 +121,13 @@ FLAGSHIP = {
         # cliques at cosine ~0.995): the exact join pays n^2 GEMM
         # flops regardless of output; banded LSH pays bucket mass.
         # This is the crossover the near-dup path exists for.
+        # the _tiled variant is NOT in the default list: its persisted
+        # banding survives between this harness's best-of-2 reps
+        # (CacheManager matches the identical plan), which flatters it
+        # vs the untiled row. tools/clique_probe.py is the canonical
+        # tiling measurement (cold reps, cache cleared between runs);
+        # opt in here via SCALE_QUERIES for the machinery-premium
+        # number only.
         "x_embedding_lsh_neardup_t09",
         "x_embedding_exact_join_t09",
     ],
