@@ -1,0 +1,167 @@
+"""Continuous corpus curation: streaming near-dup-gated ingestion.
+
+The batch operators already cover the two halves of the 100 TB dedup
+story — `minhash_band_index` (persistent (doc, band, bucket) LSH state,
+~1 KB/doc) and `minhash_incremental_pairs` (probe a batch against the
+index at batch cost, corpus text touched only semi-join-pruned). This
+module closes the loop for the ingestion-pipeline shape: a Structured
+Streaming source of new documents where each micro-batch is near-dup
+checked against everything retained so far, survivors append to the
+corpus table AND to the band index, and the whole thing is
+exactly-once across restarts.
+
+Semantics (deterministic, documented for the offline twin in tests):
+a new document is dropped iff it near-dups (>= `threshold` verified
+Jaccard) any RETAINED corpus document, or a smaller-id document of its
+own batch. Documents dropped in an earlier batch are gone — they are
+not in the corpus, so they cannot suppress later arrivals (retained-
+first-occurrence semantics, the standard crawl-ingest rule). New doc
+ids must be disjoint from corpus ids (same contract as
+`minhash_incremental_pairs`).
+
+Scale shape: per batch the corpus participates as (a) the fixed-width
+band index probe join and (b) ONE semi-join-pruned text scan over
+candidate docs only — never a full corpus pass. The survivors' index
+rows are recomputed from the batch (a second shingle pass over the
+BATCH, not the corpus) and appended, so index == full rebuild of the
+retained corpus at every step (asserted in tests). Appends to plain
+parquet are not idempotent, hence the batch-id ledger
+(`runner.idempotent_sink`) gating replays after crash-between-
+sink-and-checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from data_engineering_spark.operators.minhash import (
+    minhash_band_index,
+    minhash_incremental_pairs,
+    minhash_near_dup_pairs,
+)
+from data_engineering_spark.streaming.runner import (
+    file_envelope_stream,
+    idempotent_sink,
+)
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    num_bands: int = 32,
+) -> int:
+    """Apply one ingest batch: near-dup gate, then append survivors to
+    the corpus table and their band rows to the index. Returns the
+    number of retained documents. Pure batch function — the streaming
+    sink calls exactly this, and the offline twin in tests folds it
+    over the same batches to pin stream == sequential-batch semantics.
+    """
+    kw = dict(
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    )
+    have_corpus = os.path.exists(corpus_path)
+    if have_corpus:
+        corpus = spark.read.parquet(corpus_path)
+        index = spark.read.parquet(index_path)
+        pairs = minhash_incremental_pairs(
+            batch, corpus, index, threshold=threshold, **kw
+        )
+        new_ids = batch.select(F.col(id_col).alias("doc")).distinct()
+        a_new = pairs.join(
+            new_ids.withColumnRenamed("doc", "doc_a"), "doc_a", "left_semi"
+        )
+        b_new = pairs.join(
+            new_ids.withColumnRenamed("doc", "doc_b"), "doc_b", "left_semi"
+        )
+        # drop a new doc when its partner is corpus (either
+        # orientation: pairs are id-ordered) or a smaller-id batch mate
+        dropped = (
+            a_new.join(
+                new_ids.withColumnRenamed("doc", "doc_b"),
+                "doc_b",
+                "left_anti",
+            )
+            .select(F.col("doc_a").alias("doc"))
+            .union(b_new.select(F.col("doc_b").alias("doc")))
+            .distinct()
+        )
+    else:
+        pairs = minhash_near_dup_pairs(batch, threshold=threshold, **kw)
+        dropped = pairs.select(F.col("doc_b").alias("doc")).distinct()
+
+    survivors = batch.join(
+        dropped.withColumnRenamed("doc", id_col), id_col, "left_anti"
+    )
+    # one action materializes the gate; the two appends below reuse
+    # the checkpointed rows instead of re-running the probe (direct
+    # localCheckpoint would re-execute the plan un-optimized —
+    # materialize.py)
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    survivors = eager_checkpoint(survivors)
+    retained = survivors.count()
+    if retained:
+        survivors.write.mode("append").parquet(corpus_path)
+        minhash_band_index(survivors, **kw).write.mode("append").parquet(
+            index_path
+        )
+    return retained
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    input_path: str,
+    schema,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+    **curate_kw,
+) -> StreamingQuery:
+    """Stream document batches from `input_path` (parquet drops —
+    size-bounded landing files are the batch bound, same pattern as
+    `file_envelope_stream`) through the near-dup gate into the
+    corpus + index tables. Exactly-once: Structured Streaming replays
+    a micro-batch after a crash between side effect and checkpoint
+    commit, and plain-parquet appends would double — the batch-id
+    ledger (kept beside the checkpoint) makes the sink skip batches it
+    already committed."""
+    stream = file_envelope_stream(
+        spark, input_path, schema, max_files_per_trigger
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        curate_batch(
+            spark, batch_df, corpus_path, index_path, **curate_kw
+        )
+
+    writer = (
+        stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            idempotent_sink(_sink, os.path.join(checkpoint_dir, "_ledger"))
+        )
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if available_now
+        else writer.trigger(processingTime="10 seconds")
+    )
+    return writer.start()
