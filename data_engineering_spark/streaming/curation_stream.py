@@ -49,31 +49,18 @@ from data_engineering_spark.streaming.runner import (
 )
 
 
-def curate_batch(
+def _gate(
     spark: SparkSession,
     batch: DataFrame,
     corpus_path: str,
     index_path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.6,
-    num_hashes: int = 64,
-    num_bands: int = 32,
-) -> int:
-    """Apply one ingest batch: near-dup gate, then append survivors to
-    the corpus table and their band rows to the index. Returns the
-    number of retained documents. Pure batch function — the streaming
-    sink calls exactly this, and the offline twin in tests folds it
-    over the same batches to pin stream == sequential-batch semantics.
-    """
-    kw = dict(
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        num_hashes=num_hashes,
-        num_bands=num_bands,
-    )
+    threshold: float,
+    kw: dict,
+) -> DataFrame:
+    """The near-dup gate: survivors of `batch` against the retained
+    corpus (and smaller-id batch mates), materialized eagerly so the
+    caller's appends reuse one probe execution."""
+    id_col = kw["id_col"]
     have_corpus = os.path.exists(corpus_path)
     if have_corpus:
         corpus = spark.read.parquet(corpus_path)
@@ -107,15 +94,49 @@ def curate_batch(
     survivors = batch.join(
         dropped.withColumnRenamed("doc", id_col), id_col, "left_anti"
     )
-    # one action materializes the gate; the two appends below reuse
-    # the checkpointed rows instead of re-running the probe (direct
+    # one action materializes the gate; the caller's appends reuse the
+    # checkpointed rows instead of re-running the probe (direct
     # localCheckpoint would re-execute the plan un-optimized —
     # materialize.py)
     from data_engineering_spark.operators.materialize import (
         eager_checkpoint,
     )
 
-    survivors = eager_checkpoint(survivors)
+    return eager_checkpoint(survivors)
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    num_bands: int = 32,
+) -> int:
+    """Apply one ingest batch: near-dup gate, then append survivors to
+    the corpus table and their band rows to the index. Returns the
+    number of retained documents. Pure batch function — the offline
+    twin in tests folds it over batches to pin sequential semantics.
+
+    NOT crash-safe between its two appends: a failure after the corpus
+    append but before the index append loses the batch's index rows on
+    any blind retry (the re-probe sees the batch's own ids in the
+    corpus and drops every survivor as a self-dup). The streaming sink
+    therefore uses `curate_batch_committed`, whose staged protocol
+    resumes mid-batch; call this form only where a failed run's state
+    is discarded wholesale."""
+    kw = dict(
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    )
+    survivors = _gate(spark, batch, corpus_path, index_path, threshold, kw)
     retained = survivors.count()
     if retained:
         survivors.write.mode("append").parquet(corpus_path)
@@ -123,6 +144,75 @@ def curate_batch(
             index_path
         )
     return retained
+
+
+def curate_batch_committed(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    corpus_path: str,
+    index_path: str,
+    commit_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    num_bands: int = 32,
+) -> int:
+    """`curate_batch` with a write-ahead commit protocol, closing the
+    crash window the plain function has: if a run dies BETWEEN the
+    corpus append and the index append, a blind replay re-probes a
+    corpus that already contains the batch's ids — every survivor
+    self-pairs at Jaccard 1, gets dropped, and the index rows are lost
+    forever (future dups of those docs go undetected).
+
+    Protocol, per batch id (every step idempotent on replay):
+    1. stage: probe the PRE-batch corpus and overwrite-write survivors
+       to `commit_root/stage-<id>` — the probe runs only while no
+       staging exists, so it always sees the pre-batch corpus;
+    2. corpus append from staging, then marker `corpus-<id>`;
+    3. index append (band rows recomputed from staged survivors),
+       then marker `index-<id>`.
+    A replay resumes at the first step whose marker is missing, reading
+    survivors back from staging rather than re-deciding them. The
+    residual limit is a crash INSIDE one append (partial part-files on
+    a non-atomic store) — same posix-rename caveat as MergeTable,
+    documented in SCALE.md."""
+    kw = dict(
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    )
+    os.makedirs(commit_root, exist_ok=True)
+    stage = os.path.join(commit_root, f"stage-{batch_id:020d}")
+    corpus_marker = os.path.join(commit_root, f"corpus-{batch_id:020d}")
+    index_marker = os.path.join(commit_root, f"index-{batch_id:020d}")
+
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        survivors = _gate(
+            spark, batch, corpus_path, index_path, threshold, kw
+        )
+        # overwrite: a half-written staging from a crash is replaced
+        survivors.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    retained = staged.count()
+    if retained and not os.path.exists(corpus_marker):
+        staged.write.mode("append").parquet(corpus_path)
+    _touch(corpus_marker)
+    if retained and not os.path.exists(index_marker):
+        minhash_band_index(staged, **kw).write.mode("append").parquet(
+            index_path
+        )
+    _touch(index_marker)
+    return retained
+
+
+def _touch(path: str) -> None:
+    with open(path, "w") as f:
+        f.write("committed\n")
 
 
 def run_curation_stream(
@@ -141,16 +231,24 @@ def run_curation_stream(
     `file_envelope_stream`) through the near-dup gate into the
     corpus + index tables. Exactly-once: Structured Streaming replays
     a micro-batch after a crash between side effect and checkpoint
-    commit, and plain-parquet appends would double — the batch-id
-    ledger (kept beside the checkpoint) makes the sink skip batches it
-    already committed."""
+    commit, and plain-parquet appends would double — the sink is the
+    staged `curate_batch_committed` (resumes a half-applied batch at
+    the exact step that was missing), with the batch-id ledger beside
+    the checkpoint as the fast-path skip for fully-committed batches."""
     stream = file_envelope_stream(
         spark, input_path, schema, max_files_per_trigger
     )
+    commit_root = os.path.join(checkpoint_dir, "_commits")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        curate_batch(
-            spark, batch_df, corpus_path, index_path, **curate_kw
+        curate_batch_committed(
+            spark,
+            batch_df,
+            batch_id,
+            corpus_path,
+            index_path,
+            commit_root,
+            **curate_kw,
         )
 
     writer = (

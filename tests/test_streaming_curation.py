@@ -171,6 +171,91 @@ def test_curation_replay_does_not_double_append(spark, tmp_path):
     assert _corpus_ids(spark, corpus) == first == {1, 3}
 
 
+def test_committed_batch_resumes_after_mid_batch_crash(spark, tmp_path):
+    """Crash AFTER the corpus append but BEFORE the index append: the
+    staged protocol must resume and complete the index append on
+    retry. (A blind `curate_batch` retry here would lose the index
+    rows forever: the re-probe sees the batch's own ids in the corpus
+    and drops every survivor as a self-dup.)"""
+    import data_engineering_spark.streaming.curation_stream as cs
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    commits = str(tmp_path / "commits")
+
+    # batch 0 commits cleanly
+    cs.curate_batch_committed(
+        spark,
+        spark.createDataFrame(BATCHES[0], DOC_SCHEMA),
+        0,
+        corpus,
+        index,
+        commits,
+        **KW,
+    )
+
+    # batch 1: fail exactly at the index append (first call after the
+    # corpus marker exists)
+    real_build = cs.minhash_band_index
+    calls = {"n": 0}
+
+    def exploding_build(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("crash before index append")
+
+    cs.minhash_band_index = exploding_build
+    batch1 = spark.createDataFrame(BATCHES[1], DOC_SCHEMA)
+    try:
+        try:
+            cs.curate_batch_committed(
+                spark, batch1, 1, corpus, index, commits, **KW
+            )
+            raise AssertionError("expected injected crash")
+        except RuntimeError:
+            pass
+    finally:
+        cs.minhash_band_index = real_build
+    assert calls["n"] == 1
+    # corpus already has batch 1's survivor, index does not
+    assert _corpus_ids(spark, corpus) == {1, 3, 5}
+
+    # replay (what the restarted stream does): must NOT re-probe into
+    # self-dup oblivion, must NOT double-append, must finish the index
+    retained = cs.curate_batch_committed(
+        spark, batch1, 1, corpus, index, commits, **KW
+    )
+    assert retained == 1
+    assert _corpus_ids(spark, corpus) == {1, 3, 5}
+    assert (
+        spark.read.parquet(corpus).count() == 3
+    ), "corpus append must not replay"
+    rebuilt = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in real_build(
+            spark.read.parquet(corpus),
+            num_hashes=KW["num_hashes"],
+            num_bands=KW["num_bands"],
+        ).collect()
+    }
+    incremental = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index).collect()
+    }
+    assert incremental == rebuilt
+
+    # batch 2 proceeds normally on the repaired state
+    cs.curate_batch_committed(
+        spark,
+        spark.createDataFrame(BATCHES[2], DOC_SCHEMA),
+        2,
+        corpus,
+        index,
+        commits,
+        **KW,
+    )
+    assert _corpus_ids(spark, corpus) == {1, 3, 5, 7}
+
+
 def test_curation_batch_empty_survivors(spark, tmp_path):
     """A batch that is ENTIRELY near-dups appends nothing (no empty
     parquet commits) and leaves corpus and index untouched."""
