@@ -178,7 +178,13 @@ def curate_batch_committed(
     survivors back from staging rather than re-deciding them. The
     residual limit is a crash INSIDE one append (partial part-files on
     a non-atomic store) — same posix-rename caveat as MergeTable,
-    documented in SCALE.md."""
+    documented in SCALE.md.
+
+    Staging retention: an older batch's staging is only needed until
+    its own markers exist (the streaming checkpoint advances strictly
+    after the sink returns), so fully-committed stage dirs with
+    id < batch_id are garbage-collected here — the commit root stays
+    O(in-flight batches), not O(stream lifetime)."""
     kw = dict(
         id_col=id_col,
         text_col=text_col,
@@ -186,10 +192,23 @@ def curate_batch_committed(
         num_hashes=num_hashes,
         num_bands=num_bands,
     )
+    import shutil
+
     os.makedirs(commit_root, exist_ok=True)
     stage = os.path.join(commit_root, f"stage-{batch_id:020d}")
     corpus_marker = os.path.join(commit_root, f"corpus-{batch_id:020d}")
     index_marker = os.path.join(commit_root, f"index-{batch_id:020d}")
+
+    for name in sorted(os.listdir(commit_root)):
+        if not name.startswith("stage-"):
+            continue
+        sid = name[len("stage-"):]
+        if not (sid.isdigit() and int(sid) < batch_id):
+            continue
+        if os.path.exists(
+            os.path.join(commit_root, f"corpus-{sid}")
+        ) and os.path.exists(os.path.join(commit_root, f"index-{sid}")):
+            shutil.rmtree(os.path.join(commit_root, name), ignore_errors=True)
 
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         survivors = _gate(

@@ -255,6 +255,13 @@ def test_committed_batch_resumes_after_mid_batch_crash(spark, tmp_path):
     )
     assert _corpus_ids(spark, corpus) == {1, 3, 5, 7}
 
+    # committed stage dirs below batch 2 were garbage-collected; its
+    # own staging (the in-flight retention window) remains
+    stages = sorted(
+        n for n in os.listdir(commits) if n.startswith("stage-")
+    )
+    assert stages == [f"stage-{2:020d}"]
+
 
 def test_curation_batch_empty_survivors(spark, tmp_path):
     """A batch that is ENTIRELY near-dups appends nothing (no empty
