@@ -826,6 +826,7 @@ def lsh_bucketed_similarity_join(
     planes_per_band: int | None = None,
     seed: int = 42,
     max_bucket_rows: int | None = None,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Approximate similarity join: multi-band random-hyperplane LSH.
 
@@ -870,15 +871,33 @@ def lsh_bucketed_similarity_join(
     banded = _lsh_banded(
         vectors, id_col, vec_col, dim, num_bands, planes_per_band, seed
     )
-    survivors = _score_buckets(
+    survivors, persisted = _score_buckets(
         banded, threshold, max_bucket_rows=max_bucket_rows
     )
     # a pair found in several bands reappears with the bitwise-same
     # cosine (same vectors, same GEMM); max is the safe dedup reducer
-    return (
+    result = (
         survivors.groupBy("id_a", "id_b")
         .agg(F.round(F.max("cosine"), 6).alias("cosine_r"))
     )
+    return _release_after(result, persisted, release_cache)
+
+
+def _release_after(result: DataFrame, persisted, release_cache: bool):
+    """Tiled scoring persists the banded frame (the size probe is a
+    second consumer); `release_cache=True` eagerly materializes the
+    (output-sized) result and unpersists it — for long-lived sessions
+    that must not accumulate cached blocks per call. Same contract as
+    minhash/text release_cache. No-op when nothing was persisted."""
+    if not release_cache or persisted is None:
+        return result
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    out = eager_checkpoint(result)
+    persisted.unpersist()
+    return out
 
 
 def _score_buckets(
@@ -886,7 +905,7 @@ def _score_buckets(
     threshold: float,
     mixed: bool = False,
     max_bucket_rows: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """Bucket-local exact scoring: each (band, bucket) group GEMMs its
     own members and emits only pairs at/above threshold — candidate
     pairs exist as numpy flops, never as shuffle rows. A bucket of m
@@ -921,6 +940,7 @@ def _score_buckets(
     block = 2048
     tiled = max_bucket_rows is not None
     group_cols = ["band", "bucket"]
+    persisted = None
     if tiled:
         cap = int(max_bucket_rows)
         if cap < 2:
@@ -931,11 +951,11 @@ def _score_buckets(
         # the size probe is a SECOND consumer of the banding sign-GEMM;
         # persist so the Arrow banding pass runs once, not twice
         # (measured 2x on the clique curve without this). Lazy persist,
-        # LRU-evicted by the block manager — same policy as
-        # text.ngram_jaccard_pairs.
+        # LRU-evicted — the handle is returned so public callers can
+        # offer release_cache (see _release_after).
         from pyspark import StorageLevel
 
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = persisted = banded.persist(StorageLevel.MEMORY_AND_DISK)
         fat = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__m"))
@@ -1069,9 +1089,10 @@ def _score_buckets(
         newmask = pdf["__new"].to_numpy()[order] if mixed else None
         return _score_triangular(ids, V, newmask)
 
-    return banded.groupBy(*group_cols).applyInPandas(
+    scored = banded.groupBy(*group_cols).applyInPandas(
         score_bucket, "id_a long, id_b long, cosine double"
     )
+    return scored, persisted
 
 
 def embedding_lsh_index(
@@ -1135,6 +1156,7 @@ def embedding_incremental_pairs(
     planes_per_band: int | None = None,
     seed: int = 42,
     max_bucket_rows: int | None = None,
+    release_cache: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs of an incoming embedding batch against an
     INDEXED corpus (plus within-batch pairs) — the daily-ingest shape
@@ -1183,13 +1205,14 @@ def embedding_incremental_pairs(
             "id", "__v", "band", "bucket", F.lit(True).alias("__new")
         )
     )
-    survivors = _score_buckets(
+    survivors, persisted = _score_buckets(
         union, threshold, mixed=True, max_bucket_rows=max_bucket_rows
     )
-    return (
+    result = (
         survivors.groupBy("id_a", "id_b")
         .agg(F.round(F.max("cosine"), 6).alias("cosine_r"))
     )
+    return _release_after(result, persisted, release_cache)
 
 
 def mmr_topk(

@@ -49,6 +49,22 @@ from data_engineering_spark.streaming.runner import (
 )
 
 
+def _local_only(*paths: str) -> None:
+    """The corpus/index existence probes, commit markers, and staging
+    GC all use driver-local filesystem calls; a URI-addressed store
+    (s3a://, hdfs://...) would make os.path.exists silently answer
+    False and DISABLE the corpus gate rather than fail. Refuse loudly —
+    object-store deployments route through a transactional table
+    backend (MergeTable/Iceberg), not this local-parquet commit
+    protocol."""
+    for p in paths:
+        if "://" in p:
+            raise NotImplementedError(
+                "curation_stream requires driver-local paths (its "
+                f"existence probes and commit markers are os-level); got {p!r}"
+            )
+
+
 def _gate(
     spark: SparkSession,
     batch: DataFrame,
@@ -56,46 +72,58 @@ def _gate(
     index_path: str,
     threshold: float,
     kw: dict,
+    materialize: bool = True,
 ) -> DataFrame:
     """The near-dup gate: survivors of `batch` against the retained
-    corpus (and smaller-id batch mates), materialized eagerly so the
-    caller's appends reuse one probe execution."""
+    corpus (and smaller-id batch mates). `materialize=True` checkpoints
+    the survivors so a caller with several consumers (count + two
+    appends) runs the probe once; callers that immediately persist the
+    frame to parquet themselves (the staged commit path) pass False
+    and save the extra action. The probes release their internal
+    caches (`release_cache=True`) — the stream is a long-lived session
+    and leaked MEMORY_AND_DISK blocks would accumulate per batch."""
     id_col = kw["id_col"]
     have_corpus = os.path.exists(corpus_path)
     if have_corpus:
         corpus = spark.read.parquet(corpus_path)
         index = spark.read.parquet(index_path)
         pairs = minhash_incremental_pairs(
-            batch, corpus, index, threshold=threshold, **kw
+            batch,
+            corpus,
+            index,
+            threshold=threshold,
+            release_cache=True,
+            **kw,
         )
         new_ids = batch.select(F.col(id_col).alias("doc")).distinct()
-        a_new = pairs.join(
-            new_ids.withColumnRenamed("doc", "doc_a"), "doc_a", "left_semi"
-        )
-        b_new = pairs.join(
-            new_ids.withColumnRenamed("doc", "doc_b"), "doc_b", "left_semi"
-        )
-        # drop a new doc when its partner is corpus (either
-        # orientation: pairs are id-ordered) or a smaller-id batch mate
+        new_b = new_ids.withColumnRenamed("doc", "doc_b")
+        # every pair has >= 1 new member (the probe's contract), so:
+        # doc_b not new -> doc_a is the new one with a corpus partner
+        # (drop doc_a); doc_b new -> its partner is corpus-or-batch
+        # with the smaller id either way (drop doc_b)
         dropped = (
-            a_new.join(
-                new_ids.withColumnRenamed("doc", "doc_b"),
-                "doc_b",
-                "left_anti",
-            )
+            pairs.join(new_b, "doc_b", "left_anti")
             .select(F.col("doc_a").alias("doc"))
-            .union(b_new.select(F.col("doc_b").alias("doc")))
+            .union(
+                pairs.join(new_b, "doc_b", "left_semi").select(
+                    F.col("doc_b").alias("doc")
+                )
+            )
             .distinct()
         )
     else:
-        pairs = minhash_near_dup_pairs(batch, threshold=threshold, **kw)
+        pairs = minhash_near_dup_pairs(
+            batch, threshold=threshold, release_cache=True, **kw
+        )
         dropped = pairs.select(F.col("doc_b").alias("doc")).distinct()
 
     survivors = batch.join(
         dropped.withColumnRenamed("doc", id_col), id_col, "left_anti"
     )
-    # one action materializes the gate; the caller's appends reuse the
-    # checkpointed rows instead of re-running the probe (direct
+    if not materialize:
+        return survivors
+    # one action materializes the gate; the caller's consumers reuse
+    # the checkpointed rows instead of re-running the probe (direct
     # localCheckpoint would re-execute the plan un-optimized —
     # materialize.py)
     from data_engineering_spark.operators.materialize import (
@@ -136,6 +164,7 @@ def curate_batch(
         num_hashes=num_hashes,
         num_bands=num_bands,
     )
+    _local_only(corpus_path, index_path)
     survivors = _gate(spark, batch, corpus_path, index_path, threshold, kw)
     retained = survivors.count()
     if retained:
@@ -175,16 +204,22 @@ def curate_batch_committed(
     3. index append (band rows recomputed from staged survivors),
        then marker `index-<id>`.
     A replay resumes at the first step whose marker is missing, reading
-    survivors back from staging rather than re-deciding them. The
-    residual limit is a crash INSIDE one append (partial part-files on
-    a non-atomic store) — same posix-rename caveat as MergeTable,
-    documented in SCALE.md.
+    survivors back from staging rather than re-deciding them — and,
+    because a crash can land AFTER an append returns but BEFORE its
+    marker write, a replayed append first anti-joins the staged rows
+    against what the target already holds (by id for the corpus, by
+    (doc, band) for the index), so a marker-less-but-applied append
+    never duplicates rows. The anti-join target scan is paid ONLY on
+    replays (detected by staging already existing at entry); the
+    first run of a batch skips it. The residual limit is a torn
+    part-file inside one append on a non-atomic store — same
+    posix-rename caveat as MergeTable, documented in SCALE.md.
 
-    Staging retention: an older batch's staging is only needed until
-    its own markers exist (the streaming checkpoint advances strictly
-    after the sink returns), so fully-committed stage dirs with
-    id < batch_id are garbage-collected here — the commit root stays
-    O(in-flight batches), not O(stream lifetime)."""
+    Retention: an older batch's staging AND markers are only needed
+    until the batch is fully committed (the streaming checkpoint
+    advances strictly after the sink returns), so both are
+    garbage-collected here for ids below the current batch — the
+    commit root stays O(in-flight batches), not O(stream lifetime)."""
     kw = dict(
         id_col=id_col,
         text_col=text_col,
@@ -194,37 +229,63 @@ def curate_batch_committed(
     )
     import shutil
 
+    _local_only(corpus_path, index_path, commit_root)
     os.makedirs(commit_root, exist_ok=True)
     stage = os.path.join(commit_root, f"stage-{batch_id:020d}")
     corpus_marker = os.path.join(commit_root, f"corpus-{batch_id:020d}")
     index_marker = os.path.join(commit_root, f"index-{batch_id:020d}")
 
     for name in sorted(os.listdir(commit_root)):
-        if not name.startswith("stage-"):
+        if not name.startswith("corpus-"):
             continue
-        sid = name[len("stage-"):]
+        sid = name[len("corpus-"):]
         if not (sid.isdigit() and int(sid) < batch_id):
             continue
-        if os.path.exists(
-            os.path.join(commit_root, f"corpus-{sid}")
-        ) and os.path.exists(os.path.join(commit_root, f"index-{sid}")):
-            shutil.rmtree(os.path.join(commit_root, name), ignore_errors=True)
+        old_index = os.path.join(commit_root, f"index-{sid}")
+        if os.path.exists(old_index):
+            # stage first: if a crash interrupts this GC, the markers
+            # still prove the batch committed and the next GC retries
+            shutil.rmtree(
+                os.path.join(commit_root, f"stage-{sid}"),
+                ignore_errors=True,
+            )
+            os.remove(old_index)
+            os.remove(os.path.join(commit_root, name))
 
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    replayed = os.path.exists(os.path.join(stage, "_SUCCESS"))
+    if not replayed:
         survivors = _gate(
-            spark, batch, corpus_path, index_path, threshold, kw
+            spark,
+            batch,
+            corpus_path,
+            index_path,
+            threshold,
+            kw,
+            materialize=False,
         )
         # overwrite: a half-written staging from a crash is replaced
         survivors.write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
     retained = staged.count()
     if retained and not os.path.exists(corpus_marker):
-        staged.write.mode("append").parquet(corpus_path)
+        to_corpus = staged
+        if replayed and os.path.exists(corpus_path):
+            to_corpus = staged.join(
+                spark.read.parquet(corpus_path).select(id_col),
+                id_col,
+                "left_anti",
+            )
+        to_corpus.write.mode("append").parquet(corpus_path)
     _touch(corpus_marker)
     if retained and not os.path.exists(index_marker):
-        minhash_band_index(staged, **kw).write.mode("append").parquet(
-            index_path
-        )
+        rows = minhash_band_index(staged, **kw)
+        if replayed and os.path.exists(index_path):
+            rows = rows.join(
+                spark.read.parquet(index_path).select("doc", "band"),
+                ["doc", "band"],
+                "left_anti",
+            )
+        rows.write.mode("append").parquet(index_path)
     _touch(index_marker)
     return retained
 

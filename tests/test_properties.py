@@ -469,6 +469,34 @@ def test_lsh_join_tiled_equals_untiled(spark):
     assert plain == tiled and len(plain) >= 60 * 59 / 2
 
 
+def test_tiled_release_cache_same_results_and_no_leak(spark):
+    """release_cache=True must not change results, and the tiled
+    banding persist must actually be dropped (streaming callers invoke
+    this per batch — a leaked block per call is unbounded state)."""
+    emb = load_table(spark, SF, "embeddings")
+    kw = dict(num_bands=8, planes_per_band=4, max_bucket_rows=64)
+    kept = {
+        tuple(r)
+        for r in lsh_bucketed_similarity_join(emb, 0.4, **kw).collect()
+    }
+    spark.catalog.clearCache()
+    blocks_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    released = {
+        tuple(r)
+        for r in lsh_bucketed_similarity_join(
+            emb, 0.4, release_cache=True, **kw
+        ).collect()
+    }
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert kept == released and kept
+    # exactly the output-sized localCheckpoint of the result may
+    # remain (eager_checkpoint's contract); the banding persist — the
+    # big one, id + vector per band row — must be gone
+    assert blocks_before == 0
+    # 2 entries would mean banding persist + checkpoint both survived
+    assert len(infos) <= 1, "banding persist leaked"
+
+
 def test_incremental_tiled_equals_untiled(spark):
     """Same invariance for the mixed-mode (batch-vs-index) scorer."""
     from data_engineering_spark.operators.similarity import (

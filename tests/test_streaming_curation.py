@@ -255,12 +255,56 @@ def test_committed_batch_resumes_after_mid_batch_crash(spark, tmp_path):
     )
     assert _corpus_ids(spark, corpus) == {1, 3, 5, 7}
 
-    # committed stage dirs below batch 2 were garbage-collected; its
-    # own staging (the in-flight retention window) remains
-    stages = sorted(
-        n for n in os.listdir(commits) if n.startswith("stage-")
+    # committed stage dirs AND markers below batch 2 were
+    # garbage-collected; batch 2's own artifacts (the in-flight
+    # retention window) remain
+    left = sorted(os.listdir(commits))
+    assert left == [
+        f"corpus-{2:020d}",
+        f"index-{2:020d}",
+        f"stage-{2:020d}",
+    ]
+
+    # crash window AFTER an append returns but BEFORE its marker:
+    # simulate by removing batch 2's corpus marker and replaying — the
+    # replay detects existing staging and anti-joins, so no row dupes
+    os.remove(os.path.join(commits, f"corpus-{2:020d}"))
+    before = spark.read.parquet(corpus).count()
+    cs.curate_batch_committed(
+        spark,
+        spark.createDataFrame(BATCHES[2], DOC_SCHEMA),
+        2,
+        corpus,
+        index,
+        commits,
+        **KW,
     )
-    assert stages == [f"stage-{2:020d}"]
+    assert spark.read.parquet(corpus).count() == before
+    assert _corpus_ids(spark, corpus) == {1, 3, 5, 7}
+
+
+def test_curation_refuses_non_local_paths(spark, tmp_path):
+    """URI-addressed stores would silently disable the corpus gate
+    (os.path.exists is driver-local); the module must refuse them."""
+    import pytest
+
+    import data_engineering_spark.streaming.curation_stream as cs
+
+    batch = spark.createDataFrame(BATCHES[0], DOC_SCHEMA)
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        cs.curate_batch(
+            spark, batch, "s3a://bucket/corpus", str(tmp_path / "i"), **KW
+        )
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        cs.curate_batch_committed(
+            spark,
+            batch,
+            0,
+            str(tmp_path / "c"),
+            "hdfs://nn/index",
+            str(tmp_path / "commits"),
+            **KW,
+        )
 
 
 def test_curation_batch_empty_survivors(spark, tmp_path):
