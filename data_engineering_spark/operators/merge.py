@@ -48,6 +48,37 @@ from pyspark.sql import functions as F
 UPSERT_OPS = ("c", "u", "r")
 DELETE_OP = "d"
 
+# Spark/Hive partition-directory escaping (ExternalCatalogUtils): these
+# chars plus all control chars are %XX-encoded in dir names; NULL
+# partition values map to the default-partition sentinel. Needed
+# whenever a directory name is RECONSTRUCTED from a value (stale-
+# partition cleanup) — a raw f"{col}={value}" misses the escaping and
+# silently targets a directory that does not exist.
+_PART_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+_NULL_PART_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_dir(col: str, value) -> str:
+    if value is None:
+        return f"{col}={_NULL_PART_DIR}"
+    escaped = "".join(
+        f"%{ord(ch):02X}" if ch in _PART_ESCAPE or ord(ch) < 32 else ch
+        for ch in str(value)
+    )
+    return f"{col}={escaped}"
+
+
+def _partition_match(col: str, parts: Sequence) -> F.Column:
+    """isin() that keeps NULL-partition rows matchable: `x.isin(...)`
+    is SQL-NULL for NULL x, so filters built on it silently drop every
+    null-partition row from both the pruned target and the merged
+    output."""
+    vals = [v for v in parts if v is not None]
+    cond = F.col(col).isin(vals) if vals else F.lit(False)
+    if len(vals) != len(parts):
+        cond = cond | F.col(col).isNull()
+    return cond
+
 
 def merge_into_sql(
     target: str,
@@ -130,7 +161,16 @@ def merge_frames(
     # With ts_guard the delete must obey the same newer-wins rule: a
     # late delete whose __ts_ms is older than the stored row is ignored.
     # (Default ts_guard=False keeps the reference's unguarded behavior.)
-    is_delete = s_present & (F.col(f"s.{op_col}") == DELETE_OP) & s_wins
+    # coalesce(False): a malformed event with NULL op (or a guarded
+    # delete with NULL ts) makes the conjunction SQL-NULL, and
+    # filter(~NULL) would silently DROP the row — i.e. apply the
+    # delete. NULL must mean "not a delete": the row survives and
+    # pick()'s when(s_wins, ...).otherwise(target) already degrades
+    # NULL comparisons to target-wins.
+    is_delete = F.coalesce(
+        s_present & (F.col(f"s.{op_col}") == DELETE_OP) & s_wins,
+        F.lit(False),
+    )
 
     def pick(c: str) -> F.Column:
         in_t, in_s = c in target.columns, c in source.columns
@@ -337,7 +377,11 @@ class MergeTable:
         ts_guard: bool,
     ) -> None:
         if not self.exists():
-            inserts = source.filter(F.col(op_col) != DELETE_OP)
+            # NULL op is "not a delete" (same rule as merge_frames) —
+            # a bare != would NULL-drop malformed events
+            inserts = source.filter(
+                F.coalesce(F.col(op_col) != DELETE_OP, F.lit(True))
+            )
             self.create(inserts)
             return
         target = self.read()
@@ -349,13 +393,16 @@ class MergeTable:
         merged = merge_frames(
             target, source, self.key_columns, op_col, ts_col, ts_guard
         )
-        staging = os.path.join(
-            tempfile.gettempdir(), f"mergetable-{uuid.uuid4().hex}"
-        )
+        # staging lives NEXT TO the table, not in /tmp: across
+        # filesystems shutil.move degrades to a recursive copy — not
+        # atomic, double the space, and a crash mid-copy loses the
+        # table path. Same-filesystem staging keeps the swap a pair of
+        # renames.
+        staging = f"{self.path}.staging-{uuid.uuid4().hex}"
         self._write(merged, staging)
         old = f"{self.path}.old-{uuid.uuid4().hex}"
         os.replace(self.path, old)
-        shutil.move(staging, self.path)
+        os.replace(staging, self.path)
         # the rename map is table METADATA riding inside the data dir —
         # carry it across the atomic swap or renames would silently undo
         old_map = os.path.join(old, "_colmap.json")
@@ -432,24 +479,34 @@ class MergeTable:
             staging_in = os.path.join(
                 tempfile.gettempdir(), f"mergetable-in-{uuid.uuid4().hex}"
             )
-            target.filter(F.col(p).isin(parts)).write.parquet(staging_in)
+            target.filter(_partition_match(p, parts)).write.parquet(
+                staging_in
+            )
             pruned_target = self.spark.read.parquet(staging_in)
         else:
             staging_in = None
-            pruned_target = target.filter(F.col(p).isin(parts)).localCheckpoint(
-                eager=True
-            )
+            pruned_target = target.filter(
+                _partition_match(p, parts)
+            ).localCheckpoint(eager=True)
         from pyspark.sql import Observation
 
         merged = merge_frames(
             pruned_target, source, self.key_columns, op_col, ts_col, ts_guard
-        ).filter(F.col(p).isin(parts))
+        ).filter(_partition_match(p, parts))
         # The surviving-partitions set rides the overwrite action via
         # observe(collect_set) — no second job, no persist of the merged
         # frame. Partition counts are metadata-sized (bounded by `parts`),
         # well within driver collect_set limits.
         obs = Observation()
-        merged = merged.observe(obs, F.collect_set(F.col(p)).alias("parts"))
+        # collect_set drops NULL, so a surviving null partition needs
+        # its own flag or the stale-cleanup below would delete it
+        merged = merged.observe(
+            obs,
+            F.collect_set(F.col(p)).alias("parts"),
+            F.max(
+                F.when(F.col(p).isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("null_part"),
+        )
         # dynamic partition overwrite replaces exactly the partitions
         # present in `merged`; a partition whose rows were all deleted
         # would be absent from `merged` and thus survive stale — write
@@ -470,9 +527,12 @@ class MergeTable:
             w = w.option("maxRecordsPerFile", self.max_records_per_file)
         w.partitionBy(p).parquet(self.path)
         surviving = set(obs.get["parts"] or [])
+        if obs.get["null_part"]:
+            surviving.add(None)
         for stale in set(parts) - surviving:
             shutil.rmtree(
-                os.path.join(self.path, f"{p}={stale}"), ignore_errors=True
+                os.path.join(self.path, _partition_dir(p, stale)),
+                ignore_errors=True,
             )
         if staging_in is not None:
             shutil.rmtree(staging_in, ignore_errors=True)
@@ -515,6 +575,13 @@ class MergeTableMOR:
         self.path = path
         self.key_columns = list(key_columns)
         self.ts_guard = ts_guard
+        # same in-process serialization as the COW backend (shared
+        # registry): without it two concurrent merges read the same
+        # delta count and the later overwrite of delta-{N} silently
+        # clobbers the earlier batch
+        self._lock = MergeTable._path_locks.setdefault(
+            os.path.abspath(path), threading.Lock()
+        )
 
     @property
     def base_path(self) -> str:
@@ -543,12 +610,19 @@ class MergeTableMOR:
     def merge(self, source: DataFrame, op_col: str = "__op") -> None:
         """Append the batch as one delta (source must be pre-compacted
         to one row per key, as the CDC pipeline guarantees)."""
-        if not self.exists():
-            self.create(source.filter(F.col(op_col) != DELETE_OP))
-            return
-        seq = len(self._delta_paths())
-        dest = os.path.join(self.delta_dir, f"delta-{seq:010d}")
-        source.write.mode("overwrite").parquet(dest)
+        with self._lock:
+            if not self.exists():
+                self.create(
+                    source.filter(
+                        F.coalesce(
+                            F.col(op_col) != DELETE_OP, F.lit(True)
+                        )
+                    )
+                )
+                return
+            seq = len(self._delta_paths())
+            dest = os.path.join(self.delta_dir, f"delta-{seq:010d}")
+            source.write.mode("overwrite").parquet(dest)
 
     def versions(self) -> list[int]:
         """Readable table versions: 0 = base only, k = base + first k
@@ -594,6 +668,14 @@ class MergeTableMOR:
             )
         if op_col not in out.columns:
             out = out.withColumn(op_col, F.lit("r"))
+        else:
+            # unionByName null-fills frames that lack op_col (a base
+            # created from a snapshot without __op, deltas with it):
+            # those NULLs would make the != 'd' filter below silently
+            # drop every untouched base row
+            out = out.withColumn(
+                op_col, F.coalesce(F.col(op_col), F.lit("r"))
+            )
         order = (
             (ts_col, ["__delta_seq"])
             if self.ts_guard
@@ -646,17 +728,18 @@ class MergeTableMOR:
         number of deltas folded. The MOR maintenance job: run when
         delta_count()/bytes crosses a threshold so read amplification
         stays bounded."""
-        paths = self._delta_paths()
-        if not paths:
-            return 0
-        staging = os.path.join(
-            tempfile.gettempdir(), f"mor-compact-{uuid.uuid4().hex}"
-        )
-        self.read().write.parquet(staging)
-        old = f"{self.base_path}.old-{uuid.uuid4().hex}"
-        os.replace(self.base_path, old)
-        shutil.move(staging, self.base_path)
-        for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        return len(paths)
+        with self._lock:
+            paths = self._delta_paths()
+            if not paths:
+                return 0
+            # same-filesystem staging: /tmp staging degrades the swap
+            # to a non-atomic cross-device copy (see MergeTable swap)
+            staging = f"{self.base_path}.staging-{uuid.uuid4().hex}"
+            self.read().write.parquet(staging)
+            old = f"{self.base_path}.old-{uuid.uuid4().hex}"
+            os.replace(self.base_path, old)
+            os.replace(staging, self.base_path)
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return len(paths)

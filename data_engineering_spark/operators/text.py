@@ -25,9 +25,18 @@ STOPWORDS = {
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization; `trim` first so edges don't yield empty
-    tokens (mirrors DuckDB string_split_regex on trimmed text)."""
+    tokens (mirrors DuckDB string_split_regex on trimmed text). Fully
+    empty/whitespace text is the one case split can't cover — it
+    returns [''] (size 1), a phantom token that would flow into every
+    count/filter/n-gram consumer — so it maps to an empty array
+    explicitly. (DuckDB's string_split_regex shares the [''] quirk;
+    an oracle over a corpus WITH empty docs needs the same CASE guard.
+    The test corpora contain none, verified.) NULL stays NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    t = F.trim(c)
+    return F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
 
 
 def token_count(col: Column | str) -> Column:
@@ -344,7 +353,13 @@ def simhash64(shingle_col: Column | str) -> Column:
     fp = F.lit(0).cast("long")
     for i in range(64):
         fp = fp + (bit_vote(i).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long"))
-    return fp
+    # empty shingle set: every majority vote is vacuously true
+    # (0*2 >= 0), which would collapse ALL short documents onto the
+    # fingerprint -1 and bucket them as mutual near-dups. NULL instead:
+    # equi-joins on bands skip NULL, so shingle-less docs simply don't
+    # participate (the portable variant filters size(sh) > 0 upstream
+    # for the same reason).
+    return F.when(cnt > 0, fp)
 
 
 def simhash_portable_fingerprints(

@@ -33,11 +33,15 @@ def read_tar_members(
     path: str,
     member_glob: str | None = None,
 ) -> DataFrame:
-    """(shard string, member string, payload binary, size long) — one
-    row per regular file across every tar shard matched by `path`
-    (a file, directory, or glob, per binaryFile semantics).
-    `member_glob` pre-filters member names executor-side (fnmatch),
-    e.g. ``"*.txt"`` skips decoding payloads that would be dropped."""
+    """(shard string, member string, payload binary, size long,
+    offset long) — one row per regular file across every tar shard
+    matched by `path` (a file, directory, or glob, per binaryFile
+    semantics). `offset` is the member's byte position in its shard:
+    tar update/append semantics make the LATER entry of a repeated
+    name authoritative, and offset is the order witness grouping needs
+    after a shuffle. `member_glob` pre-filters member names
+    executor-side (fnmatch), e.g. ``"*.txt"`` skips decoding payloads
+    that would be dropped."""
     import fnmatch
     import io
     import tarfile
@@ -49,9 +53,13 @@ def read_tar_members(
     )
 
     def extract(batches):
+        # one yield PER SHARD, not per Arrow batch: a batch can carry
+        # several 100 MB-1 GB shards, and accumulating every shard's
+        # extracted members on top of the batch's own tar bytes doubles
+        # peak executor memory for no reason
         for pdf in batches:
-            rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
+                rows = []
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     for m in tf:
                         if not m.isfile():
@@ -61,13 +69,18 @@ def read_tar_members(
                         ):
                             continue
                         fh = tf.extractfile(m)
-                        rows.append((p, m.name, fh.read(), m.size))
-            yield pd.DataFrame(
-                rows, columns=["shard", "member", "payload", "size"]
-            )
+                        rows.append(
+                            (p, m.name, fh.read(), m.size, m.offset)
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=["shard", "member", "payload", "size", "offset"],
+                )
 
     return shards.mapInPandas(
-        extract, "shard string, member string, payload binary, size long"
+        extract,
+        "shard string, member string, payload binary, size long, "
+        "offset long",
     )
 
 
@@ -76,19 +89,38 @@ def webdataset_records(members: DataFrame) -> DataFrame:
     parts map<string, binary>, n_parts) where key is the member name
     up to the first dot and the map keys are the remaining extension
     (WebDataset's `key.ext` convention; nested dirs stay in the key).
-    One shuffle on (shard, key)."""
+    One shuffle on (shard, key).
+
+    A repeated (key, ext) within a shard is legal tar (append/update
+    writes a superseding entry) — and map_from_entries would THROW on
+    the duplicate key (default EXCEPTION dedup policy), killing the
+    job on one shard. Tar semantics say the later entry wins: entries
+    sort by (ext, offset) inside the one aggregation and only the
+    last offset per ext reaches the map — still a single shuffle
+    (dedup is an array lambda, not a second groupBy)."""
     keyed = members.select(
         "shard",
         F.regexp_extract("member", r"^(.*?)\.([^/]*)$", 1).alias("key"),
         F.regexp_extract("member", r"^(.*?)\.([^/]*)$", 2).alias("ext"),
         "payload",
+        "offset",
     ).filter(F.col("ext") != "")
-    return (
-        keyed.groupBy("shard", "key")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("ext", "payload"))
-            ).alias("parts"),
-            F.count(F.lit(1)).cast("int").alias("n_parts"),
-        )
+    grouped = keyed.groupBy("shard", "key").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ext", "offset", "payload"))
+        ).alias("__entries")
+    )
+    last_per_ext = (
+        "filter(__entries, (x, i) -> i = size(__entries) - 1 "
+        "OR __entries[i + 1].ext != x.ext)"
+    )
+    return grouped.select(
+        "shard",
+        "key",
+        F.map_from_entries(
+            F.expr(
+                f"transform({last_per_ext}, e -> struct(e.ext, e.payload))"
+            )
+        ).alias("parts"),
+        F.expr(f"size({last_per_ext})").cast("int").alias("n_parts"),
     )

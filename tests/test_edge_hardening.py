@@ -1,0 +1,198 @@
+"""Regression tests for review-found edge cases: SQL-NULL leaking
+through delete predicates and partition pruning, partition-directory
+escaping, MOR base/delta op-column backfill, MOR merge concurrency,
+duplicate tar members, and degenerate text inputs."""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.merge import (
+    MergeTable,
+    MergeTableMOR,
+    _partition_dir,
+)
+
+
+_SCHEMA = "id int, val string, __ts_ms long, __op string"
+
+
+def _batch(spark, rows, schema=_SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_null_op_event_is_not_a_delete(spark, tmp_path):
+    """A malformed CDC event with NULL __op made is_delete SQL-NULL and
+    filter(~NULL) silently DELETED the target row; NULL must mean
+    'not a delete' and upsert normally."""
+    t = MergeTable(spark, str(tmp_path / "t"), ["id"])
+    t.merge(_batch(spark, [(1, "a", 100, "c"), (2, "b", 100, "c")]))
+    t.merge(_batch(spark, [(1, "a2", 200, None), (3, "c", 200, None)]))
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_null_op_on_create_path_inserts(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), ["id"])
+    t.merge(_batch(spark, [(1, "a", 100, None), (2, "b", 100, "d")]))
+    assert {r["id"] for r in t.read().collect()} == {1}
+
+
+def test_guarded_delete_with_null_ts_is_ignored_not_applied(
+    spark, tmp_path
+):
+    """ts_guard means newer-wins; a delete with NULL __ts_ms has no
+    defensible 'newer' claim, and the old NULL leak APPLIED it."""
+    t = MergeTable(spark, str(tmp_path / "t"), ["id"])
+    t.merge(_batch(spark, [(1, "a", 100, "c")]), ts_guard=True)
+    t.merge(_batch(spark, [(1, None, None, "d")]), ts_guard=True)
+    assert {r["id"]: r["val"] for r in t.read().collect()} == {1: "a"}
+
+
+def test_null_partition_rows_survive_partitioned_merge(spark, tmp_path):
+    """isin() is SQL-NULL for NULL partition values — both the batch's
+    null-partition rows and the table's existing null partition were
+    silently dropped."""
+    t = MergeTable(
+        spark, str(tmp_path / "t"), ["id"], partition_by="pt"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", "p1", 100, "c"), (2, "b", None, 100, "c")],
+        "id int, val string, pt string, __ts_ms long, __op string",
+    )
+    t.merge(b1)
+    b2 = spark.createDataFrame(
+        [(2, "b2", None, 200, "u"), (3, "c", None, 200, "c")],
+        "id int, val string, pt string, __ts_ms long, __op string",
+    )
+    t.merge(b2)
+    rows = {r["id"]: (r["val"], r["pt"]) for r in t.read().collect()}
+    assert rows == {1: ("a", "p1"), 2: ("b2", None), 3: ("c", None)}
+
+    # deleting every null-partition row must clean up its directory
+    b3 = spark.createDataFrame(
+        [(2, None, None, 300, "d"), (3, None, None, 300, "d")],
+        "id int, val string, pt string, __ts_ms long, __op string",
+    )
+    t.merge(b3)
+    assert {r["id"] for r in t.read().collect()} == {1}
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "t"), "pt=__HIVE_DEFAULT_PARTITION__")
+    )
+
+
+def test_stale_partition_cleanup_with_escaped_value(spark, tmp_path):
+    """Spark writes 'a/b' as pt=a%2Fb; the old cleanup built the raw
+    name, removed nothing, and deleted rows resurrected on read."""
+    assert _partition_dir("pt", "a/b") == "pt=a%2Fb"
+    t = MergeTable(
+        spark, str(tmp_path / "t"), ["id"], partition_by="pt"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", "a/b", 100, "c"), (2, "b", "keep", 100, "c")],
+        "id int, val string, pt string, __ts_ms long, __op string",
+    )
+    t.merge(b1)
+    b2 = spark.createDataFrame(
+        [(1, None, "a/b", 200, "d")],
+        "id int, val string, pt string, __ts_ms long, __op string",
+    )
+    t.merge(b2)
+    assert {r["id"] for r in t.read().collect()} == {2}
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "t"), "pt=a%2Fb")
+    )
+
+
+def test_mor_base_without_op_survives_delta_reads(spark, tmp_path):
+    """Base loaded without __op + deltas with it: unionByName null-
+    fills base __op, and the != 'd' read filter dropped the whole
+    untouched base."""
+    t = MergeTableMOR(spark, str(tmp_path / "t"), ["id"])
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 100), (2, "b", 100)],
+            "id int, val string, __ts_ms long",
+        )
+    )
+    t.merge(_batch(spark, [(3, "c", 200, "c"), (2, None, 200, "d")]))
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows == {1: "a", 3: "c"}
+    # compact must preserve exactly the same state
+    t.compact()
+    assert {
+        r["id"]: r["val"] for r in t.read().collect()
+    } == rows
+
+
+def test_mor_concurrent_merges_keep_both_batches(spark, tmp_path):
+    """Two threads merging the same MOR table computed the same delta
+    seq and the later overwrite clobbered the earlier batch."""
+    import threading
+
+    t = MergeTableMOR(spark, str(tmp_path / "t"), ["id"])
+    t.create(_batch(spark, [(1, "a", 100, "c")]))
+    b1 = _batch(spark, [(2, "b", 200, "c")])
+    b2 = _batch(spark, [(3, "c", 200, "c")])
+    th = [
+        threading.Thread(target=t.merge, args=(b,)) for b in (b1, b2)
+    ]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert t.delta_count() == 2
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_tar_duplicate_member_latest_wins(spark, tmp_path):
+    """A repeated member name (tar update semantics) must not throw on
+    map_from_entries; the later entry's payload wins."""
+    from data_engineering_spark.sources.tar_shards import (
+        read_tar_members,
+        webdataset_records,
+    )
+
+    shard = tmp_path / "s0.tar"
+    with tarfile.open(shard, "w") as tf:
+        for name, payload in [
+            ("0001.txt", b"old"),
+            ("0001.json", b"{}"),
+            ("0001.txt", b"new"),
+        ]:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    recs = webdataset_records(
+        read_tar_members(spark, str(shard))
+    ).collect()
+    assert len(recs) == 1
+    parts = {k: bytes(v) for k, v in recs[0]["parts"].items()}
+    assert parts == {"txt": b"new", "json": b"{}"}
+    assert recs[0]["n_parts"] == 2
+
+
+def test_tokens_and_simhash_degenerate_inputs(spark):
+    from data_engineering_spark.operators.text import simhash64, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, ""), (4, None)], ["id", "text"]
+    )
+    out = {
+        r["id"]: r["t"]
+        for r in df.select("id", tokens("text").alias("t")).collect()
+    }
+    assert out == {1: ["a", "b"], 2: [], 3: [], 4: None}
+
+    sh = df.select(
+        "id",
+        simhash64(
+            F.when(F.col("id") == 1, F.array(F.lit("abc")))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("fp"),
+    ).collect()
+    fps = {r["id"]: r["fp"] for r in sh}
+    assert fps[1] is not None
+    assert fps[2] is None and fps[3] is None and fps[4] is None
