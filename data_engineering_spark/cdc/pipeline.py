@@ -124,10 +124,28 @@ class CdcEngine:
         partition_by: str | None = None,
     ):
         t = self.tables.get(name)
+        want_mor = self.config.backend == "mor" and bool(key_columns)
+        if t is not None:
+            # the cache is by name only; a later batch can legitimately
+            # change the inferred config (first batch had a NULL key
+            # payload -> keyless COW cached; next batch carries real
+            # keys, or schema evolution changes the partition spec).
+            # Silently reusing the stale instance would merge with the
+            # wrong keys/backend — rebuild when config drifts.
+            stale = (
+                list(t.key_columns) != list(key_columns)
+                or isinstance(t, MergeTableMOR) != want_mor
+                or (
+                    not want_mor
+                    and getattr(t, "partition_by", None) != partition_by
+                )
+            )
+            if stale:
+                t = None
         if t is None:
             # keyless tables are plain appends — MOR delta resolution
             # has nothing to resolve, so they use the COW class either way
-            if self.config.backend == "mor" and key_columns:
+            if want_mor:
                 t = MergeTableMOR(
                     self.spark,
                     self.table_path(name),
@@ -208,9 +226,21 @@ class CdcEngine:
                 ["__offset"] if "__offset" in slice_df.columns else []
             )
             lww = keep_last_agg if self.config.lww == "agg" else keep_last
+            # coalesce to the raw payload for NULL message keys: groupBy
+            # puts all NULLs in ONE group, so a misconfigured producer
+            # (keyed table, key never set) would collapse every record
+            # of the batch to the single latest row — silent loss of
+            # N-1 valid rows before parsing could even see them. The
+            # exact per-parsed-key compaction happens in _finish_table.
             slice_df = lww(
-                slice_df, ["key", "__topic"], "__ts_ms", tiebreakers=tiebreak
-            )
+                slice_df.withColumn(
+                    "__lww_key",
+                    F.coalesce(F.col("key"), F.col("value")),
+                ),
+                ["__lww_key", "__topic"],
+                "__ts_ms",
+                tiebreakers=tiebreak,
+            ).drop("__lww_key")
 
         parsed = parse_envelope_batch(slice_df, inferred)
         stamped = stamp_multitenant(parsed).drop("__deleted")
@@ -265,7 +295,10 @@ class CdcEngine:
         if not keys:
             # keyless table → plain append (reference :275-276 INSERT path)
             table = self.get_table(name, [])
-            inserts = stamped.filter(F.col("__op") != "d")
+            # NULL op is "not a delete" — a bare != would NULL-drop
+            inserts = stamped.filter(
+                F.coalesce(F.col("__op") != "d", F.lit(True))
+            )
             if table.exists():
                 aligned = inserts.unionByName(
                     table.read().limit(0), allowMissingColumns=True
@@ -294,6 +327,26 @@ class CdcEngine:
             partition_col = spec.column
 
         merge_keys = ["__rds_id", "__tenant_id", *keys]
+        # exact one-row-per-merge-key guarantee on the PARSED keys: the
+        # raw-stage LWW groups by the Kafka message key (or the raw
+        # payload for NULL message keys), which is only a PROXY for
+        # record identity — two envelopes with NULL message keys and
+        # the same payload key would both survive it, and duplicate
+        # that key in the table through the full-outer merge join.
+        # Rows with a NULL key column bypass this compaction (groupBy
+        # would collapse all of them into one) and retain the
+        # quarantine/append handling downstream.
+        nonnull = F.lit(True)
+        for k in merge_keys:
+            nonnull = nonnull & F.col(k).isNotNull()
+        tiebreak = ["__offset"] if "__offset" in stamped.columns else []
+        lww = keep_last_agg if self.config.lww == "agg" else keep_last
+        stamped = lww(
+            stamped.filter(nonnull),
+            merge_keys,
+            "__ts_ms",
+            tiebreakers=tiebreak,
+        ).unionByName(stamped.filter(~nonnull))
         table = self.get_table(name, merge_keys, partition_by=partition_col)
         # the reference wraps its MERGE in a 10-attempt optimistic retry
         # (:281-292); this is also what makes the non-durable

@@ -92,6 +92,22 @@ def connected_components(
             except Exception:
                 pass
 
+    return _cc_loop(e, labels, prev_ckpt, max_iter, _release)
+
+
+def _cc_loop(e, labels, prev_ckpt, max_iter, _release):
+    try:
+        return _cc_rounds(e, labels, prev_ckpt, max_iter, _release)
+    except BaseException:
+        # the hygiene contract must hold on the failure path too: a
+        # non-convergence raise (or any mid-loop error) would otherwise
+        # strand the edge checkpoint blocks, which clearCache cannot
+        # free (the round checkpoints release inside _cc_rounds)
+        _release(e)
+        raise
+
+
+def _cc_rounds(e, labels, prev_ckpt, max_iter, _release):
     for _ in range(max_iter):
         # step 1 — edge propagation: for each vertex, min label among
         # its neighbors, then min(own, incoming)
@@ -143,6 +159,7 @@ def connected_components(
         if changed == 0:
             _release(e)
             return labels
+    _release(prev_ckpt)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
@@ -177,10 +194,22 @@ def degrees(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
 ) -> DataFrame:
-    """Undirected degree per vertex: (vertex, degree). One union of
-    the two endpoint projections + one aggregation."""
-    ends = edges.select(F.col(src_col).alias("vertex")).unionAll(
-        edges.select(F.col(dst_col).alias("vertex"))
+    """Undirected degree per vertex: (vertex, degree) of the SIMPLE
+    graph — edges normalize to unordered pairs and dedup first, and
+    self-loops are ignored, matching connected_components' and
+    triangle_count's normalization (a pair list carrying both (a,b)
+    and (b,a), or the same pair from two LSH bands, must not
+    double-count hub degrees)."""
+    uniq = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ends = uniq.select(F.col("u").alias("vertex")).unionAll(
+        uniq.select(F.col("v").alias("vertex"))
     )
     return ends.groupBy("vertex").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -355,4 +384,8 @@ def pagerank(
             pass
         prev = ranks
     out.unpersist(blocking=False)
+    # verts' checkpoint blocks fed every round but the returned ranks
+    # no longer reference them — keeping them alive per call is the
+    # exact leak the loop hygiene exists to prevent
+    verts.unpersist(blocking=False)
     return ranks

@@ -597,8 +597,15 @@ class MergeTableMOR:
     def _delta_paths(self) -> list[str]:
         import glob
 
+        # only COMMITTED deltas count: a crash mid-write can leave a
+        # partial dir (no _SUCCESS), and counting it would (a) shift
+        # the next merge's sequence past a hole and (b) feed read()
+        # a corrupt/empty frame. Partial dirs are invisible here and
+        # overwritten by the next merge's staged rename.
         return sorted(
-            glob.glob(os.path.join(self.delta_dir, "delta-*"))
+            p
+            for p in glob.glob(os.path.join(self.delta_dir, "delta-*"))
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
         )
 
     def delta_count(self) -> int:
@@ -620,9 +627,27 @@ class MergeTableMOR:
                     )
                 )
                 return
+            # stage-then-rename: writing delta-N directly is not
+            # retry-safe (with_retry wraps this in the CDC engine) — a
+            # failed attempt's partial delta-N would be unioned by
+            # read() or shift a blind recount. The staged write can
+            # crash harmlessly (invisible to _delta_paths), and the
+            # rename publishes a fully-written delta or nothing.
+            import glob
+
+            for leftover in glob.glob(
+                os.path.join(self.delta_dir, ".staging-*")
+            ):
+                shutil.rmtree(leftover, ignore_errors=True)
+            staging = os.path.join(
+                self.delta_dir, f".staging-{uuid.uuid4().hex}"
+            )
+            source.write.mode("overwrite").parquet(staging)
             seq = len(self._delta_paths())
             dest = os.path.join(self.delta_dir, f"delta-{seq:010d}")
-            source.write.mode("overwrite").parquet(dest)
+            if os.path.exists(dest):  # partial dir from a crash
+                shutil.rmtree(dest)
+            os.replace(staging, dest)
 
     def versions(self) -> list[int]:
         """Readable table versions: 0 = base only, k = base + first k

@@ -118,19 +118,26 @@ def scd2_merge(
     # __seq=0 sorts it before any delta change at the same timestamp;
     # order_cols of the pseudo-row are NULL and never compared because
     # __seq already breaks the tie.
+    # the pseudo-row's NULL order cols take the DELTA's own types —
+    # force-casting the delta side to long would corrupt string or
+    # sub-second-timestamp tiebreakers (NULLs / truncation = false
+    # ties, breaking the rebuild-equivalence contract)
     pseudo = current.join(touched, keys, "left_semi").select(
         *keys,
         *tracked,
         F.col("valid_from").alias(ts_col),
         F.lit(0).alias("__seq"),
-        *[F.lit(None).cast("long").alias(c) for c in (order_cols or [])],
+        *[
+            F.lit(None).cast(delta.schema[c].dataType).alias(c)
+            for c in (order_cols or [])
+        ],
     )
     d = delta.select(
         *keys,
         *tracked,
         ts_col,
         F.lit(1).alias("__seq"),
-        *[F.col(c).cast("long") for c in (order_cols or [])],
+        *[F.col(c) for c in (order_cols or [])],
     )
     rebuilt = scd2_build(
         pseudo.unionByName(d),

@@ -216,19 +216,30 @@ def heavy_hitters(
                         del counters[key]
         yield pd.DataFrame({"v": list(counters.keys())})
 
+    # the source lineage (often an expensive upstream pipeline) feeds
+    # three consumers — the MG candidate pass, the total count, and the
+    # exact verify. Persist so the lineage executes once and the other
+    # consumers read cached blocks (lazy persist, LRU-evicted — same
+    # policy as the text operators), and carry the total as a
+    # broadcast scalar INSIDE the plan so the operator stays lazy.
+    from pyspark import StorageLevel
+
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
     cands = (
         src.mapInPandas(mg, "v string")
         .distinct()
     )
-    n_total = df.count()
+    total = src.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     exact = (
         src.join(F.broadcast(cands), "v", "left_semi")
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    return exact.filter(
-        F.col("cnt") >= F.lit(float(phi)) * F.lit(float(n_total))
-    ).select(F.col("v").alias("value"), "cnt")
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(float(phi)) * F.col("__n"))
+        .select(F.col("v").alias("value"), "cnt")
+    )
 
 
 def kmv_rolling_distinct(

@@ -24,10 +24,23 @@ from pyspark.sql import functions as F
 
 def with_salt(df: DataFrame, num_salts: int, col_name: str = "__salt") -> DataFrame:
     """Deterministic pseudo-random salt derived from the row content
-    hash (NOT rand(): retries/speculative tasks must re-derive the same
-    salt or results change under recomputation)."""
+    hash plus the input partition id (NOT rand(): retries/speculative
+    tasks must re-derive the same salt or results change under
+    recomputation; spark_partition_id is plan-deterministic).
+
+    Why the partition id participates: the motivating hot key is often
+    IDENTICAL rows after projection (one bot user, one event shape) —
+    a pure content hash would give every duplicate the same salt and
+    re-pin the skew onto one task. Content-identical rows in the SAME
+    input partition still share a salt, but those already collapse in
+    that task's map-side partial aggregate; the cross-partition copies
+    are the ones that must spread, and the partition id spreads them."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(num_salts))
+        col_name,
+        F.pmod(
+            F.xxhash64(*df.columns, F.spark_partition_id()),
+            F.lit(num_salts),
+        ),
     )
 
 

@@ -32,9 +32,13 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_dup_graph_degrees",
     oracle=f"""
     WITH {_PAIRS_CTE},
+    uniq AS (
+      SELECT DISTINCT LEAST(doc_a, doc_b) AS u,
+                      GREATEST(doc_a, doc_b) AS v
+      FROM dup WHERE doc_a <> doc_b),
     ends AS (
-      SELECT doc_a AS vertex FROM dup
-      UNION ALL SELECT doc_b FROM dup),
+      SELECT u AS vertex FROM uniq
+      UNION ALL SELECT v FROM uniq),
     deg AS (
       SELECT vertex, CAST(COUNT(*) AS BIGINT) AS degree
       FROM ends GROUP BY 1)

@@ -45,7 +45,15 @@ class FileLedger:
         self.ledger_path = ledger_path
 
     def _exists(self) -> bool:
-        return os.path.exists(self.ledger_path)
+        # through Hadoop FS, same as _list: os.path.exists is always
+        # False for hdfs://-/s3a://-addressed ledgers, which would make
+        # processed_paths() return empty and re-present EVERY committed
+        # file on every run — silently breaking exactly-once on the
+        # very stores the module docstring promises
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.ledger_path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def processed_paths(self) -> set[str]:
         if not self._exists():
@@ -66,13 +74,26 @@ class FileLedger:
         fs = p.getFileSystem(jsc.hadoopConfiguration())
         if not fs.exists(p):
             return []
+        base = p.toUri().getPath()
         it = fs.listFiles(p, recursive)
         out = []
         while it.hasNext():
             st = it.next()
-            name = st.getPath().getName()
-            if name.startswith(("_", ".")):
-                continue  # hidden/metadata files, same rule as Spark scans
+            # hidden-file rule applies to EVERY path component below
+            # the listing root, same as Spark scans: recursive
+            # listFiles descends into _temporary/.staging dirs of
+            # in-flight writers, whose leaf names look normal — those
+            # are uncommitted data that will be ingested twice (or
+            # vanish mid-read) if accepted here
+            rel = st.getPath().toUri().getPath()
+            if rel.startswith(base):
+                rel = rel[len(base):]
+            if any(
+                part.startswith(("_", "."))
+                for part in rel.split("/")
+                if part
+            ):
+                continue
             out.append(
                 FileInfo(
                     path=st.getPath().toString(),

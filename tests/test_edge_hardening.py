@@ -196,3 +196,123 @@ def test_tokens_and_simhash_degenerate_inputs(spark):
     fps = {r["id"]: r["fp"] for r in sh}
     assert fps[1] is not None
     assert fps[2] is None and fps[3] is None and fps[4] is None
+
+
+def test_degrees_dedup_bidirectional_and_selfloop(spark):
+    from data_engineering_spark.operators.graph import degrees
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (2, 4)],
+        "doc_a long, doc_b long",
+    )
+    deg = {r["vertex"]: r["degree"] for r in degrees(edges).collect()}
+    assert deg == {1: 1, 2: 2, 4: 1}
+
+
+def test_with_salt_spreads_identical_rows_across_partitions(spark):
+    from data_engineering_spark.operators.skew import with_salt
+
+    # one bot key, every row identical after projection — the pure
+    # content hash gave them all ONE salt and re-pinned the skew
+    df = (
+        spark.range(2000)
+        .repartition(16)
+        .select(F.lit("bot").alias("user"), F.lit(1).alias("v"))
+    )
+    salts = {r["__salt"] for r in with_salt(df, 8).collect()}
+    assert len(salts) > 1
+    # still deterministic across two executions of the same plan
+    a = sorted(r["__salt"] for r in with_salt(df, 8).collect())
+    b = sorted(r["__salt"] for r in with_salt(df, 8).collect())
+    assert a == b
+
+
+def test_mor_delta_write_survives_failed_attempt(spark, tmp_path):
+    """A crashed attempt's partial delta dir must not shift the next
+    attempt's sequence or feed read() a corrupt frame."""
+    t = MergeTableMOR(spark, str(tmp_path / "t"), ["id"])
+    t.create(_batch(spark, [(1, "a", 100, "c")]))
+    t.merge(_batch(spark, [(2, "b", 200, "c")]))
+    # simulate a crash mid-write: a delta dir without _SUCCESS
+    partial = os.path.join(str(tmp_path / "t"), "_deltas", "delta-0000000001")
+    os.makedirs(partial)
+    assert t.delta_count() == 1  # partial is invisible
+    t.merge(_batch(spark, [(3, "c", 300, "c")]))  # retry lands on seq 1
+    assert t.delta_count() == 2
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_cdc_null_kafka_key_rows_not_collapsed(spark, tmp_path):
+    """A misconfigured producer (keyed table, message key never set)
+    previously collapsed the whole batch to ONE row via the raw-key
+    LWW group; and duplicate payload keys must still compact exactly."""
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+    from tests.cdc_fixtures import envelope_frame, sale
+
+    engine = CdcEngine(spark, LakeConfig(root=str(tmp_path / "lake")))
+    rows = [
+        sale(spark, 1, 10, 1.0, op="c", ts_ms=1000),
+        sale(spark, 2, 20, 2.0, op="c", ts_ms=1001),
+        sale(spark, 3, 30, 3.0, op="c", ts_ms=1002),
+        # same payload key as sale 1, newer — must win, not duplicate
+        sale(spark, 1, 11, 1.5, op="u", ts_ms=2000),
+    ]
+    env = envelope_frame(spark, rows).withColumn("key", F.lit(None).cast("string"))
+    engine.process_batch(env, 0)
+    got = {
+        r["sale_id"]: r["item_id"]
+        for r in engine.tables["sales"].read().collect()
+    }
+    assert got == {1: 11, 2: 20, 3: 30}
+
+
+def test_get_table_rebuilds_on_config_drift(spark, tmp_path):
+    from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+    engine = CdcEngine(spark, LakeConfig(root=str(tmp_path / "lake")))
+    t1 = engine.get_table("t", [])
+    assert t1.key_columns == []
+    t2 = engine.get_table("t", ["id"], partition_by=None)
+    assert t2.key_columns == ["id"]
+    assert engine.get_table("t", ["id"]) is t2  # stable when unchanged
+
+
+def test_file_ledger_skips_temporary_dirs(spark, tmp_path):
+    from data_engineering_spark.sources.incremental import FileLedger
+
+    landing = tmp_path / "landing"
+    (landing / "_temporary" / "0").mkdir(parents=True)
+    (landing / ".staging").mkdir()
+    (landing / "_temporary" / "0" / "part-0.parquet").write_bytes(b"x")
+    (landing / ".staging" / "part-1.parquet").write_bytes(b"x")
+    (landing / "good.parquet").write_bytes(b"x")
+    ledger = FileLedger(spark, str(tmp_path / "ledger"))
+    files = ledger.new_files(str(landing), suffix=".parquet")
+    assert [os.path.basename(f.path) for f in files] == ["good.parquet"]
+
+
+def test_scd2_merge_string_order_cols(spark):
+    """order_cols were force-cast to long, so string sequence ids
+    became NULL and ties broke nondeterministically vs the rebuild."""
+    from data_engineering_spark.operators.scd import scd2_build, scd2_merge
+
+    initial = spark.createDataFrame(
+        [(1, "a", 100, "evt-001")],
+        "id int, val string, ts long, seq string",
+    )
+    dim = scd2_build(initial, ["id"], ["val"], "ts", order_cols=["seq"])
+    delta = spark.createDataFrame(
+        [(1, "b", 200, "evt-002"), (1, "c", 200, "evt-003")],
+        "id int, val string, ts long, seq string",
+    )
+    merged = scd2_merge(dim, delta, ["id"], ["val"], "ts", order_cols=["seq"])
+    rebuilt = scd2_build(
+        initial.unionByName(delta), ["id"], ["val"], "ts", order_cols=["seq"]
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["id"], r["val"], r["valid_from"], r["is_current"])
+        for r in df.collect()
+    )
+    assert key(merged) == key(rebuilt)
+    cur = [r["val"] for r in merged.collect() if r["is_current"]]
+    assert cur == ["c"]  # evt-003 is the string-ordered winner
