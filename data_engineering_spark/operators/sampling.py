@@ -174,17 +174,33 @@ def frequency_debiased_sample(
     substitute for the exact fingerprint when fuzzy grouping is
     wanted).
 
-    Plan: one count shuffle keyed on a sha2 fingerprint (64-byte keys,
-    content never moves) + the deterministic hash filter. Emits
-    `n_copies` and the Horvitz-Thompson `sample_weight` = 1/p so
-    downstream aggregates remain unbiased over the copy population.
+    Plan: copy counts reduce through a map-side-combined aggregate on
+    the sha2 fingerprint (the count shuffle carries 64-byte keys, never
+    content), FILTERED to fingerprints with >= 2 copies — unique
+    contents (the bulk of any corpus) need no count at all (n=1 is the
+    join-miss default). The corpus then left-joins that
+    duplicates-only table: AQE broadcasts it when the duplicated set
+    is small (content never leaves the scan stage), and only a corpus
+    with a broadcast-exceeding duplicate population pays a content
+    shuffle — strictly less than the window formulation, which
+    shuffled every full row unconditionally. Emits `n_copies` and the
+    Horvitz-Thompson `sample_weight` = 1/p so downstream aggregates
+    remain unbiased over the copy population.
     """
-    from pyspark.sql import Window
-
     fp = F.sha2(F.concat_ws("", *content_cols), 256)
-    n = F.count(F.lit(1)).over(Window.partitionBy(fp))
+    dup_counts = (
+        df.select(fp.alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
     c = F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    with_n = df.withColumn("n_copies", n)
+    with_n = (
+        df.withColumn("__fp", fp)
+        .join(dup_counts, "__fp", "left")
+        .withColumn("n_copies", F.coalesce(F.col("__n"), F.lit(1)))
+        .drop("__fp", "__n")
+    )
     p_keep = F.least(
         F.lit(1.0), F.lit(target_rate) / F.col("n_copies").cast("double")
     )

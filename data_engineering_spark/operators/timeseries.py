@@ -85,6 +85,14 @@ def asof_join(
         right.select(*keys, F.col(right_ts).alias("__ts"), payload.alias("__p"))
         .withColumn("__is_l", F.lit(0))
     )
+    # SQL equality never matches NULL keys, but Window.partitionBy
+    # groups NULLs into ONE partition — without this filter a NULL-key
+    # left row would pick up a NULL-key right payload, diverging from
+    # the DuckDB/pandas ASOF semantics documented above. Dropping
+    # NULL-key right rows leaves NULL-key left rows in an empty
+    # partition, i.e. correctly unmatched.
+    for k in keys:
+        r_tagged = r_tagged.filter(F.col(k).isNotNull())
     # unionByName with missing columns: left rows get NULL __p, right
     # rows get NULL for every left-only column
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -135,11 +143,13 @@ def interval_join(
     MINUTES")``). The equi-key makes this a hash/sort-merge join with a
     residual range filter — Catalyst never falls back to a nested-loop
     cross product. Right columns keep their names; alias beforehand on
-    collisions.
+    OUTPUT collisions (the join condition itself qualifies each side,
+    so ``left_ts`` and ``right_ts`` may share a name — the natural case
+    of two event tables both called 'ts').
     """
-    lo = F.col(left_ts) + lower
-    hi = F.col(left_ts) + upper
-    cond = (F.col(right_ts) >= lo) & (F.col(right_ts) < hi)
+    lo = left[left_ts] + lower
+    hi = left[left_ts] + upper
+    cond = (right[right_ts] >= lo) & (right[right_ts] < hi)
     key_eq = [left[k] == right[k] for k in on]
     joined = left.join(right, key_eq + [cond], how)
     # drop the duplicate right-side key columns
@@ -181,6 +191,13 @@ def binned_range_join(
         # same monotonic mapping on both sides, and queries pin UTC
         return F.unix_millis(F.col(col).cast("timestamp"))
 
+    # point-side joins only: the interval side is EXPLODED per bin, so
+    # a right/full outer would emit one unmatched copy per bin — an
+    # ill-defined result this operator refuses rather than mis-counts
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"binned_range_join supports point-side joins only, got {how!r}"
+        )
     pb = points.withColumn("__bin", F.floor(ms(point_ts) / w))
     ib = intervals.filter(F.col(end_ts) > F.col(start_ts)).withColumn(
         "__bin",
@@ -191,14 +208,19 @@ def binned_range_join(
             )
         ),
     )
-    return (
-        pb.join(ib, "__bin", how)
-        .filter(
-            (F.col(point_ts) >= F.col(start_ts))
-            & (F.col(point_ts) < F.col(end_ts))
-        )
-        .drop("__bin")
+    # the range predicate rides IN the join condition: as a post-join
+    # filter it silently turned every outer join back into an inner one
+    # (unmatched rows have NULL bounds, and filter(NULL) drops them)
+    # and crashed semi/anti joins, whose output lacks the bound columns
+    cond = (
+        (pb["__bin"] == ib["__bin"])
+        & (pb[point_ts] >= ib[start_ts])
+        & (pb[point_ts] < ib[end_ts])
     )
+    joined = pb.join(ib, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return joined.drop("__bin")
+    return joined.drop(pb["__bin"]).drop(ib["__bin"])
 
 
 def hypertable_rollup(

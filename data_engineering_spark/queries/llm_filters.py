@@ -101,22 +101,32 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                AS text
       FROM documents),
+    staged AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+                 'https?://[^ \t\n]+', '<URL>', 'g') AS after_url
+      FROM base),
+    staged2 AS (
+      SELECT doc_id, text, after_url,
+             regexp_replace(after_url,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS after_email
+      FROM staged),
     scrub AS (
+      -- mirrors the operator: URLs redact first (an email inside a
+      -- URL is part of the URL), and each count runs on the text its
+      -- own redaction sees, so counts == emitted tags
       SELECT doc_id,
-             len(regexp_extract_all(text,
+             len(regexp_extract_all(after_url,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                AS n_emails,
-             len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS n_urls,
-             len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
-               AS n_phones,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-                 'https?://[^ \t\n]+', '<URL>', 'g'),
-               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
-      FROM base)
+             len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+               AS n_urls,
+             len(regexp_extract_all(after_email,
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             regexp_replace(after_email,
+                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+      FROM staged2)
     SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
            CAST(n_urls AS BIGINT) AS n_urls,
            CAST(n_phones AS BIGINT) AS n_phones,
@@ -722,7 +732,8 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
              || '.COM/Article/' || CAST(doc_id AS VARCHAR)
-             || '?utm_source=feed&ref=' || CAST(doc_id % 13 AS VARCHAR)
+             || '?utm_source=feed&utm_medium=m' || CAST(doc_id % 5 AS VARCHAR)
+             || '&ref=' || CAST(doc_id % 13 AS VARCHAR)
              || '&utm_campaign=x#section-' || CAST(doc_id % 3 AS VARCHAR)
                AS url
       FROM documents),
@@ -733,9 +744,12 @@ def q_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              lower(regexp_extract(url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
              regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(
                  regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1),
-                 '([?&])utm_[^&#]*&?', '\\1', 'g'),
+                 '&utm_[^&]*', '', 'g'),
+                 '\\?utm_[^&]*&', '?', 'g'),
+                 '\\?utm_[^&]*$', '', 'g'),
                  '\\?&', '?', 'g'),
                  '[?&]$', '', 'g') AS rest
       FROM u)
@@ -764,7 +778,9 @@ def q_doc_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 7).cast("string"),
             F.lit(".COM/Article/"),
             F.col("doc_id").cast("string"),
-            F.lit("?utm_source=feed&ref="),
+            F.lit("?utm_source=feed&utm_medium=m"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&ref="),
             (F.col("doc_id") % 13).cast("string"),
             F.lit("&utm_campaign=x#section-"),
             (F.col("doc_id") % 3).cast("string"),

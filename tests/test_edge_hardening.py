@@ -243,9 +243,12 @@ def test_mor_delta_write_survives_failed_attempt(spark, tmp_path):
 
 
 def test_cdc_null_kafka_key_rows_not_collapsed(spark, tmp_path):
-    """A misconfigured producer (keyed table, message key never set)
-    previously collapsed the whole batch to ONE row via the raw-key
-    LWW group; and duplicate payload keys must still compact exactly."""
+    """A flaky producer that drops the message key on SOME records of a
+    keyed table: the raw-key LWW previously put every NULL-key record
+    in ONE group and kept only the latest (valid rows silently lost).
+    NULL-key rows must survive grouped by payload, and duplicate
+    payload keys among them must still compact to the newest row
+    (the exact post-parse compaction) instead of duplicating the key."""
     from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
     from tests.cdc_fixtures import envelope_frame, sale
 
@@ -257,12 +260,16 @@ def test_cdc_null_kafka_key_rows_not_collapsed(spark, tmp_path):
         # same payload key as sale 1, newer — must win, not duplicate
         sale(spark, 1, 11, 1.5, op="u", ts_ms=2000),
     ]
-    env = envelope_frame(spark, rows).withColumn("key", F.lit(None).cast("string"))
+    # keys survive on sales 2/3 (so the key schema is inferable), but
+    # BOTH of sale 1's records and sale 3's record lose theirs
+    env = envelope_frame(spark, rows).withColumn(
+        "key",
+        F.when(F.col("__ts_ms") == 1001, F.col("key")),
+    )
     engine.process_batch(env, 0)
-    got = {
-        r["sale_id"]: r["item_id"]
-        for r in engine.tables["sales"].read().collect()
-    }
+    read = engine.tables["sales"].read().collect()
+    got = {r["sale_id"]: r["item_id"] for r in read}
+    assert len(read) == 3  # no duplicated sale_id rows
     assert got == {1: 11, 2: 20, 3: 30}
 
 
@@ -316,3 +323,171 @@ def test_scd2_merge_string_order_cols(spark):
     assert key(merged) == key(rebuilt)
     cur = [r["val"] for r in merged.collect() if r["is_current"]]
     assert cur == ["c"]  # evt-003 is the string-ordered winner
+
+
+def test_canonical_url_strips_adjacent_utm_params(spark):
+    from data_engineering_spark.operators.filters import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://A.com/p?utm_source=x&utm_medium=y&id=1"),
+            (2, "http://a.com/p?utm_source=x&utm_medium=y&utm_term=z"),
+            (3, "http://a.com/p?id=1&utm_a=1&utm_b=2"),
+            (4, "http://a.com/p?utm_only=1"),
+        ],
+        "id int, url string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("url").alias("c")).collect()
+    }
+    assert got == {
+        1: "http://a.com/p?id=1",
+        2: "http://a.com/p",
+        3: "http://a.com/p?id=1",
+        4: "http://a.com/p",
+    }
+
+
+def test_scrub_pii_counts_match_redactions(spark):
+    from data_engineering_spark.operators.filters import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "see https://x.com/a@b.co now or mail c@d.io")],
+        "doc_id long, text string",
+    )
+    r = scrub_pii(df).collect()[0]
+    # one URL tag (the @ inside it is NOT separately an email) and one
+    # standalone email tag; counts must equal tags in clean_text
+    assert r["clean_text"].count("<URL>") == r["n_urls"] == 1
+    assert r["clean_text"].count("<EMAIL>") == r["n_emails"] == 1
+    assert r["n_phones"] == 0
+
+
+def test_cap_per_group_default_tiebreak_is_stable(spark):
+    from data_engineering_spark.operators.filters import cap_per_group
+
+    df = (
+        spark.range(400)
+        .select(
+            (F.col("id") % 4).alias("g"),
+            F.lit(7).alias("score"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(13)
+    )
+    a = sorted(
+        map(tuple, cap_per_group(df, ["g"], "score", 5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            cap_per_group(df.repartition(3), ["g"], "score", 5).collect(),
+        )
+    )
+    assert a == b and len(a) == 20
+
+
+def test_binned_range_join_left_and_semi(spark):
+    from data_engineering_spark.operators.timeseries import binned_range_join
+    import pytest
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-03-05 00:00:00")],
+        "pid int, pt string",
+    ).select("pid", F.col("pt").cast("timestamp").alias("pt"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-02 00:00:00")],
+        "iid int, s string, e string",
+    ).select(
+        "iid",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    left = binned_range_join(points, iv, "pt", "s", "e", how="left").collect()
+    by_pid = {r["pid"]: r["iid"] for r in left}
+    assert by_pid == {1: 100, 2: None}  # unmatched point SURVIVES
+    semi = binned_range_join(points, iv, "pt", "s", "e", how="left_semi")
+    assert [r["pid"] for r in semi.collect()] == [1]
+    anti = binned_range_join(points, iv, "pt", "s", "e", how="left_anti")
+    assert [r["pid"] for r in anti.collect()] == [2]
+    with pytest.raises(ValueError, match="point-side"):
+        binned_range_join(points, iv, "pt", "s", "e", how="full")
+
+
+def test_interval_join_same_ts_name(spark):
+    from data_engineering_spark.operators.timeseries import interval_join
+
+    purchases = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user int, ts string"
+    ).select("user", F.col("ts").cast("timestamp").alias("ts"))
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-01 09:50:00", "c1"), (1, "2024-01-01 08:00:00", "c2")],
+        "user int, ts string, cid string",
+    ).select(
+        "user", F.col("ts").cast("timestamp").alias("ts"), "cid"
+    )
+    out = interval_join(
+        purchases,
+        clicks,
+        ["user"],
+        "ts",
+        "ts",
+        F.expr("INTERVAL -30 MINUTES"),
+        F.expr("INTERVAL 0 MINUTES"),
+    )
+    assert [r["cid"] for r in out.collect()] == ["c1"]
+
+
+def test_asof_join_null_keys_unmatched(spark):
+    from data_engineering_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10, "L1"), ("k", 10, "L2")],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(None, 9, "R-null"), ("k", 9, "R-k")],
+        "k string, ts long, rtag string",
+    )
+    out = {
+        r["tag"]: r["rtag"]
+        for r in asof_join(left, right, ["k"], "ts", "ts").collect()
+    }
+    assert out == {"L1": None, "L2": "R-k"}
+
+
+def test_image_decode_quarantines_bad_payloads(spark):
+    from data_engineering_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_images,
+        resize_images_nearest,
+    )
+
+    good = b"P2\n# hdr comment\n2 2 255\n0 64 # raster comment\n128 255\n"
+    bad = b"\x89PNG not really decodable here"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))],
+        "id long, payload binary",
+    )
+    meta = {r["id"]: r["width"] for r in decode_images(df).collect()}
+    assert meta == {1: 2, 2: None}
+    px = {r["id"]: r["pixels"] for r in decode_image_pixels(df).collect()}
+    assert bytes(px[1]) == bytes([0, 64, 128, 255]) and px[2] is None
+    rs = {
+        r["id"]: r["width"]
+        for r in resize_images_nearest(df, 4, 4).collect()
+    }
+    assert rs == {1: 4, 2: None}
+
+
+def test_pnm_ascii_rejects_out_of_range_sample(spark):
+    from data_engineering_spark.operators.multimodal import (
+        decode_images,
+    )
+
+    over = b"P2\n2 1 255\n0 999\n"
+    df = spark.createDataFrame(
+        [(1, bytearray(over))], "id long, payload binary"
+    )
+    assert decode_images(df).collect()[0]["width"] is None
