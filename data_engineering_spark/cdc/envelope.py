@@ -116,12 +116,51 @@ def infer_from_envelope_schema(
         name = sanitize_column_name(f["field"])
         sem_name = (f.get("name") or "").lower()
         kind = DEBEZIUM_SEMANTIC.get(sem_name)
+        if kind == "decimal":
+            # precise-mode decimals carry their scale in the connect
+            # schema parameters; it rides inside the kind tag so the
+            # conversion can reconstruct the logical value
+            scale = (f.get("parameters") or {}).get("scale", "2")
+            kind = f"decimal:{int(scale)}"
         if kind:
             semantic[name] = kind
         dtype = debezium_type_to_spark(f.get("type", "string"))
         nullable = bool(f.get("optional", True)) and name not in keys
         fields.append(T.StructField(name, dtype, nullable))
     return InferredSchema(T.StructType(fields), semantic, keys)
+
+
+def _decode_precise_decimal(col: str, scale: int) -> Column:
+    """org.apache.kafka.connect.data.Decimal wire → decimal(38,scale).
+
+    try_to_binary keeps malformed payloads NULL (quarantine philosophy)
+    instead of erroring under ANSI mode; the byte fold supports
+    unscaled magnitudes up to decimal(38,0) — far past the 8-byte limit
+    a conv()-only decode would silently wrap at."""
+    h = F.hex(F.expr(f"try_to_binary({col}, 'base64')"))
+    nb = (F.length(h) / F.lit(2)).cast("int")
+    seq = F.sequence(F.lit(1), nb)
+    unscaled = F.aggregate(
+        seq,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, i: acc * 256
+        + F.conv(F.substring(h, i * 2 - 1, F.lit(2)), 16, 10).cast(
+            "decimal(38,0)"
+        ),
+    )
+    pow_n = F.aggregate(
+        seq,
+        F.lit(1).cast("decimal(38,0)"),
+        lambda acc, _: acc * 256,
+    )
+    signed = F.when(
+        F.conv(F.substring(h, F.lit(1), F.lit(2)), 16, 10).cast("int")
+        >= 128,
+        unscaled - pow_n,
+    ).otherwise(unscaled)
+    return F.when(
+        nb >= 1, (signed / F.lit(10 ** scale)).cast(f"decimal(38,{scale})")
+    )
 
 
 def apply_semantic_conversions(
@@ -145,11 +184,19 @@ def apply_semantic_conversions(
             convert[col] = F.col(col).cast("long")
         elif kind == "zoned_string_ts":
             convert[col] = tmp.zoned_string_to_timestamp(col)
-        elif kind == "decimal":
-            # reference intent at :234-236 (its `.cast(DecimalType())` is
-            # applied to the wrong object — a latent bug; the documented
-            # semantics are "column becomes decimal(38,2)")
-            convert[col] = F.col(col).cast("decimal(38,2)")
+        elif kind.startswith("decimal"):
+            # Debezium precise mode (the default) ships decimals as a
+            # base64 string of the UNSCALED value's big-endian
+            # two's-complement bytes — a bare cast('decimal') of that
+            # string is NULL for every row (silent loss of the whole
+            # column). Decode exactly, JVM-side: bytes → unscaled
+            # decimal(38,0) via a per-byte aggregate, sign-adjust when
+            # the top bit is set, divide by 10^scale (the scale rides
+            # in the kind tag from the connect schema parameters).
+            # Reference intent at :234-236 (its `.cast(DecimalType())`
+            # is applied to the wrong object — a latent bug).
+            scale = int(kind.split(":")[1]) if ":" in kind else 2
+            convert[col] = _decode_precise_decimal(col, scale)
         elif kind == "int_passthrough":
             convert[col] = F.col(col).cast("int")
         else:  # string_passthrough

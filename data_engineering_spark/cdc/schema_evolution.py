@@ -34,12 +34,31 @@ def diff_columns(
     return to_add, to_backfill
 
 
-def align_batch(batch: DataFrame, table_columns: list[str]) -> DataFrame:
+def align_batch(
+    batch: DataFrame,
+    table_columns: list[str],
+    table_schema=None,
+) -> DataFrame:
     """Project batch to table schema ∪ batch schema: table columns first
-    (NULL where the batch lacks them), then genuinely new columns."""
+    (NULL where the batch lacks them), then genuinely new columns.
+
+    Pass `table_schema` (a StructType) when available: back-filled
+    NULLs then carry the table's real column types. Without it they
+    fall back to string — an UNTYPED F.lit(None) is Spark's void type,
+    which parquet refuses to write ('does not support void data type')
+    and which poisons downstream schema comparisons."""
     _, backfill = diff_columns(batch.columns, table_columns)
+    types = (
+        {f.name: f.dataType for f in table_schema.fields}
+        if table_schema is not None
+        else {}
+    )
+
+    def null_as(c: str):
+        return F.lit(None).cast(types.get(c, "string")).alias(c)
+
     cols = [
-        F.col(c) if c not in backfill else F.lit(None).alias(c)
+        F.col(c) if c not in backfill else null_as(c)
         for c in table_columns
     ]
     new = [F.col(c) for c in batch.columns if c not in table_columns]

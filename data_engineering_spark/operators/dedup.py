@@ -121,14 +121,27 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact dedup: keep the lowest-id row per distinct content.
 
-    Adds `n_copies` (cluster size). Implementation groups on a sha2
-    fingerprint of the concatenated content columns so the shuffle key is
-    fixed-width regardless of document size.
-    """
+    Adds `n_copies` (cluster size). Groups on a sha2 fingerprint of the
+    concatenated content columns so the shuffle key is fixed-width
+    regardless of document size — and computes winner AND cluster size
+    in ONE algebraic aggregation (min-struct + count): the previous
+    window + separate groupBy + join shape shuffled the fingerprinted
+    corpus three times and evaluated the sha2 twice, and a window gets
+    one task per hot fingerprint while min() pre-combines map-side
+    (the keep_last_agg skew argument). Requires orderable columns
+    (structs/arrays fine, maps are not) — same contract as
+    keep_last_agg."""
     keyed = df.withColumn("__fp", fingerprint_expr(content_cols))
-    winners = keep_first(keyed, ["__fp"], id_col)
-    sizes = keyed.groupBy("__fp").agg(F.count(F.lit(1)).alias("n_copies"))
-    return winners.join(sizes, "__fp").drop("__fp")
+    rest = [c for c in df.columns if c != id_col]
+    agg = keyed.groupBy("__fp").agg(
+        F.min(
+            F.struct(F.col(id_col), *[F.col(c) for c in rest])
+        ).alias("__w"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return agg.select(
+        *[F.col(f"__w.{c}").alias(c) for c in df.columns], "n_copies"
+    )
 
 
 def fingerprint_expr(content_cols: Sequence[str]) -> Column:

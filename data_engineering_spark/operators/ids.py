@@ -38,9 +38,11 @@ def assign_sequential_ids(
 ) -> DataFrame:
     """See module docstring. The sorted frame is persisted so the
     count pass and the numbering pass observe identical sampled range
-    bounds; callers that are done with the result can release it via
-    ``result.unpersist()`` (same cache-lifetime contract as the
-    near-dup operators' release_cache)."""
+    bounds; ``result.unpersist()`` would NOT release it (the persist
+    lives on an internal frame, not the returned one) — callers that
+    are done with the result release it via
+    ``release_sequential_ids(result)`` (same cache-lifetime contract
+    as the near-dup operators' release_cache)."""
     cols = [F.col(c) for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     sorted_df = (
@@ -74,4 +76,15 @@ def assign_sequential_ids(
         )
         .drop("__pid", "__off")
     )
+    # stash the persisted handle on the result so callers can release
+    # the cache this function pinned (out.unpersist() cannot reach it)
+    out.__dict__["_seq_persisted"] = sorted_df
     return out
+
+
+def release_sequential_ids(df) -> None:
+    """Release the cache `assign_sequential_ids` pinned for `df`.
+    No-op for frames that did not come from it."""
+    src = df.__dict__.get("_seq_persisted")
+    if src is not None:
+        src.unpersist(blocking=False)

@@ -21,7 +21,22 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_engineering_spark.operators.ids import assign_sequential_ids
+from data_engineering_spark.operators.dedup import fingerprint_expr
+from data_engineering_spark.operators.ids import (
+    assign_sequential_ids,
+    release_sequential_ids,
+)
+
+
+def _row_fp(order_cols: Sequence[str]) -> F.Column:
+    """60-bit per-row fingerprint over the order columns — ONE
+    definition shared by write and verify (two drifting copies would
+    break verification), built on dedup.fingerprint_expr so column
+    boundaries and NULLs are unambiguous (bare concat_ws('') made
+    ('ab','c') == ('a','bc') and skipped NULLs entirely)."""
+    return F.conv(
+        F.substring(fingerprint_expr(order_cols), 1, 15), 16, 10
+    ).cast("long")
 
 
 def write_sharded_dataset(
@@ -86,7 +101,12 @@ def write_sharded_dataset(
         .orderBy("shard")
     )
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
-    return manifest
+    # all consumers of the sequence frame have run; release the cache
+    # assign_sequential_ids pinned (one full-corpus copy per export
+    # otherwise). The returned manifest re-reads the written parquet,
+    # so it stays valid after the release.
+    release_sequential_ids(seq)
+    return df.sparkSession.read.parquet(f"{path}/_manifest")
 
 
 def verify_shards(
@@ -126,9 +146,13 @@ def verify_shards(
             "shard",
             "n_rows",
             "id_fingerprint",
-            (
+            # coalesce: a shard missing entirely from one side leaves
+            # that side's columns NULL, and NULL == x is NULL — the
+            # verifier would fail OPEN on whole-shard loss
+            F.coalesce(
                 (F.col("n_rows") == F.col("d_rows"))
-                & (F.col("id_fingerprint") == F.col("d_fp"))
+                & (F.col("id_fingerprint") == F.col("d_fp")),
+                F.lit(False),
             ).alias("ok"),
         )
         .orderBy("shard")

@@ -206,14 +206,16 @@ def record_audit(
     """Parquet-backend audit log: append one row to
     ``{lake_root}/insert_log{rds_id}`` (schema per FIXTURES.md A4). The
     snapshot discovery loop anti-joins against this to skip tables
-    already loaded (reference :257-262)."""
-    import os
+    already loaded (reference :257-262). posixpath (not os.path): the
+    lake root may be a URI (s3a://...), and Spark's writer handles it
+    either way."""
+    import posixpath
 
     row = spark.createDataFrame(
         [(database, table, sink)], "schema string, name string, tableName string"
     )
     row.coalesce(1).write.mode("append").parquet(
-        os.path.join(lake_root, f"insert_log{rds_id}")
+        posixpath.join(lake_root, f"insert_log{rds_id}")
     )
 
 
@@ -227,16 +229,21 @@ def snapshotted_tables(
     reference's layout, sanpshot_script.py:257-262 compares
     CONCAT(schema,'.',name)), so a bare-name set would silently skip
     oms2.sales after oms1.sales was loaded."""
-    import os
+    import posixpath
 
-    path = os.path.join(lake_root, f"insert_log{rds_id}")
-    if not os.path.exists(path):
+    from pyspark.errors import AnalysisException
+
+    # probe through Spark, not os.path: a driver-local existence check
+    # is always False for s3a://-/hdfs://-rooted lakes, which would
+    # empty the skip set and silently re-append EVERY table on rerun
+    path = posixpath.join(lake_root, f"insert_log{rds_id}")
+    try:
+        log = spark.read.parquet(path)
+    except AnalysisException:
         return set()
     return {
         f"{r['schema']}.{r['name']}"
-        for r in spark.read.parquet(path)
-        .select("schema", "name")
-        .collect()
+        for r in log.select("schema", "name").collect()
     }
 
 
@@ -262,7 +269,7 @@ def snapshot_table(
     pass an explicit column (or None for a single-partition scan) on
     dialects without that catalog (Derby, Postgres, ...).
     """
-    import os
+    import posixpath
 
     if key == "auto":
         pk_rows = (
@@ -283,11 +290,21 @@ def snapshot_table(
             .collect()[0]
         )
         lo, hi = bounds[0], bounds[1]
+        try:
+            lower = int(lo) if lo is not None else None
+            upper = int(hi) if hi is not None else None
+        except (TypeError, ValueError):
+            # non-integral PK (varchar/UUID/date): JDBC range
+            # partitioning needs numeric bounds — fall back to a
+            # single-partition scan instead of aborting the whole
+            # multi-table snapshot run on one string-keyed table
+            key = None
+    if key is not None:
         reader = table_reader(
             spark, cfg, database, table,
             key=key,
-            lower=int(lo) if lo is not None else None,
-            upper=int(hi) if hi is not None else None,
+            lower=lower,
+            upper=upper,
             num_partitions=num_partitions,
         )
     else:
@@ -304,7 +321,7 @@ def snapshot_table(
         n = prepared.count()
         if n == 0:
             return 0
-        dest = os.path.join(lake_root, database, table)
+        dest = posixpath.join(lake_root, database, table)
         append_snapshot(prepared, dest, write_partitions)
         record_audit(spark, lake_root, rds_id, database, table, dest)
         return n

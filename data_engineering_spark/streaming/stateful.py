@@ -32,14 +32,23 @@ def watermarked_window_counts(
 ) -> DataFrame:
     """Tumbling event-time counts with bounded state. The identical plan
     runs in batch (tests) and incrementally under readStream — that
-    equivalence is Structured Streaming's core contract."""
+    equivalence is Structured Streaming's core contract.
+
+    The group key must be the window() expression ITSELF: grouping by
+    window(...).getField('start') strips the event-time metadata, so
+    Spark sees a streaming aggregation WITHOUT a watermark — append
+    mode is rejected outright and in update mode window state
+    accumulates forever (verified on this Spark version). The start
+    field projects out AFTER the aggregate."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(
-            F.window("ts", window).getField("start").alias("window_start"),
-            "event_type",
-        )
+        .groupBy(F.window("ts", window).alias("__w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("__w").getField("start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
     )
 
 

@@ -491,3 +491,177 @@ def test_pnm_ascii_rejects_out_of_range_sample(spark):
         [(1, bytearray(over))], "id long, payload binary"
     )
     assert decode_images(df).collect()[0]["width"] is None
+
+
+def test_watermarked_window_counts_supports_append_mode(spark, tmp_path):
+    """Grouping by window(...).getField('start') strips the event-time
+    metadata: Spark then rejects append mode outright ('streaming
+    aggregations without watermark') and never reclaims window state.
+    The canonical group-by-window form must start in append mode."""
+    from data_engineering_spark.streaming.stateful import (
+        watermarked_window_counts,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [("2024-01-01 00:01:00", "a"), ("2024-01-01 02:00:00", "a")],
+        "ts string, event_type string",
+    ).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string"
+    ).parquet(str(src))
+    agg = watermarked_window_counts(stream, "30 minutes", "1 hour")
+    out = tmp_path / "out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # the first window is behind the watermark after the 02:00 event
+    # and must have been emitted as final
+    spark.read.parquet(str(out)).count()  # schema/read sanity
+    # batch semantics unchanged
+    batch = spark.read.parquet(str(src))
+    rows = {
+        (r["window_start"].hour, r["window_start"].minute, r["event_type"]):
+            r["n_events"]
+        for r in watermarked_window_counts(batch, "30 minutes", "1 hour")
+        .collect()
+    }
+    assert rows == {(0, 0, "a"): 1, (2, 0, "a"): 1}
+
+
+def test_snapshot_table_non_integer_pk_falls_back(spark, tmp_path):
+    """A varchar/UUID primary key cannot range-partition a JDBC scan;
+    the snapshot must fall back to a single-partition read instead of
+    crashing the whole run on int()."""
+    from data_engineering_spark.snapshot.jdbc_snapshot import (
+        JdbcConfig,
+        snapshot_table,
+    )
+
+    jvm = spark._jvm
+    url = "jdbc:derby:memory:strpk"
+    conn = jvm.java.sql.DriverManager.getConnection(f"{url};create=true")
+    st = conn.createStatement()
+    try:
+        st.execute(
+            "CREATE TABLE items (uid VARCHAR(36) PRIMARY KEY, v INT)"
+        )
+        for i in range(5):
+            st.execute(f"INSERT INTO items VALUES ('id-{i:04d}', {i})")
+        conn.commit()
+        cfg = JdbcConfig(
+            url=url,
+            user="",
+            password="",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+            ident_quote="",
+        )
+        n = snapshot_table(
+            spark,
+            cfg,
+            "APP",
+            "items",
+            str(tmp_path / "lake"),
+            rds_id=1,
+            tenant_id=1,
+            key="uid",  # explicit varchar key -> bounds are strings
+        )
+        assert n == 5
+    finally:
+        st.execute("DROP TABLE items")
+        conn.commit()
+
+
+def test_debezium_precise_decimal_decodes(spark):
+    import base64
+
+    from data_engineering_spark.cdc.envelope import (
+        _decode_precise_decimal,
+        apply_semantic_conversions,
+    )
+
+    def b64(unscaled, nbytes):
+        return base64.b64encode(
+            unscaled.to_bytes(nbytes, "big", signed=True)
+        ).decode()
+
+    df = spark.createDataFrame(
+        [
+            (1, b64(192, 2)),
+            (2, b64(-15, 1)),
+            (3, b64(12345678901234567890123, 10)),
+            (4, None),
+            (5, "%%% not base64"),
+        ],
+        "id int, amount string",
+    )
+    out = {
+        r["id"]: r["amount"]
+        for r in apply_semantic_conversions(
+            df, {"amount": "decimal:2"}
+        ).collect()
+    }
+    from decimal import Decimal
+
+    assert out[1] == Decimal("1.92")
+    assert out[2] == Decimal("-0.15")
+    assert out[3] == Decimal("123456789012345678901.23")
+    assert out[4] is None and out[5] is None
+    # scale rides the kind tag
+    one = spark.createDataFrame([(b64(-15, 1),)], "v string")
+    assert one.select(
+        _decode_precise_decimal("v", 1).alias("d")
+    ).collect()[0]["d"] == Decimal("-1.5")
+
+
+def test_verify_shards_fails_closed_on_missing_shard(spark, tmp_path):
+    import shutil
+
+    from data_engineering_spark.operators.shards import (
+        verify_shards,
+        write_sharded_dataset,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), "id").alias("t")
+    )
+    path = str(tmp_path / "ds")
+    write_sharded_dataset(df, path, ["doc_id"], shard_size=5)
+    ok_all = verify_shards(spark, path, ["doc_id"])
+    assert [r["ok"] for r in ok_all.collect()] == [True] * 4
+    shutil.rmtree(f"{path}/shard=3")
+    after = {r["shard"]: r["ok"] for r in verify_shards(spark, path, ["doc_id"]).collect()}
+    assert after[3] is False  # NOT NULL: the verifier must fail CLOSED
+
+
+def test_align_batch_typed_backfill_writes_parquet(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_engineering_spark.cdc.schema_evolution import align_batch
+
+    batch = spark.createDataFrame([(1, "x")], "id long, a string")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("a", StringType()),
+            StructField("gone", LongType()),
+        ]
+    )
+    aligned = align_batch(batch, ["id", "a", "gone"], table_schema=schema)
+    assert dict(aligned.dtypes)["gone"] == "bigint"
+    aligned.write.parquet(str(tmp_path / "t"))  # void type would fail
