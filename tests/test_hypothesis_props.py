@@ -99,10 +99,9 @@ _WORDS = st.lists(
 
 
 def _py_gopher(text: str):
+    # tokens() maps empty/whitespace-only text to an EMPTY list (the
+    # phantom-[''] split quirk is guarded against in the operator)
     toks = text.split()
-    if not toks:
-        # tokens() on empty/whitespace text yields [''] (split of '')
-        toks = [""]
     n = len(toks)
     return (
         n,

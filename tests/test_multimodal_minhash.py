@@ -68,21 +68,20 @@ def test_frame_sampling(bin_df):
     assert bytes(sorted(by_id[3], key=lambda r: r["frame_idx"])[0]["frame"]) == b"plai"
 
 
-def test_decode_images_unsupported_format_raises(bin_df):
-    """Formats with no native decoder (jpeg/png here) still raise
-    NotImplementedError when Pillow is absent — but ONLY those; the
-    PPM/PGM/BMP decoders below are fully executable in this sandbox."""
+def test_decode_images_unsupported_format_quarantines(bin_df):
+    """Formats with no native decoder (jpeg/png here) quarantine to
+    NULL metadata when Pillow is absent — one undecodable payload in a
+    100 TB corpus must not fail the whole job (decode_wav philosophy);
+    the PPM/PGM/BMP decoders below are fully executable in this
+    sandbox."""
     try:
         import PIL  # noqa: F401
 
         pytest.skip("PIL installed; stub path not reachable")
     except ImportError:
         pass
-    with pytest.raises(Exception) as ei:
-        decode_images(bin_df).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError
-    )
+    rows = decode_images(bin_df).collect()
+    assert rows and all(r["width"] is None for r in rows)
 
 
 def _bmp24(width, height, rgb_rows, bottom_up=True):

@@ -103,7 +103,12 @@ def test_budget_covers_every_headline_query():
 # round-over-round comparability) but plan-guarded all the same
 EXTRA_BUDGET = {
     "q_lineitem_weighted_median": 4,
-    "q_doc_debiased_sample": 2,
+    # 4 since the duplicates-only count-join rewrite: count aggregate +
+    # the join's two sides + the query's own output agg (AQE broadcasts
+    # the dup table at runtime, so the executed plan is cheaper than
+    # the textual count suggests) — the trade that removed the
+    # full-row window shuffle of the whole corpus
+    "q_doc_debiased_sample": 4,
     "q_doc_source_budget": 10,
     "q_join_size_estimate": 4,
 }
