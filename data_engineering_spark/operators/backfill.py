@@ -48,11 +48,38 @@ def backfill_partitions(
     # would silently overwrite partitions the caller didn't ask for
     # (dynamic overwrite replaces whatever partitions appear)
     out = out.filter(F.col(partition_col).isin(parts))
-    n = out.count()
+    # the row count and the surviving-partition set ride the WRITE via
+    # observe() — a separate count() executed the whole source scan +
+    # transform twice, and for a nondeterministic transform counted
+    # different rows than were written
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set(F.col(partition_col)).alias("parts"),
+    )
     (
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(target_path)
     )
-    return n
+    # dynamic overwrite only replaces partitions PRESENT in the output:
+    # a requested partition for which the new transform emits zero rows
+    # would silently keep its stale data — exactly when the logic
+    # change is most drastic. Delete those directories explicitly
+    # (escaped names, NULL partition sentinel included).
+    import shutil
+    from pathlib import Path
+
+    from data_engineering_spark.operators.merge import _partition_dir
+
+    written = set(obs.get["parts"] or [])
+    for stale in set(parts) - written:
+        shutil.rmtree(
+            Path(target_path) / _partition_dir(partition_col, stale),
+            ignore_errors=True,
+        )
+    return int(obs.get["n"] or 0)

@@ -97,22 +97,33 @@ def _metric(c: Constraint, i: int) -> tuple[Column, str]:
     """Aggregate expression measuring the constraint, plus its alias."""
     a = f"__m{i}"
     col = F.col(c.column) if c.column else None
+    # ratio metrics divide through try_divide: on an empty table (or
+    # all-NULL column) the denominator is 0, which is a DIVIDE_BY_ZERO
+    # crash under ANSI mode (the Spark 4 default) and NULL otherwise —
+    # try_divide makes it NULL in BOTH modes, and the fail-closed
+    # coalesce in run_checks turns that into passed=False
     if c.kind == "completeness":
         # count(col)/count(*): exact long counts, one IEEE division
-        expr = F.count(col) / F.count(F.lit(1))
+        expr = F.try_divide(F.count(col), F.count(F.lit(1)))
     elif c.kind == "unique":
-        expr = F.count_distinct(col) / F.count(col)
+        expr = F.try_divide(F.count_distinct(col), F.count(col))
     elif c.kind == "min_value":
         expr = F.min(col.cast("double"))
     elif c.kind == "max_value":
         expr = F.max(col.cast("double"))
     elif c.kind == "mean_between":
         # exact decimal accumulation, single double cast (registry policy)
-        expr = F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col)
+        expr = F.try_divide(
+            F.sum(col.cast("decimal(18,2)")).cast("double"), F.count(col)
+        )
     elif c.kind == "in_set":
-        expr = F.count(F.when(col.isin(list(c.params)), 1)) / F.count(col)
+        expr = F.try_divide(
+            F.count(F.when(col.isin(list(c.params)), 1)), F.count(col)
+        )
     elif c.kind == "matches":
-        expr = F.count(F.when(col.rlike(c.params[0]), 1)) / F.count(col)
+        expr = F.try_divide(
+            F.count(F.when(col.rlike(c.params[0]), 1)), F.count(col)
+        )
     elif c.kind == "row_count_between":
         expr = F.count(F.lit(1)).cast("double")
     else:
@@ -161,7 +172,11 @@ def run_checks(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
                 F.lit(c.column).cast("string").alias("column"),
                 v.alias("value"),
                 F.lit(c.threshold).cast("double").alias("threshold"),
-                _passed(c, v).alias("passed"),
+                # fail CLOSED: on an empty table / all-NULL column the
+                # ratio metrics are 0/0 -> NULL, and a NULL verdict
+                # passes every `passed == False` gate unnoticed — an
+                # unmeasurable constraint is a failed constraint
+                F.coalesce(_passed(c, v), F.lit(False)).alias("passed"),
             )
         )
     return wide.select(

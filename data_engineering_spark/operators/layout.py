@@ -82,11 +82,17 @@ def write_zordered(
     for c in cols:
         probes += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     row = df.agg(*probes).collect()[0]
+    # an empty frame or an all-NULL column probes to None bounds;
+    # degrade that column to a single bucket (0.0/0.0) instead of
+    # crashing float(None) before the write even starts
+    def _bound(v):
+        return 0.0 if v is None else float(v)
+
     scaled = [
         minmax_scale_to_int(
             F.col(c).cast("double"),
-            float(row[f"__lo_{c}"]),
-            float(row[f"__hi_{c}"]),
+            _bound(row[f"__lo_{c}"]),
+            _bound(row[f"__hi_{c}"]),
             bits,
         )
         for c in cols

@@ -73,8 +73,17 @@ def compact_table(
         return False
 
     df = spark.read.parquet(path)
+    # a hive-partitioned table must compact per partition, or the
+    # rewrite FLATTENS the layout (partition values become plain data
+    # columns and directory pruning is destroyed by a routine
+    # maintenance run). Partition columns are recovered from the
+    # key=value components of any data file's relative path.
+    part_cols = _partition_columns(path)
     staging = f"{path}.compact-{uuid.uuid4().hex}"
-    df.coalesce(int(n_out)).write.mode("overwrite").parquet(staging)
+    w = df.coalesce(int(n_out)).write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(staging)
     old = f"{path}.old-{uuid.uuid4().hex}"
     os.replace(path, old)
     shutil.move(staging, path)
@@ -82,13 +91,42 @@ def compact_table(
     return True
 
 
-def remove_orphans(root: str) -> int:
+def _partition_columns(path: str) -> list[str]:
+    """Hive partition columns of a parquet directory, in layout order,
+    parsed from the first data file's relative path components."""
+    for dirpath, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(dirpath, path)
+            if rel == ".":
+                return []
+            return [
+                comp.split("=", 1)[0]
+                for comp in rel.split(os.sep)
+                if "=" in comp
+            ]
+    return []
+
+
+def remove_orphans(root: str, max_age_s: float = 3600.0) -> int:
     """Delete leftover staging/old directories (crash debris from atomic
     swaps) — the parquet analogue of remove_orphan_files. Returns count
-    removed."""
+    removed.
+
+    ``max_age_s``: only directories whose mtime is older than this are
+    touched — a scheduled orphan sweep must not delete the LIVE staging
+    directory of a concurrently running compact/merge (Iceberg's
+    remove_orphan_files defaults to a 3-day cutoff for the same race)."""
+    import time
+
+    cutoff = time.time() - max_age_s
     removed = 0
-    for pattern in ("*.old-*", "*.compact-*"):
+    for pattern in ("*.old-*", "*.compact-*", "*.staging-*"):
         for d in glob.glob(os.path.join(root, pattern)):
+            try:
+                if os.path.getmtime(d) > cutoff:
+                    continue
+            except OSError:
+                continue
             shutil.rmtree(d, ignore_errors=True)
             removed += 1
     return removed

@@ -110,7 +110,12 @@ def weighted_quantile(
     Exactness contract: weights are accumulated as-is; pass integer or
     decimal weights for cross-engine bit-exact results (double weights
     would reintroduce order-dependent float summation).
+
+    ``q`` must lie in (0, 1]: q=0 previously remapped silently to q=1
+    semantics (returning the MAX where the definition demands the min).
     """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1]: {q}")
     from pyspark.sql import Window
 
     cum = Window.partitionBy(*group_cols).orderBy(value_col).rowsBetween(
@@ -122,7 +127,7 @@ def weighted_quantile(
         F.col(value_col),
         F.sum(weight_col).over(cum).alias("__cw"),
         F.sum(weight_col).over(total).alias("__tw"),
-    ).filter(F.col("__cw") * F.lit(1 / q if q else 1.0) >= F.col("__tw"))
+    ).filter(F.col("__cw") * F.lit(1 / q) >= F.col("__tw"))
     # `__cw >= q·__tw` without float multiplication on the weight side:
     # compare cw/q >= tw only when q in (0,1]; q is a Python float and
     # 1/q is one deterministic IEEE value, applied identically per row

@@ -41,7 +41,11 @@ def reconcile(
     key_list = list(keys)
     cmp = [
         c
-        for c in (compare_cols or expected.columns)
+        # `is None`, not truthiness: compare_cols=[] is the explicit
+        # presence-only audit (report missing/extra keys, ignore values)
+        for c in (
+            expected.columns if compare_cols is None else compare_cols
+        )
         if c not in set(key_list)
     ]
     e = expected.select(

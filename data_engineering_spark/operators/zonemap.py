@@ -64,13 +64,20 @@ def pruned_read(
         "__file", *[f"min_{c}" for c in cols], *[f"max_{c}" for c in cols]
     ).collect()
     total = len(stats)
+    def _intersects(r, c):
+        lo_s, hi_s = r[f"min_{c}"], r[f"max_{c}"]
+        if lo_s is None or hi_s is None:
+            # min/max ignore NULLs, so NULL stats mean the file's
+            # column is entirely NULL — a range predicate can never
+            # match NULL, so the file prunes (a bare >= against None
+            # raised TypeError and killed the read)
+            return False
+        return hi_s >= ranges[c][0] and lo_s <= ranges[c][1]
+
     keep = [
         r["__file"]
         for r in stats
-        if all(
-            r[f"max_{c}"] >= ranges[c][0] and r[f"min_{c}"] <= ranges[c][1]
-            for c in cols
-        )
+        if all(_intersects(r, c) for c in cols)
     ]
     residual = None
     for c, (clo, chi) in ranges.items():
@@ -78,4 +85,10 @@ def pruned_read(
         residual = cond if residual is None else (residual & cond)
     if not keep:
         return spark.read.parquet(path).limit(0).filter(residual), 0, total
-    return spark.read.parquet(*keep).filter(residual), len(keep), total
+    # basePath keeps hive partition columns reconstructable when the
+    # surviving files are addressed directly (a bare leaf-file read
+    # loses them, diverging from the keep=[] branch)
+    pruned = (
+        spark.read.option("basePath", path).parquet(*keep).filter(residual)
+    )
+    return pruned, len(keep), total

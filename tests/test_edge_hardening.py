@@ -665,3 +665,99 @@ def test_align_batch_typed_backfill_writes_parquet(spark, tmp_path):
     aligned = align_batch(batch, ["id", "a", "gone"], table_schema=schema)
     assert dict(aligned.dtypes)["gone"] == "bigint"
     aligned.write.parquet(str(tmp_path / "t"))  # void type would fail
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """compact_table flattened hive-partitioned tables: the rewrite
+    must keep the key=value directory layout (and with it, pruning)."""
+    from data_engineering_spark.operators.maintenance import compact_table
+
+    path = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("pt"), F.col("id").alias("v")
+    )
+    # many tiny files per partition to trigger compaction
+    df.repartition(40).write.partitionBy("pt").parquet(path)
+    assert compact_table(spark, path, target_file_bytes=1 << 20) is True
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("pt=")
+    ) == ["pt=0", "pt=1", "pt=2"]
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.filter(F.col("pt") == "1").count() == 667
+
+
+def test_backfill_removes_stale_empty_partition(spark, tmp_path):
+    """A transform that drops every row of a requested partition must
+    not leave the old rows behind (dynamic overwrite only replaces
+    partitions present in the output)."""
+    from data_engineering_spark.operators.backfill import (
+        backfill_partitions,
+    )
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "pt string, v int"
+    )
+    df.write.partitionBy("pt").parquet(src)
+    df.write.partitionBy("pt").parquet(tgt)
+
+    n = backfill_partitions(
+        spark,
+        src,
+        tgt,
+        "pt",
+        ["a"],
+        transform=lambda d: d.filter(F.col("v") > 100),  # drops ALL of 'a'
+    )
+    assert n == 0
+    left = spark.read.parquet(tgt)
+    assert {(r["pt"], r["v"]) for r in left.collect()} == {("b", 3)}
+
+
+def test_run_checks_fails_closed_on_empty_table(spark):
+    from data_engineering_spark.operators.checks import (
+        completeness,
+        run_checks,
+    )
+
+    empty = spark.createDataFrame([], "x string")
+    report = run_checks(empty, [completeness("x", 0.9)]).collect()
+    assert report[0]["passed"] is False  # NULL verdict would pass gates
+
+
+def test_zonemap_null_stats_and_partition_columns(spark, tmp_path):
+    from data_engineering_spark.operators.zonemap import (
+        build_zonemap,
+        pruned_read,
+    )
+
+    path = str(tmp_path / "t")
+    good = spark.createDataFrame(
+        [(1, 5, "p1"), (2, 6, "p1")], "id int, v int, pt string"
+    )
+    nulls = spark.createDataFrame(
+        [(3, None, "p2"), (4, None, "p2")], "id int, v int, pt string"
+    )
+    good.coalesce(1).write.partitionBy("pt").parquet(path)
+    nulls.coalesce(1).write.mode("append").partitionBy("pt").parquet(path)
+    zm = build_zonemap(spark, path, ["v"])
+    out, kept, total = pruned_read(spark, path, zm, ranges={"v": (5, 6)})
+    rows = out.collect()
+    # the all-NULL file pruned without a TypeError, and the hive
+    # partition column survived the leaf-file read
+    assert kept == 1 and total == 2
+    assert {(r["id"], r["pt"]) for r in rows} == {(1, "p1"), (2, "p1")}
+
+
+def test_weighted_quantile_rejects_degenerate_q(spark):
+    import pytest
+
+    from data_engineering_spark.operators.profile import weighted_quantile
+
+    df = spark.createDataFrame([("g", 1, 1)], "g string, v int, w int")
+    with pytest.raises(ValueError, match="q must be"):
+        weighted_quantile(df, "v", "w", ["g"], q=0.0)
+    with pytest.raises(ValueError, match="q must be"):
+        weighted_quantile(df, "v", "w", ["g"], q=1.5)

@@ -32,7 +32,12 @@ def test_remove_orphans(tmp_path):
     os.makedirs(os.path.join(root, "t.old-abc"))
     os.makedirs(os.path.join(root, "t.compact-def"))
     os.makedirs(os.path.join(root, "t"))
-    assert remove_orphans(root) == 2
+    # freshly-created dirs are protected by the age cutoff: a sweep
+    # must never delete the LIVE staging of a concurrent compact/merge
+    assert remove_orphans(root) == 0
+    assert os.path.isdir(os.path.join(root, "t.compact-def"))
+    # a negative age sweeps immediately (the test's stand-in for "old")
+    assert remove_orphans(root, max_age_s=-1) == 2
     assert glob.glob(os.path.join(root, "*.old-*")) == []
     assert os.path.isdir(os.path.join(root, "t"))
 
