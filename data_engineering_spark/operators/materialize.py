@@ -26,9 +26,18 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
     normal (optimized) action path: persist -> count -> checkpoint
     reading the cache -> unpersist. The count also populates any
     persist markers INSIDE df's plan (release_cache flows), which the
-    direct RDD-path checkpoint skips."""
-    cached = df.persist()
+    direct RDD-path checkpoint skips.
+
+    A frame the CALLER already persisted is left persisted: persist()
+    on a cached frame is a no-op returning the same relation, so the
+    unconditional unpersist here would silently evict the caller's own
+    cache and make their later actions recompute the subtree."""
+    from pyspark import StorageLevel
+
+    caller_owned = df.storageLevel != StorageLevel.NONE
+    cached = df if caller_owned else df.persist()
     cached.count()
     out = cached.localCheckpoint(eager=True)
-    cached.unpersist(blocking=False)
+    if not caller_owned:
+        cached.unpersist(blocking=False)
     return out

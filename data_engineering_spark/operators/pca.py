@@ -72,9 +72,14 @@ def pca_fit(vectors: DataFrame, vec_col: str, k: int) -> PCAModel:
             )
             yield pd.DataFrame({"partial": [flat.tolist()]})
 
-    partials = vectors.select(
-        as_double_vec(vec_col).alias("__v")
-    ).mapInPandas(gram_partials, "partial array<double>")
+    # NULL vectors would make the per-batch numpy array ragged and
+    # crash the task with an inhomogeneous-shape error — drop them
+    # (a NULL embedding carries no signal for the fit)
+    partials = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(as_double_vec(vec_col).alias("__v"))
+        .mapInPandas(gram_partials, "partial array<double>")
+    )
     summed = (
         partials.select(F.posexplode("partial").alias("idx", "val"))
         .groupBy("idx")
@@ -165,7 +170,13 @@ def linear_regression_fit(
         F.lit(1.0),
         F.col(label_col).cast("double"),
     )
-    aug = df.select(vec.alias("__v"))
+    # one NULL feature or label becomes NaN in numpy and poisons the
+    # summed Gram — the fit would return all-NaN coefficients with no
+    # error. Standard OLS practice: complete-case rows only.
+    nonnull = F.col(label_col).isNotNull()
+    for c in feature_cols:
+        nonnull = nonnull & F.col(c).isNotNull()
+    aug = df.filter(nonnull).select(vec.alias("__v"))
 
     def gram_partials(batches):
         import pandas as pd

@@ -31,9 +31,18 @@ from pyspark.sql import DataFrame
 
 
 def _normalized_plan(df: DataFrame) -> str:
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # expression ids (#123) and exchange/subquery ids are session-local
-    return re.sub(r"#\d+[L]?", "#", plan)
+    # Catalyst's own canonicalized plan: expression ids normalize to 0
+    # deterministically WITHOUT touching literal values. The previous
+    # regex (strip '#<digits>' everywhere) also mangled string literals
+    # containing '#' — filter(s == 'x#1') and filter(s == 'x#2')
+    # collided on one key and the cache served the WRONG query's rows.
+    plan = (
+        df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    )
+    # exchange/subquery ids ('[id=#123]') remain session-local in the
+    # textual form; they only ever appear inside bracketed id tags, so
+    # this narrow strip cannot reach user literals
+    return re.sub(r"\[id=#\d+\]", "[id=#]", plan)
 
 
 def _input_fingerprint(df: DataFrame) -> str:
@@ -74,6 +83,7 @@ def cached_result(df: DataFrame, cache_root: str) -> DataFrame:
     dest = os.path.join(cache_root, key)
     spark = df.sparkSession
     if not os.path.isdir(dest):
+        _sweep_dead_builds(cache_root)
         tmp = os.path.join(cache_root, f"__build-{key}-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
         try:
@@ -81,3 +91,21 @@ def cached_result(df: DataFrame, cache_root: str) -> DataFrame:
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(dest)
+
+
+def _sweep_dead_builds(cache_root: str, max_age_s: float = 3600.0) -> None:
+    """GC crash debris: a builder killed between write and rename
+    leaves a __build-* dir no code path would otherwise touch (every
+    retry uses a fresh uuid), so the cache root grew without bound.
+    The age cutoff protects concurrent live builders — same policy as
+    maintenance.remove_orphans."""
+    import glob
+    import time
+
+    cutoff = time.time() - max_age_s
+    for d in glob.glob(os.path.join(cache_root, "__build-*")):
+        try:
+            if os.path.getmtime(d) <= cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass

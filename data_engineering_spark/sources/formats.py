@@ -115,8 +115,13 @@ def read_text_documents(
     retries on some stores; `_metadata.file_path` is the committed
     value).
 
-    Returns (doc_path, text [, line_no when wholetext=False — the
-    within-file ordinal built from _metadata positions]).
+    Returns (doc_path, text). With ``wholetext=False`` each line is a
+    row and NO within-file ordinal is provided — the text source does
+    not expose one, and per-line order across splits is not
+    reconstructable after a shuffle. When line numbers matter, read
+    with ``wholetext=True`` and explode:
+    ``df.select("doc_path", F.posexplode(F.split("text", chr(10))))``
+    (files are unsplit there, so the ordinal is exact).
     """
     from pyspark.sql import functions as F
 
@@ -208,7 +213,22 @@ def read_json_with_quarantine(
     bad = df.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_line")
     )
+    # both returned frames read through the cached parent, which the
+    # caller otherwise has no handle to release — a per-call cache
+    # leak on a long-lived ingest driver. Stash the handle (ids.py
+    # pattern) and release via release_json_quarantine_cache.
+    good.__dict__["_quarantine_cached"] = df
+    bad.__dict__["_quarantine_cached"] = df
     return good, bad
+
+
+def release_json_quarantine_cache(df: DataFrame) -> None:
+    """Release the cached scan behind a frame returned by
+    `read_json_with_quarantine` (no-op for other frames). Call when
+    done with BOTH returned frames."""
+    src = df.__dict__.get("_quarantine_cached")
+    if src is not None:
+        src.unpersist(blocking=False)
 
 
 def read_parquet_robust(
@@ -248,4 +268,7 @@ def read_parquet_robust(
             bad.append(p)
     if not good:
         raise ValueError(f"no readable parquet files under {path}")
-    return spark.read.parquet(*good), bad
+    # basePath: an explicit file list disables partition discovery, so
+    # without it a hive-partitioned dataset would silently LOSE its
+    # partition columns in the returned frame
+    return spark.read.option("basePath", path).parquet(*good), bad

@@ -119,7 +119,19 @@ def read_checkpoint_offsets(spark: SparkSession, checkpoint_dir: str) -> DataFra
     rows = []
     for batch_id, lines in sorted(offsets.items()):
         payload = []
-        for ln in lines[1:]:  # line 0 is the version header
+        # line 0 is the version header; line 1 is OffsetSeqMetadata
+        # (watermark/conf), NOT a source offset — including it made the
+        # payload overstate the source count by one and put the
+        # metadata blob where consumers expect source 0's offset
+        body = lines[1:]
+        if body:
+            try:
+                first = json.loads(body[0])
+            except ValueError:
+                first = None
+            if isinstance(first, dict) and "batchWatermarkMs" in first:
+                body = body[1:]
+        for ln in body:
             try:
                 payload.append(json.loads(ln))
             except ValueError:

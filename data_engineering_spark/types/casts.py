@@ -52,13 +52,27 @@ def cast_frame(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
-def align_to_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+def align_to_columns(
+    df: DataFrame, columns: list[str], schema=None
+) -> DataFrame:
     """Project to exactly `columns`; absent ones are filled with NULL —
     the reference's dropped-column back-fill
-    (incremental_kafka_s3_cdc.py:96-102; sanpshot_script.py:59-63)."""
+    (incremental_kafka_s3_cdc.py:96-102; sanpshot_script.py:59-63).
+
+    Pass `schema` (StructType of the target) for typed NULLs; without
+    it missing columns fall back to string — an UNTYPED lit(None) is
+    void, which parquet refuses to write, defeating the function's own
+    append-to-existing-table purpose."""
+    types = (
+        {f.name: f.dataType for f in schema.fields}
+        if schema is not None
+        else {}
+    )
     return df.select(
         *[
-            F.col(c) if c in df.columns else F.lit(None).alias(c)
+            F.col(c)
+            if c in df.columns
+            else F.lit(None).cast(types.get(c, "string")).alias(c)
             for c in columns
         ]
     )

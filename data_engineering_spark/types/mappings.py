@@ -83,11 +83,28 @@ DEFAULT_SPARK_TYPE = "string"
 def mysql_type_to_spark(mysql_type: str) -> str:
     """Map a MySQL type (possibly with parameters, e.g. ``varchar(255)``,
     ``decimal(20,2) unsigned``) to a Spark DDL type string. Total: unknown
-    types → string."""
-    head = mysql_type.strip().lower().split("(")[0].split()
+    types → string.
+
+    ``unsigned`` integers widen one tier: MySQL's unsigned upper half
+    does not fit the signed Spark type of the same width (an
+    'int unsigned' auto-increment id past 2^31 would overflow a Spark
+    int), so int unsigned → bigint and bigint unsigned → decimal(20,0)
+    — the JDBC driver's own convention."""
+    lowered = mysql_type.strip().lower()
+    head = lowered.split("(")[0].split()
     if not head:  # degenerate input like "(5,2)" — inference stays total
         return DEFAULT_SPARK_TYPE
-    return MYSQL_TO_SPARK.get(head[0], DEFAULT_SPARK_TYPE)
+    base = MYSQL_TO_SPARK.get(head[0], DEFAULT_SPARK_TYPE)
+    if "unsigned" in lowered.replace("(", " ").replace(")", " ").split():
+        # widen by SOURCE type: tinyint/smallint/mediumint unsigned
+        # still fit a Spark int, so only the top two tiers move
+        widen = {
+            "int": "bigint",
+            "integer": "bigint",
+            "bigint": "decimal(20,0)",
+        }
+        return widen.get(head[0], base)
+    return base
 
 
 # --- 2. Debezium JSON-schema primitive → Spark DataType --------------------

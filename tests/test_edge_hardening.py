@@ -761,3 +761,108 @@ def test_weighted_quantile_rejects_degenerate_q(spark):
         weighted_quantile(df, "v", "w", ["g"], q=0.0)
     with pytest.raises(ValueError, match="q must be"):
         weighted_quantile(df, "v", "w", ["g"], q=1.5)
+
+
+def test_result_cache_distinguishes_hash_literals(spark, tmp_path):
+    """The old key normalization stripped '#<digits>' inside string
+    LITERALS too, colliding filter(s=='x#1') with filter(s=='x#2') and
+    serving the wrong query's rows from cache."""
+    from data_engineering_spark.operators.result_cache import (
+        cache_key,
+        cached_result,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("x#1", 1), ("x#2", 2)], "s string, v int"
+    ).write.parquet(src)
+    base = spark.read.parquet(src)
+    d1 = base.filter(F.col("s") == "x#1")
+    d2 = base.filter(F.col("s") == "x#2")
+    assert cache_key(d1) != cache_key(d2)
+    root = str(tmp_path / "cache")
+    os.makedirs(root)
+    assert [r["v"] for r in cached_result(d1, root).collect()] == [1]
+    assert [r["v"] for r in cached_result(d2, root).collect()] == [2]
+    # crash debris: an old __build dir is swept, a fresh one survives
+    import time
+
+    dead = os.path.join(root, "__build-deadbeef-1")
+    os.makedirs(dead)
+    os.utime(dead, (time.time() - 7200, time.time() - 7200))
+    live = os.path.join(root, "__build-cafe-2")
+    os.makedirs(live)
+    cached_result(base.filter(F.col("v") > 0), root).collect()
+    assert not os.path.exists(dead) and os.path.exists(live)
+
+
+def test_parquet_robust_keeps_partition_columns(spark, tmp_path):
+    from data_engineering_spark.sources.formats import read_parquet_robust
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "pt string, v int"
+    ).write.partitionBy("pt").parquet(path)
+    df, bad = read_parquet_robust(spark, path)
+    assert bad == []
+    assert {(r["pt"], r["v"]) for r in df.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_regression_and_pca_tolerate_null_rows(spark):
+    from data_engineering_spark.operators.pca import linear_regression_fit
+
+    clean = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 5.0), (3.0, 7.0)], "x double, y double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame([(None, 9.0), (4.0, None)], "x double, y double")
+    )
+    a = linear_regression_fit(clean, ["x"], "y")
+    b = linear_regression_fit(dirty, ["x"], "y")
+    import numpy as np
+
+    assert np.allclose(a.coefficients, b.coefficients)
+    assert not np.isnan(b.coefficients).any()
+
+
+def test_align_to_columns_typed_backfill(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_engineering_spark.types.casts import align_to_columns
+
+    df = spark.createDataFrame([(1,)], "id long")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("gone", StringType())]
+    )
+    out = align_to_columns(df, ["id", "gone"], schema=schema)
+    assert dict(out.dtypes)["gone"] == "string"
+    out.write.parquet(str(tmp_path / "t"))  # void would fail here
+
+
+def test_mysql_unsigned_widens():
+    from data_engineering_spark.types.mappings import mysql_type_to_spark
+
+    assert mysql_type_to_spark("int unsigned") == "bigint"
+    assert mysql_type_to_spark("INT(10) UNSIGNED") == "bigint"
+    assert mysql_type_to_spark("bigint unsigned") == "decimal(20,0)"
+    assert mysql_type_to_spark("tinyint unsigned") == "int"
+    assert mysql_type_to_spark("int") == "int"
+    assert mysql_type_to_spark("decimal(20,2) unsigned") == "decimal(38,2)"
+
+
+def test_eager_checkpoint_preserves_caller_cache(spark):
+    from data_engineering_spark.operators.materialize import eager_checkpoint
+    from pyspark import StorageLevel
+
+    df = spark.range(100).persist()
+    df.count()
+    out = eager_checkpoint(df)
+    assert out.count() == 100
+    # the caller's persist must survive the helper
+    assert df.storageLevel != StorageLevel.NONE
+    df.unpersist()
