@@ -38,6 +38,7 @@ from data_engineering_spark.cdc.schema_evolution import (
 )
 from data_engineering_spark.operators.dedup import keep_last, keep_last_agg
 from data_engineering_spark.operators.merge import (
+    BUCKET_COL,
     MergeTable,
     MergeTableMOR,
     with_retry,
@@ -104,6 +105,15 @@ class LakeConfig:
     # residual ties resolve by lexicographic payload max —
     # deterministic either way.
     lww: str = "agg"
+    # Synthetic bucket count for keyed COW tables with NO inferred
+    # partition column (Iceberg's bucket(N, key) hidden partition,
+    # MergeTable.bucket_by). Without it an unpartitioned table pays a
+    # full-table rewrite per merge; with it a merge rewrites only the
+    # buckets its batch keys hash into. None (default) keeps the
+    # reference's flat layout. Size so table_bytes/N is a few hundred
+    # MB at the target scale: merge cost tracks the batch's bucket
+    # fan-out while small batches still prune hard.
+    default_bucket_by: int | None = None
 
 
 @dataclass
@@ -125,6 +135,14 @@ class CdcEngine:
     ):
         t = self.tables.get(name)
         want_mor = self.config.backend == "mor" and bool(key_columns)
+        # hidden bucketing applies only where it helps: keyed COW
+        # tables that would otherwise be unpartitioned (keyless tables
+        # are plain appends; a natural partition column already prunes)
+        want_bucket = (
+            self.config.default_bucket_by
+            if not want_mor and partition_by is None and key_columns
+            else None
+        )
         if t is not None:
             # the cache is by name only; a later batch can legitimately
             # change the inferred config (first batch had a NULL key
@@ -132,12 +150,19 @@ class CdcEngine:
             # keys, or schema evolution changes the partition spec).
             # Silently reusing the stale instance would merge with the
             # wrong keys/backend — rebuild when config drifts.
+            expected_partition = (
+                BUCKET_COL if want_bucket else partition_by
+            )
             stale = (
                 list(t.key_columns) != list(key_columns)
                 or isinstance(t, MergeTableMOR) != want_mor
                 or (
                     not want_mor
-                    and getattr(t, "partition_by", None) != partition_by
+                    and (
+                        getattr(t, "partition_by", None)
+                        != expected_partition
+                        or getattr(t, "bucket_by", None) != want_bucket
+                    )
                 )
             )
             if stale:
@@ -158,6 +183,7 @@ class CdcEngine:
                     self.table_path(name),
                     key_columns,
                     partition_by=partition_by,
+                    bucket_by=want_bucket,
                 )
             self.tables[name] = t
         return t

@@ -210,6 +210,9 @@ def with_retry(
     raise RuntimeError(f"merge failed after {attempts} attempts") from last
 
 
+BUCKET_COL = "__bucket"
+
+
 class MergeTable:
     """Parquet-backed keyed table with MERGE semantics (the parquet-core
     stand-in for an Iceberg table).
@@ -219,6 +222,17 @@ class MergeTable:
     state → merge_frames → atomic directory swap. On a real lakehouse
     this is Iceberg's job (see merge_into_sql); the class exists so the
     whole CDC pipeline runs and is testable on plain parquet.
+
+    `bucket_by=N` gives a table with NO natural partition column the
+    partition-pruned merge path anyway (Iceberg's `bucket(N, key)`
+    hidden-partition transform): rows land in a synthetic
+    `__bucket = pmod(hash(keys), N)` directory, so a merge rewrites
+    only the buckets its batch keys hash into — O(batch-touched
+    buckets), not O(table). Because the bucket is a function of the
+    merge keys, an update can never move a row across buckets, which
+    also licenses the identity-partition fast path (no full-table
+    moved-keys scan per merge). The column is hidden metadata:
+    `read()` never returns it and batches never supply it.
     """
 
     _path_locks: dict[str, threading.Lock] = {}
@@ -229,6 +243,7 @@ class MergeTable:
         path: str,
         key_columns: Sequence[str],
         partition_by: str | None = None,
+        bucket_by: int | None = None,
         durable_staging: bool = False,
         compression: str | None = None,
         max_records_per_file: int | None = None,
@@ -237,6 +252,24 @@ class MergeTable:
         self.path = path
         self.key_columns = list(key_columns)
         self.partition_by = partition_by
+        if bucket_by is not None:
+            if partition_by is not None:
+                raise ValueError(
+                    "bucket_by and partition_by are exclusive: buckets "
+                    "ARE the partition layout"
+                )
+            if bucket_by <= 0:
+                raise ValueError(f"bucket_by must be positive: {bucket_by}")
+            if not self.key_columns:
+                raise ValueError(
+                    "bucket_by requires key_columns (buckets hash the keys)"
+                )
+            if BUCKET_COL in self.key_columns:
+                raise ValueError(
+                    f"key column collides with reserved {BUCKET_COL!r}"
+                )
+            self.partition_by = BUCKET_COL
+        self.bucket_by = bucket_by
         # durable_staging: stage touched partitions through a parquet
         # dir instead of localCheckpoint (survives executor loss at the
         # cost of an extra write+read) — see _merge_partitioned_inner.
@@ -320,7 +353,7 @@ class MergeTable:
                 df = df.withColumnRenamed(phys, logical)
         return df
 
-    def read(self) -> DataFrame:
+    def _read_raw(self) -> DataFrame:
         # mergeSchema: after schema evolution, a partition-pruned merge
         # rewrites only touched partitions with the widened schema —
         # untouched partition files keep the old one. Footer-of-one-file
@@ -329,6 +362,25 @@ class MergeTable:
             self.spark.read.option("mergeSchema", "true").parquet(
                 self.path
             )
+        )
+
+    def read(self) -> DataFrame:
+        df = self._read_raw()
+        # the synthetic bucket column is layout metadata, not table
+        # content — hiding it here keeps schema-diff/evolution and every
+        # downstream consumer unaware the table is bucketed
+        if self.bucket_by is not None:
+            df = df.drop(BUCKET_COL)
+        return df
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if BUCKET_COL in df.columns:
+            raise ValueError(
+                f"source already has reserved column {BUCKET_COL!r}"
+            )
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.hash(*self.key_columns), F.lit(self.bucket_by)),
         )
 
     def _write(self, df: DataFrame, dest: str) -> None:
@@ -342,6 +394,8 @@ class MergeTable:
         w.parquet(dest)
 
     def create(self, df: DataFrame) -> None:
+        if self.bucket_by is not None and BUCKET_COL not in df.columns:
+            df = self._with_bucket(df)
         self._write(df, self.path)
 
     def merge(
@@ -376,6 +430,10 @@ class MergeTable:
         ts_col: str,
         ts_guard: bool,
     ) -> None:
+        if self.bucket_by is not None:
+            # stamp every batch row (deletes included — a delete must
+            # rewrite the bucket holding its row) with its bucket
+            source = self._with_bucket(source)
         if not self.exists():
             # NULL op is "not a delete" (same rule as merge_frames) —
             # a bare != would NULL-drop malformed events
@@ -384,7 +442,7 @@ class MergeTable:
             )
             self.create(inserts)
             return
-        target = self.read()
+        target = self._read_raw()
         if self.partition_by:
             self._merge_partitioned(
                 target, source, op_col, ts_col, ts_guard
@@ -443,12 +501,13 @@ class MergeTable:
     ) -> None:
         p = self.partition_by
         src_parts = source.select(p).distinct()
-        if p in self.key_columns:
+        if p in self.key_columns or self.bucket_by is not None:
             # identity partition on a merge key (e.g. the __rds_id
-            # fallback): a key determines its partition, so an update can
-            # never move a row across partitions — the batch's own
-            # partitions are exactly the affected set. Skips a full
-            # target scan (the moved-keys semi-join) per merge.
+            # fallback) or a synthetic key-hash bucket: the key
+            # determines its partition, so an update can never move a
+            # row across partitions — the batch's own partitions are
+            # exactly the affected set. Skips a full target scan (the
+            # moved-keys semi-join) per merge.
             all_parts = src_parts
         else:
             moved_parts = (

@@ -103,8 +103,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     prefix_filter: bool = True,
     release_cache: bool = False,
+    verify: str = "sets",
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-duplicate pairs, scalable formulation.
+
+    ``verify`` picks the exact-verification layout (same answer):
+    "sets" (default) collects each document's distinct shingles into
+    one array row and intersects candidate pairs with array_intersect
+    — fastest at ordinary document sizes, but a single row must hold a
+    whole document's shingle set, so executor memory bounds document
+    size (~10⁶ shingles). "join" never materializes a per-document
+    array: the pair×shingle equi-join counts common shingles with
+    rows no wider than one shingle, so document size is unbounded —
+    the long-document escape hatch for web-scale corpora with
+    book/code outliers (costs one extra shuffle of candidate×shingle
+    rows; candidates are few post-prefix-filter by construction).
 
     ``release_cache=True`` eagerly materializes the (small) verified
     pairs via localCheckpoint and unpersists the intermediate caches
@@ -155,21 +168,41 @@ def ngram_jaccard_pairs(
         .filter(F.col("__last").isNotNull())  # drop incomplete tail grams
         .select("doc", "g")
     )
-    # ONE aggregation builds the per-doc distinct shingle SET: the
-    # window above already hash-partitioned rows by doc, so collect_set
-    # adds no shuffle, sizes come free as size(sh), and the SAME frame
-    # serves candidate generation (exploded) and exact verification
-    # (as-is) — the old shape paid a (doc,g) distinct shuffle, a sizes
-    # aggregation + join, AND a second collect_list aggregation for
-    # verify. Persisted: set bytes ≈ corpus text bytes, MEMORY_AND_DISK
-    # spills instead of OOMing at scale.
-    docsets = (
-        grams.groupBy("doc")
-        .agg(F.collect_set("g").alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    inv = docsets.select("doc", "n_sh", F.explode("sh").alias("g"))
+    if verify not in ("sets", "join"):
+        raise ValueError(f"verify must be 'sets' or 'join': {verify!r}")
+    if verify == "sets":
+        # ONE aggregation builds the per-doc distinct shingle SET: the
+        # window above already hash-partitioned rows by doc, so
+        # collect_set adds no shuffle, sizes come free as size(sh), and
+        # the SAME frame serves candidate generation (exploded) and
+        # exact verification (as-is) — the old shape paid a (doc,g)
+        # distinct shuffle, a sizes aggregation + join, AND a second
+        # collect_list aggregation for verify. Persisted: set bytes ≈
+        # corpus text bytes, MEMORY_AND_DISK spills instead of OOMing
+        # at scale.
+        docsets = (
+            grams.groupBy("doc")
+            .agg(F.collect_set("g").alias("sh"))
+            .withColumn("n_sh", F.size("sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        inv = docsets.select("doc", "n_sh", F.explode("sh").alias("g"))
+        cached = docsets
+    else:
+        # row-bounded layout: distinct (doc, shingle) rows with the doc
+        # size as an unordered analytic count — the shingle window
+        # above already partitioned by doc, and no row ever holds more
+        # than one shingle, so a 10⁸-shingle document is just 10⁸ rows
+        # spread across tasks instead of one giant array cell.
+        docsets = None
+        inv = (
+            grams.distinct()
+            .withColumn(
+                "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cached = inv
 
     if not prefix_filter:
         a = inv.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g")
@@ -266,22 +299,49 @@ def ngram_jaccard_pairs(
     # construction (that is the whole point of the prefix filter).
     cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # verify: exact intersection of the persisted shingle sets — two
-    # hash joins against docsets (AQE broadcasts the small side), no
-    # re-aggregation.
-    sa = docsets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = docsets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("common")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+    if verify == "sets":
+        # verify: exact intersection of the persisted shingle sets —
+        # two hash joins against docsets (AQE broadcasts the small
+        # side), no re-aggregation.
+        sa = docsets.select(
+            F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        sb = docsets.select(
+            F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
+        )
+        verified = (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    else:
+        # verify: count common shingles through the pair×shingle
+        # equi-join — every candidate pair shares at least its joining
+        # prefix shingle, so no true pair can vanish from the groupBy.
+        ia = inv.select(
+            F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"), "g"
+        )
+        ib = inv.select(
+            F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"), "g"
+        )
+        verified = (
+            cands.join(ia, "doc_a")
+            .join(ib, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("common"))
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
     result = verified.select(
         "doc_a",
         "doc_b",
@@ -301,7 +361,7 @@ def ngram_jaccard_pairs(
     # persists this flag exists to release (materialize.py)
     out = eager_checkpoint(result)
     cands.unpersist()
-    docsets.unpersist()
+    cached.unpersist()
     return out
 
 

@@ -1,0 +1,157 @@
+"""Hidden key-hash bucketing for unpartitioned COW tables.
+
+A keyed table with no natural partition column used to pay a full-table
+rewrite per merge (SCALE.md "Known limits"). `bucket_by=N` recreates
+Iceberg's bucket(N, key) hidden-partition transform on the parquet
+core: merges rewrite only the buckets the batch's keys hash into, and
+the synthetic column never leaks into `read()`.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+from data_engineering_spark.operators.merge import BUCKET_COL, MergeTable
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, val string, __ts_ms long, __op string"
+    )
+
+
+def bucket_files(path: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, f"{BUCKET_COL}=*", "*.parquet"))
+    }
+
+
+def test_bucketed_matches_flat_state(spark, tmp_path):
+    """Bucketing is pure layout: every batch sequence must leave the
+    same logical content as the flat (full-rewrite) table."""
+    flat = MergeTable(spark, str(tmp_path / "flat"), ["id"])
+    buck = MergeTable(spark, str(tmp_path / "buck"), ["id"], bucket_by=8)
+    batches = [
+        [(i, f"v{i}", 100, "c") for i in range(50)],
+        [(1, "upd", 200, "u"), (2, None, 200, "d"), (60, "new", 200, "c")],
+        [(60, None, 300, "d"), (3, "late", 300, "u")],
+    ]
+    for b in batches:
+        flat.merge(mk(spark, b))
+        buck.merge(mk(spark, b))
+    f_rows = sorted(map(tuple, flat.read().collect()))
+    b_rows = sorted(map(tuple, buck.read().collect()))
+    assert f_rows == b_rows
+    assert BUCKET_COL not in buck.read().columns
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], bucket_by=16)
+    t.merge(mk(spark, [(i, f"v{i}", 100, "c") for i in range(200)]))
+    before = bucket_files(path)
+    assert len({os.path.dirname(f) for f in before}) > 4  # spread out
+
+    t.merge(mk(spark, [(7, "UPD", 200, "u")]))
+
+    # the touched bucket is the one key 7 hashes into — read it back
+    # from the physical layout rather than re-deriving the hash here
+    touched = {
+        r["b"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("id") == 7)
+        .select(F.col(BUCKET_COL).cast("string").alias("b"))
+        .collect()
+    }
+    assert len(touched) == 1
+    (bucket_val,) = touched
+    touched_dir = os.path.join(path, f"{BUCKET_COL}={bucket_val}")
+    for f, mtime in before.items():
+        if os.path.dirname(f) != touched_dir:
+            assert os.path.getmtime(f) == mtime, f"untouched bucket rewritten: {f}"
+    out = {r["id"]: r["val"] for r in t.read().collect()}
+    assert out[7] == "UPD" and len(out) == 200
+
+
+def test_delete_rewrites_its_bucket_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], bucket_by=8)
+    t.merge(mk(spark, [(i, f"v{i}", 100, "c") for i in range(80)]))
+    (victim,) = {
+        r["b"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("id") == 5)
+        .select(F.col(BUCKET_COL).cast("string").alias("b"))
+        .collect()
+    }
+    victim_dir = os.path.join(path, f"{BUCKET_COL}={victim}")
+    before = bucket_files(path)
+    t.merge(mk(spark, [(5, None, 200, "d")]))
+    for f, mtime in before.items():
+        if os.path.dirname(f) != victim_dir:
+            assert os.path.getmtime(f) == mtime
+    assert t.read().filter(F.col("id") == 5).count() == 0
+    assert t.read().count() == 79
+
+
+def test_bucketed_schema_evolution(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), ["id"], bucket_by=4)
+    t.merge(mk(spark, [(1, "a", 100, "c"), (2, "b", 100, "c")]))
+    evolved = spark.createDataFrame(
+        [(1, "a2", "extra", 200, "u")],
+        "id long, val string, note string, __ts_ms long, __op string",
+    )
+    t.merge(evolved)
+    out = {r["id"]: (r["val"], r["note"]) for r in t.read().collect()}
+    assert out == {1: ("a2", "extra"), 2: ("b", None)}
+    assert BUCKET_COL not in t.read().columns
+
+
+def test_bucket_by_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="exclusive"):
+        MergeTable(spark, str(tmp_path / "a"), ["id"],
+                   partition_by="month", bucket_by=4)
+    with pytest.raises(ValueError, match="positive"):
+        MergeTable(spark, str(tmp_path / "b"), ["id"], bucket_by=0)
+    with pytest.raises(ValueError, match="key_columns"):
+        MergeTable(spark, str(tmp_path / "c"), [], bucket_by=4)
+    t = MergeTable(spark, str(tmp_path / "d"), ["id"], bucket_by=4)
+    poisoned = mk(spark, [(1, "a", 100, "c")]).withColumn(
+        BUCKET_COL, F.lit(0)
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        t.merge(poisoned)
+
+
+def test_cdc_engine_default_bucket_by(spark, tmp_path):
+    """The LakeConfig knob buckets keyed-unpartitioned tables, leaves
+    partitioned/keyless/MOR tables alone, and the table cache does not
+    thrash on repeated lookups."""
+    cfg = LakeConfig(root=str(tmp_path / "lake"), default_bucket_by=8)
+    eng = CdcEngine(spark, cfg)
+    t = eng.get_table("orders", ["id"])
+    assert isinstance(t, MergeTable) and t.bucket_by == 8
+    assert t.partition_by == BUCKET_COL
+    assert eng.get_table("orders", ["id"]) is t  # cache stable
+
+    part = eng.get_table("events", ["id"], partition_by="month")
+    assert part.bucket_by is None and part.partition_by == "month"
+    keyless = eng.get_table("logs", [])
+    assert keyless.bucket_by is None and keyless.partition_by is None
+
+    mor_cfg = LakeConfig(
+        root=str(tmp_path / "mor"), backend="mor", default_bucket_by=8
+    )
+    mor_eng = CdcEngine(spark, mor_cfg)
+    mt = mor_eng.get_table("orders", ["id"])
+    assert not isinstance(mt, MergeTable)
+
+    t.merge(mk(spark, [(1, "a", 100, "c")]))
+    t.merge(mk(spark, [(1, "a2", 200, "u")]))
+    assert [(r["id"], r["val"]) for r in t.read().collect()] == [(1, "a2")]

@@ -77,3 +77,29 @@ def test_ppjoin_equals_brute_force(spark, threshold):
         for pair, (common, jac) in want.items():
             assert got[pair][0] == common
             assert got[pair][1] == pytest.approx(jac, abs=1e-12)
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6])
+def test_join_verify_equals_brute_force(spark, threshold):
+    """verify='join' (row-bounded pair×shingle counting, the
+    long-document escape hatch) must be bit-identical to the default
+    array verify on the same adversarial corpora."""
+    for docs in _corpora():
+        want = _brute_force(docs, threshold)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["common"], r["jaccard_r"])
+            for r in ngram_jaccard_pairs(
+                df, threshold=threshold, verify="join"
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for pair, (common, jac) in want.items():
+            assert got[pair][0] == common
+            assert got[pair][1] == pytest.approx(jac, abs=1e-12)
+
+
+def test_verify_mode_validation(spark):
+    df = spark.createDataFrame([(0, "a b c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="verify"):
+        ngram_jaccard_pairs(df, verify="bogus")
