@@ -373,6 +373,41 @@ class MergeTable:
             df = df.drop(BUCKET_COL)
         return df
 
+    def lookup(self, keys: DataFrame) -> DataFrame:
+        """Point-read: table rows whose key tuple appears in ``keys``.
+
+        The scale win is partition pruning before the semi-join. A
+        bucketed table (``bucket_by=N``) knows each key's bucket
+        without touching the table, so the scan is restricted to the
+        batch's bucket directories with LITERAL partition filters —
+        the driver-side collect is bounded by ``bucket_by`` values,
+        metadata-sized no matter how big the table or the batch. An
+        identity-partitioned table (partition column is a merge key)
+        prunes the same way on the keys' own partition values (bounded
+        by the batch's distinct keys). Any other layout falls back to
+        the plain semi-join full scan — still one shuffle-or-broadcast
+        join, just no file skipping.
+        """
+        missing = [k for k in self.key_columns if k not in keys.columns]
+        if missing:
+            raise ValueError(f"lookup keys missing key columns: {missing}")
+        keys = keys.select(*self.key_columns).dropDuplicates()
+        df = self._read_raw()
+        prune_col: str | None = None
+        if self.bucket_by is not None:
+            prune_col = BUCKET_COL
+            key_parts = self._with_bucket(keys).select(BUCKET_COL)
+        elif self.partition_by and self.partition_by in self.key_columns:
+            prune_col = self.partition_by
+            key_parts = keys.select(self.partition_by)
+        if prune_col is not None:
+            vals = [r[0] for r in key_parts.distinct().collect()]
+            df = df.filter(_partition_match(prune_col, vals))
+        out = df.join(keys, self.key_columns, "left_semi")
+        if self.bucket_by is not None:
+            out = out.drop(BUCKET_COL)
+        return out
+
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if BUCKET_COL in df.columns:
             raise ValueError(

@@ -155,3 +155,63 @@ def test_cdc_engine_default_bucket_by(spark, tmp_path):
     t.merge(mk(spark, [(1, "a", 100, "c")]))
     t.merge(mk(spark, [(1, "a2", 200, "u")]))
     assert [(r["id"], r["val"]) for r in t.read().collect()] == [(1, "a2")]
+
+
+def test_lookup_bucketed_prunes_and_matches(spark, tmp_path):
+    """lookup() must return exactly the keyed rows AND touch only the
+    bucket directories the batch's keys hash into."""
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], bucket_by=16)
+    t.merge(mk(spark, [(i, f"v{i}", 100, "c") for i in range(400)]))
+
+    keys = spark.createDataFrame([(3,), (250,), (999,)], "id long")
+    got = t.lookup(keys)
+    assert BUCKET_COL not in got.columns
+    assert sorted((r["id"], r["val"]) for r in got.collect()) == [
+        (3, "v3"),
+        (250, "v250"),
+    ]
+
+    # physical pruning: the scan carries LITERAL partition filters on
+    # the synthetic bucket column (inputFiles() can't show this — it
+    # lists the pre-pruning file index — so assert on the plan, the
+    # same way test_dpp pins static pruning)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert BUCKET_COL in plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert scan_lines, f"no partition filters in plan:\n{plan[:2000]}"
+    assert any(BUCKET_COL in ln for ln in scan_lines)
+
+
+def test_lookup_identity_partition_and_flat(spark, tmp_path):
+    rows = [(i, f"v{i}", 100, "c") for i in range(40)]
+    ident = MergeTable(
+        spark, str(tmp_path / "ident"), ["id"], partition_by="id"
+    )
+    ident.merge(mk(spark, rows))
+    flat = MergeTable(spark, str(tmp_path / "flat"), ["id"])
+    flat.merge(mk(spark, rows))
+
+    keys = spark.createDataFrame([(7,), (12,)], "id long")
+    for t in (ident, flat):
+        got = sorted((r["id"], r["val"]) for r in t.lookup(keys).collect())
+        assert got == [(7, "v7"), (12, "v12")]
+    # identity layout prunes on the keys' own partition values
+    plan = (
+        ident.lookup(keys)._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert scan_lines and any(
+        "id" in ln and "7" in ln and "12" in ln for ln in scan_lines
+    ), f"no literal partition filters in plan:\n{plan[:2000]}"
+
+
+def test_lookup_missing_key_column_raises(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t"), ["id"], bucket_by=4)
+    t.merge(mk(spark, [(1, "a", 100, "c")]))
+    with pytest.raises(ValueError, match="missing key columns"):
+        t.lookup(spark.createDataFrame([("x",)], "other string"))
