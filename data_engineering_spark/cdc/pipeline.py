@@ -143,6 +143,16 @@ class CdcEngine:
             if not want_mor and partition_by is None and key_columns
             else None
         )
+        if not want_mor and partition_by is None and key_columns:
+            # an EXISTING table's layout is table metadata, not session
+            # config (Iceberg's rule): a changed default_bucket_by must
+            # only affect tables created from now on — adopting the
+            # stored spec here is what keeps a config flip from
+            # tripping MergeTable's layout-mismatch guard (or, before
+            # that guard, silently duplicating rows).
+            stored = MergeTable.stored_bucket_by(self.table_path(name))
+            if stored is None or isinstance(stored, int):
+                want_bucket = stored
         if t is not None:
             # the cache is by name only; a later batch can legitimately
             # change the inferred config (first batch had a NULL key

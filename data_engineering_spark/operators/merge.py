@@ -212,6 +212,11 @@ def with_retry(
 
 BUCKET_COL = "__bucket"
 
+# stored_bucket_by() sentinels: no table / no evidence either way vs.
+# "definitely bucketed, created before layout metadata existed (N lost)"
+_LAYOUT_UNKNOWN = object()
+_LAYOUT_BUCKETED_UNVERSIONED = object()
+
 
 class MergeTable:
     """Parquet-backed keyed table with MERGE semantics (the parquet-core
@@ -270,6 +275,35 @@ class MergeTable:
                 )
             self.partition_by = BUCKET_COL
         self.bucket_by = bucket_by
+        # Opening an existing table with the WRONG bucket layout is the
+        # one config drift with no legitimate use: merges would stamp
+        # pmod(hash, wrong_N), dynamically overwrite the wrong
+        # directories, and leave the old row copies in place — silent
+        # duplicates. Iceberg prevents this by making the partition
+        # spec TABLE metadata, not caller config; same here
+        # (_layout.json, written at create/rebucket). Pre-metadata
+        # tables fall back to directory sniffing, which at least
+        # catches bucketed-vs-flat.
+        stored = self.stored_bucket_by(path)
+        if stored is _LAYOUT_BUCKETED_UNVERSIONED:
+            # pre-metadata bucketed table: N is unrecoverable, so any
+            # int must be taken on trust — but a flat open is provably
+            # wrong
+            if bucket_by is None:
+                raise ValueError(
+                    f"table at {path} has {BUCKET_COL}= directories "
+                    "but was opened unbucketed; merging would leave "
+                    "stale row copies behind. Open with its bucket_by, "
+                    "or migrate with rebucket(None)."
+                )
+        elif stored is not _LAYOUT_UNKNOWN and stored != bucket_by:
+            raise ValueError(
+                f"table at {path} is laid out with bucket_by={stored} "
+                f"but was opened with bucket_by={bucket_by}; merging "
+                "would rewrite the wrong directories and duplicate "
+                "rows. Open with the stored value, or migrate with "
+                "rebucket()."
+            )
         # durable_staging: stage touched partitions through a parquet
         # dir instead of localCheckpoint (survives executor loss at the
         # cost of an extra write+read) — see _merge_partitioned_inner.
@@ -293,6 +327,55 @@ class MergeTable:
 
     def exists(self) -> bool:
         return os.path.exists(self.path)
+
+    # -- layout spec as table metadata (Iceberg partition-spec analog) -
+
+    @property
+    def _layout_path(self) -> str:
+        return os.path.join(self.path, "_layout.json")
+
+    def _write_layout(self) -> None:
+        import json
+
+        with open(self._layout_path, "w") as f:
+            json.dump(
+                {
+                    "partition_by": (
+                        None
+                        if self.partition_by == BUCKET_COL
+                        else self.partition_by
+                    ),
+                    "bucket_by": self.bucket_by,
+                },
+                f,
+            )
+
+    @staticmethod
+    def stored_bucket_by(path: str):
+        """The table's on-disk bucket layout: an int, None (laid out
+        flat / naturally partitioned), or _LAYOUT_UNKNOWN when the
+        table is absent or predates layout metadata AND shows no
+        bucket directories (nothing to contradict)."""
+        meta = os.path.join(path, "_layout.json")
+        if os.path.exists(meta):
+            import json
+
+            with open(meta) as f:
+                return json.load(f).get("bucket_by")
+        if os.path.isdir(path):
+            # pre-metadata sniff (tables created before _layout.json):
+            # bucket dirs prove a bucketed layout but not its N —
+            # report that distinctly rather than inventing a count;
+            # data entries with no bucket dirs prove a flat/natural
+            # layout.
+            entries = os.listdir(path)
+            # checked before the metadata-file filter: the bucket
+            # column itself starts with an underscore
+            if any(e.startswith(f"{BUCKET_COL}=") for e in entries):
+                return _LAYOUT_BUCKETED_UNVERSIONED
+            if any(not e.startswith(("_", ".")) for e in entries):
+                return None
+        return _LAYOUT_UNKNOWN
 
     # -- column-rename evolution (metadata-only, Iceberg-style) --------
     #
@@ -408,6 +491,54 @@ class MergeTable:
             out = out.drop(BUCKET_COL)
         return out
 
+    def rebucket(self, new_bucket_by: int | None) -> None:
+        """Layout evolution: rewrite the table into ``new_bucket_by``
+        key-hash buckets (or back to flat with None) and update the
+        layout metadata — the migration path the constructor's
+        layout-mismatch error points at (Iceberg partition-spec
+        evolution, done eagerly since parquet-core has no spec
+        versioning to interpret old files through).
+
+        One full read→write + atomic swap, same crash contract as the
+        unpartitioned merge: the table directory is replaced by a pair
+        of renames, never mutated in place.
+        """
+        if self.partition_by is not None and self.bucket_by is None:
+            raise ValueError(
+                "rebucket applies to flat or bucketed tables, not "
+                f"naturally partitioned ones ({self.partition_by})"
+            )
+        if new_bucket_by is not None and new_bucket_by <= 0:
+            raise ValueError(
+                f"bucket_by must be positive: {new_bucket_by}"
+            )
+        if not self.exists():
+            raise ValueError(f"no table at {self.path}")
+        with self._lock:
+            if new_bucket_by == self.bucket_by:
+                return
+            df = self._read_raw()
+            if self.bucket_by is not None:
+                df = df.drop(BUCKET_COL)
+            self.bucket_by = new_bucket_by
+            self.partition_by = (
+                BUCKET_COL if new_bucket_by is not None else None
+            )
+            if new_bucket_by is not None:
+                df = self._with_bucket(df)
+            # staging plan reads the OLD directory while writing the
+            # new one; the swap happens only after the write succeeds
+            staging = f"{self.path}.staging-{uuid.uuid4().hex}"
+            self._write(df, staging)
+            old = f"{self.path}.old-{uuid.uuid4().hex}"
+            os.replace(self.path, old)
+            os.replace(staging, self.path)
+            old_map = os.path.join(old, "_colmap.json")
+            if os.path.exists(old_map):
+                shutil.copy(old_map, self._colmap_path)
+            self._write_layout()
+            shutil.rmtree(old, ignore_errors=True)
+
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         if BUCKET_COL in df.columns:
             raise ValueError(
@@ -432,6 +563,7 @@ class MergeTable:
         if self.bucket_by is not None and BUCKET_COL not in df.columns:
             df = self._with_bucket(df)
         self._write(df, self.path)
+        self._write_layout()
 
     def merge(
         self,
@@ -501,6 +633,7 @@ class MergeTable:
         old_map = os.path.join(old, "_colmap.json")
         if os.path.exists(old_map):
             shutil.copy(old_map, self._colmap_path)
+        self._write_layout()
         shutil.rmtree(old, ignore_errors=True)
 
     def _merge_partitioned(

@@ -215,3 +215,104 @@ def test_lookup_missing_key_column_raises(spark, tmp_path):
     t.merge(mk(spark, [(1, "a", 100, "c")]))
     with pytest.raises(ValueError, match="missing key columns"):
         t.lookup(spark.createDataFrame([("x",)], "other string"))
+
+
+def test_layout_mismatch_refused(spark, tmp_path):
+    """The bucket layout is table metadata: opening an existing table
+    with a different bucket_by must refuse instead of dynamically
+    overwriting the wrong directories (silent duplicates)."""
+    path = str(tmp_path / "t")
+    MergeTable(spark, path, ["id"], bucket_by=16).merge(
+        mk(spark, [(i, f"v{i}", 100, "c") for i in range(50)])
+    )
+    with pytest.raises(ValueError, match="bucket_by=16"):
+        MergeTable(spark, path, ["id"], bucket_by=8)
+    with pytest.raises(ValueError, match="bucket_by=16"):
+        MergeTable(spark, path, ["id"])
+    # pre-metadata table (no _layout.json): bucket dirs still prove a
+    # bucketed layout, so a flat open is refused; a bucketed open is
+    # taken on trust (N unrecoverable)
+    os.remove(os.path.join(path, "_layout.json"))
+    with pytest.raises(ValueError, match="directories"):
+        MergeTable(spark, path, ["id"])
+    MergeTable(spark, path, ["id"], bucket_by=16)  # trusted
+
+    flat_path = str(tmp_path / "flat")
+    MergeTable(spark, flat_path, ["id"]).merge(
+        mk(spark, [(1, "a", 100, "c")])
+    )
+    with pytest.raises(ValueError, match="bucket_by=None"):
+        MergeTable(spark, flat_path, ["id"], bucket_by=8)
+
+
+def test_rebucket_migrates_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], bucket_by=16)
+    t.merge(mk(spark, [(i, f"v{i}", 100, "c") for i in range(120)]))
+    before = sorted(map(tuple, t.read().collect()))
+
+    t.rebucket(4)
+    assert t.bucket_by == 4 and t.partition_by == BUCKET_COL
+    assert sorted(map(tuple, t.read().collect())) == before
+    dirs = {
+        d for d in os.listdir(path) if d.startswith(f"{BUCKET_COL}=")
+    }
+    assert dirs <= {f"{BUCKET_COL}={i}" for i in range(4)}
+    # metadata follows: reopen with 4 works, stale 16 is refused
+    MergeTable(spark, path, ["id"], bucket_by=4)
+    with pytest.raises(ValueError, match="bucket_by=4"):
+        MergeTable(spark, path, ["id"], bucket_by=16)
+
+    # merges keep working against the new layout
+    t.merge(mk(spark, [(3, "UPD", 200, "u")]))
+    assert t.lookup(
+        spark.createDataFrame([(3,)], "id long")
+    ).collect()[0]["val"] == "UPD"
+
+    # ... and back to flat
+    t.rebucket(None)
+    assert t.bucket_by is None and t.partition_by is None
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[3] == "UPD" and len(got) == 120
+
+
+def test_rebucket_rejects_natural_partition(spark, tmp_path):
+    t = MergeTable(
+        spark, str(tmp_path / "t"), ["id"], partition_by="id"
+    )
+    t.merge(mk(spark, [(1, "a", 100, "c")]))
+    with pytest.raises(ValueError, match="naturally partitioned"):
+        t.rebucket(4)
+
+
+def test_cdc_engine_adopts_stored_layout(spark, tmp_path):
+    """A changed default_bucket_by only affects NEW tables; existing
+    tables keep their on-disk layout (Iceberg's spec-is-table-metadata
+    rule), so a config flip can't corrupt or trip the guard."""
+    root = str(tmp_path / "lake")
+    eng8 = CdcEngine(spark, LakeConfig(root=root, default_bucket_by=8))
+    t8 = eng8.get_table("orders", ["id"])
+    t8.merge(mk(spark, [(1, "a", 100, "c"), (2, "b", 100, "c")]))
+
+    eng16 = CdcEngine(
+        spark, LakeConfig(root=root, default_bucket_by=16)
+    )
+    t = eng16.get_table("orders", ["id"])
+    assert t.bucket_by == 8  # adopted, not config
+    t.merge(mk(spark, [(1, "a2", 200, "u")]))
+    assert {r["id"]: r["val"] for r in t.read().collect()} == {
+        1: "a2",
+        2: "b",
+    }
+    # brand-new table in the same engine gets the new config
+    fresh = eng16.get_table("items", ["id"])
+    assert fresh.bucket_by == 16
+
+    # flat-created table stays flat under a bucketing config
+    eng_flat = CdcEngine(spark, LakeConfig(root=str(tmp_path / "l2")))
+    f = eng_flat.get_table("orders", ["id"])
+    f.merge(mk(spark, [(1, "a", 100, "c")]))
+    eng_b = CdcEngine(
+        spark, LakeConfig(root=str(tmp_path / "l2"), default_bucket_by=8)
+    )
+    assert eng_b.get_table("orders", ["id"]).bucket_by is None
