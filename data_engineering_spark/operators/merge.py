@@ -520,16 +520,24 @@ class MergeTable:
             df = self._read_raw()
             if self.bucket_by is not None:
                 df = df.drop(BUCKET_COL)
+            old_spec = (self.bucket_by, self.partition_by)
             self.bucket_by = new_bucket_by
             self.partition_by = (
                 BUCKET_COL if new_bucket_by is not None else None
             )
-            if new_bucket_by is not None:
-                df = self._with_bucket(df)
             # staging plan reads the OLD directory while writing the
-            # new one; the swap happens only after the write succeeds
+            # new one; the swap happens only after the write succeeds.
+            # A failed write must restore the instance spec — the disk
+            # still holds the old layout.
             staging = f"{self.path}.staging-{uuid.uuid4().hex}"
-            self._write(df, staging)
+            try:
+                if new_bucket_by is not None:
+                    df = self._with_bucket(df)
+                self._write(df, staging)
+            except BaseException:
+                self.bucket_by, self.partition_by = old_spec
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
             old = f"{self.path}.old-{uuid.uuid4().hex}"
             os.replace(self.path, old)
             os.replace(staging, self.path)
@@ -886,13 +894,20 @@ class MergeTableMOR:
         op_col: str = "__op",
         ts_col: str = "__ts_ms",
         as_of: int | None = None,
+        keys: DataFrame | None = None,
     ) -> DataFrame:
         """Resolved table state; `as_of=k` time-travels to the state
         after the first k deltas (k=0 → base as written). Because the
         delta log is append-only, historical reads are just a prefix of
         the same union — no extra storage. `compact` folds deltas into
         the base and therefore truncates history below the compaction
-        point (exactly Iceberg's expire-snapshots trade-off)."""
+        point (exactly Iceberg's expire-snapshots trade-off).
+
+        ``keys`` restricts the read to the given key tuples BELOW the
+        keep-last resolution: LWW is per key, so semi-joining base and
+        deltas first is exact while keeping other keys' rows out of
+        the resolution window entirely — the MOR point-lookup path
+        (AQE broadcasts a small key batch)."""
         from functools import reduce
 
         from data_engineering_spark.operators.dedup import keep_last_agg
@@ -918,6 +933,19 @@ class MergeTableMOR:
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
                 [base, *deltas],
             )
+        if keys is not None:
+            missing = [
+                k for k in self.key_columns if k not in keys.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"lookup keys missing key columns: {missing}"
+                )
+            out = out.join(
+                keys.select(*self.key_columns).dropDuplicates(),
+                self.key_columns,
+                "left_semi",
+            )
         if op_col not in out.columns:
             out = out.withColumn(op_col, F.lit("r"))
         else:
@@ -939,6 +967,12 @@ class MergeTableMOR:
         return resolved.filter(F.col(op_col) != DELETE_OP).drop(
             "__delta_seq"
         )
+
+    def lookup(self, keys: DataFrame) -> DataFrame:
+        """Point-read: resolved rows whose key tuple appears in
+        ``keys`` (API parity with MergeTable.lookup). The filter is
+        applied below the LWW resolution — see ``read(keys=...)``."""
+        return self.read(keys=keys)
 
     def change_feed(
         self, from_version: int, to_version: int | None = None

@@ -227,3 +227,32 @@ def test_mor_auto_compaction_bounds_delta_count(spark, tmp_path):
         )
 
     assert state(auto) == state(manual)
+
+
+def test_mor_lookup_matches_read_filter(spark, tmp_path):
+    """lookup() (semi-join BELOW the LWW resolution) must equal the
+    naive read-everything-then-filter, including deleted and absent
+    keys, in both late-event modes."""
+    for ts_guard in (False, True):
+        t = MergeTableMOR(
+            spark,
+            str(tmp_path / f"l_{ts_guard}"),
+            ["id"],
+            ts_guard=ts_guard,
+        )
+        for rows in BATCHES:
+            t.merge(batch(spark, rows))
+        keys = spark.createDataFrame(
+            [(1,), (2,), (3,), (99,)], "id long"
+        )
+        got = state(t.lookup(keys))
+        want = [
+            r
+            for r in state(t.read())
+            if r[0] in (1, 2, 3, 99)
+        ]
+        assert got == want
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="missing key columns"):
+            t.lookup(spark.createDataFrame([("x",)], "other string"))
