@@ -11,6 +11,8 @@ timezone semantics in the result.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -417,3 +419,69 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("slope"),
     )
+
+
+@query(
+    "q_cdc_bucketed_lookup",
+    oracle="""
+    SELECT user_id, last_op, value, ts_ms
+    FROM (SELECT user_id, event_type AS last_op, value,
+                 CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND last_op <> 'error' AND user_id % 7 = 0
+    """,
+)
+def q_cdc_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END storage integration oracle: the event stream is
+    split into two ts-ordered micro-batches, LWW-compacted, and MERGED
+    through a real bucketed MergeTable on disk (bucket(16, user_id)
+    hidden partitions, delete op-codes honored), then point-read back
+    via the bucket-pruned `lookup`. The oracle is pure SQL LWW over
+    `events` restricted to the looked-up keys — so the hash check
+    covers batch compaction, cross-batch upsert/delete merge, the
+    synthetic bucket layout round-trip, AND lookup pruning returning
+    exactly the keyed rows. Rebuilt from scratch each call (atomic
+    staging swaps inside MergeTable keep repeats self-consistent).
+
+    The ts-median batch split is data-derived but oracle-independent:
+    ANY ts-ordered split yields the same final LWW state.
+    """
+    import shutil
+
+    from data_engineering_spark.operators.merge import MergeTable
+    from data_engineering_spark.queries._fixtures import FIXTURE_DIR
+
+    e = load_table(spark, sf_dir, "events")
+    ms = timestamp_to_epoch_millis("ts")
+    ev = e.select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        "value",
+        ms.alias("ts_ms"),
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("__op"),
+        ms.alias("__ts_ms"),
+    )
+    cutoff = ev.agg(F.expr("percentile_approx(ts_ms, 0.5)")).collect()[0][0]
+    n_rows = ev.count()
+    path = os.path.join(
+        FIXTURE_DIR, f"cdc_bucketed_{os.path.basename(sf_dir)}_{n_rows}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = MergeTable(spark, path, ["user_id"], bucket_by=16)
+    for batch in (
+        ev.filter(F.col("ts_ms") <= cutoff),
+        ev.filter(F.col("ts_ms") > cutoff),
+    ):
+        compacted = keep_last(
+            batch, ["user_id"], "ts_ms", tiebreakers=["event_id"]
+        )
+        t.merge(compacted)
+    keys = ev.select("user_id").filter(
+        F.col("user_id") % 7 == 0
+    ).distinct()
+    return t.lookup(keys).select("user_id", "last_op", "value", "ts_ms")
