@@ -615,6 +615,14 @@ class MergeTable:
             inserts = source.filter(
                 F.coalesce(F.col(op_col) != DELETE_OP, F.lit(True))
             )
+            # an all-deletes first batch would create a ZERO-FILE
+            # parquet dir (Spark writes no files for an empty frame)
+            # that every later read rejects with UNABLE_TO_INFER_SCHEMA
+            # — deletes into a non-existent table are a no-op, so leave
+            # the table uncreated (found by the backend-equivalence
+            # property test)
+            if inserts.isEmpty():
+                return
             self.create(inserts)
             return
         target = self._read_raw()
@@ -854,13 +862,13 @@ class MergeTableMOR:
         to one row per key, as the CDC pipeline guarantees)."""
         with self._lock:
             if not self.exists():
-                self.create(
-                    source.filter(
-                        F.coalesce(
-                            F.col(op_col) != DELETE_OP, F.lit(True)
-                        )
-                    )
+                inserts = source.filter(
+                    F.coalesce(F.col(op_col) != DELETE_OP, F.lit(True))
                 )
+                # same guard as the COW path: an all-deletes first
+                # batch must not create a zero-file (unreadable) base
+                if not inserts.isEmpty():
+                    self.create(inserts)
                 return
             # stage-then-rename: writing delta-N directly is not
             # retry-safe (with_retry wraps this in the CDC engine) — a

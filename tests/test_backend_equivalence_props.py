@@ -1,0 +1,92 @@
+"""Model-based property test: the three storage backends (flat COW,
+bucketed COW, MOR) must agree with each other AND with a sequential
+python LWW model under arbitrary generated batch sequences — layout
+and write strategy are implementation, the merge algebra is the spec."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_engineering_spark.operators.merge import MergeTable, MergeTableMOR
+
+_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=5),          # key
+    st.sampled_from(["a", "b", "c", "dd", ""]),     # value
+    st.integers(min_value=0, max_value=9),          # ts
+    st.sampled_from(["c", "u", "d"]),               # op
+)
+_BATCHES = st.lists(
+    st.lists(_EVENT, min_size=1, max_size=6), min_size=1, max_size=3
+)
+
+
+def _py_lww(batches):
+    """Sequential model, reference semantics (ts_guard=False): within a
+    batch the last (ts, arrival-order) event per key wins; across
+    batches the later batch wins unconditionally; a winning delete
+    removes the key."""
+    state: dict[int, tuple[str, int]] = {}
+    for batch in batches:
+        compacted: dict[int, tuple[int, str, int, str]] = {}
+        for seq, (k, v, ts, op) in enumerate(batch):
+            cur = compacted.get(k)
+            if cur is None or (ts, seq) >= (cur[0], cur[3]):
+                compacted[k] = (ts, v, op, seq)
+        for k, (ts, v, op, _seq) in compacted.items():
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = (v, ts)
+    return sorted((k, v, ts) for k, (v, ts) in state.items())
+
+
+def _spark_batch(spark, batch):
+    from data_engineering_spark.operators.dedup import keep_last
+
+    df = spark.createDataFrame(
+        [
+            (k, v, ts, op, seq)
+            for seq, (k, v, ts, op) in enumerate(batch)
+        ],
+        "id long, val string, __ts_ms long, __op string, __seq long",
+    )
+    # the CDC pipeline's pre-compaction contract: one row per key,
+    # last (ts, arrival) wins
+    return keep_last(df, ["id"], "__ts_ms", tiebreakers=["__seq"]).drop(
+        "__seq"
+    )
+
+
+def _state(table):
+    # deletes-only histories legitimately never create the table
+    # (the zero-file-parquet guard); that IS the empty state
+    if not table.exists():
+        return []
+    return sorted(
+        (r["id"], r["val"], r["__ts_ms"]) for r in table.read().collect()
+    )
+
+
+@given(_BATCHES)
+@settings(max_examples=6, deadline=None)
+def test_three_backends_match_python_model(spark, batches):
+    work = tempfile.mkdtemp(prefix="backend_props_")
+    try:
+        flat = MergeTable(spark, f"{work}/flat", ["id"])
+        buck = MergeTable(spark, f"{work}/buck", ["id"], bucket_by=4)
+        mor = MergeTableMOR(spark, f"{work}/mor", ["id"])
+        for batch in batches:
+            b = _spark_batch(spark, batch).localCheckpoint()
+            flat.merge(b)
+            buck.merge(b)
+            mor.merge(b)
+        want = _py_lww(batches)
+        assert _state(flat) == want
+        assert _state(buck) == want
+        assert _state(mor) == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
