@@ -42,7 +42,7 @@ import time
 import uuid
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 UPSERT_OPS = ("c", "u", "r")
@@ -185,6 +185,60 @@ def merge_frames(
     return (
         joined.filter(~is_delete)
         .select(*[pick(c).alias(c) for c in data_cols])
+    )
+
+
+def _fold_sequential(
+    df: DataFrame,
+    key_columns: Sequence[str],
+    op_col: str,
+    ts_col: str,
+    seq_col: str = "__delta_seq",
+) -> DataFrame:
+    """Replay MERGE batches per key in ``seq_col`` order with COW
+    ts-guard semantics, entirely in JVM expressions (one shuffle, no
+    Python): an event applies iff the key is absent OR its ts >= the
+    STORED row's ts; a winning delete clears the key and its ts floor.
+
+    The state is genuinely order-dependent (failed events leave no
+    trace; deletes reset the floor), so no single keep-last expresses
+    it — instead rows are collect_list'ed per key (bounded by the
+    delta count, which compaction bounds), array_sort'ed on the
+    leading seq field, and folded with F.aggregate. NULL-ts events
+    lose against a present row (SQL-NULL comparison → not s_wins),
+    matching merge_frames exactly.
+    """
+    other = [c for c in df.columns if c != seq_col]
+    row = F.struct(F.col(seq_col), *[F.col(c) for c in other])
+    row_type = df.select(row.alias("r")).schema["r"].dataType
+    per_key = df.groupBy(*key_columns).agg(
+        F.array_sort(F.collect_list(row)).alias("__rows")
+    )
+    zero = F.struct(
+        F.lit(False).alias("present"),
+        F.lit(None).cast(row_type).alias("row"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        s_wins = F.coalesce(
+            ~acc["present"] | (x[ts_col] >= acc["row"][ts_col]),
+            F.lit(False),
+        )
+        is_del = F.coalesce(x[op_col] == F.lit(DELETE_OP), F.lit(False))
+        return F.struct(
+            F.when(s_wins, ~is_del)
+            .otherwise(acc["present"])
+            .alias("present"),
+            # on a winning delete acc.row goes stale, which is safe:
+            # present=False short-circuits the next comparison
+            F.when(s_wins & ~is_del, x).otherwise(acc["row"]).alias("row"),
+        )
+
+    final = per_key.select(
+        F.aggregate(F.col("__rows"), zero, step).alias("__st")
+    ).filter(F.col("__st.present"))
+    return final.select(
+        *[F.col(f"__st.row.{c}") for c in [seq_col, *other]]
     )
 
 
@@ -964,14 +1018,24 @@ class MergeTableMOR:
             out = out.withColumn(
                 op_col, F.coalesce(F.col(op_col), F.lit("r"))
             )
-        order = (
-            (ts_col, ["__delta_seq"])
-            if self.ts_guard
-            else ("__delta_seq", [])
-        )
-        resolved = keep_last_agg(
-            out, self.key_columns, order[0], tiebreakers=order[1]
-        )
+        if self.ts_guard:
+            # guard mode is NOT a global keep-last by ts: COW MERGE
+            # semantics are SEQUENTIAL — a winning delete removes the
+            # row AND its ts floor, so a later batch's OLDER-ts insert
+            # recreates the key (NOT MATCHED → INSERT). A keep-last
+            # over all history lets the dead row's higher ts suppress
+            # that insert (probed divergence: c@100, d@100, u@50 —
+            # COW keeps u@50, keep-last said deleted). The fold below
+            # replays the batch order per key exactly.
+            resolved = _fold_sequential(
+                out, self.key_columns, op_col, ts_col
+            )
+        else:
+            # reference mode: later batch wins unconditionally, so the
+            # sequential fold degenerates to keep-last by batch order
+            resolved = keep_last_agg(
+                out, self.key_columns, "__delta_seq"
+            )
         return resolved.filter(F.col(op_col) != DELETE_OP).drop(
             "__delta_seq"
         )

@@ -90,3 +90,48 @@ def test_three_backends_match_python_model(spark, batches):
         assert _state(mor) == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _py_lww_guard(batches):
+    """Guard-mode model (ts_guard=True): an event applies iff the key
+    is absent OR its ts >= the STORED row's ts; a winning delete clears
+    the key AND its ts floor (COW MERGE sequential semantics)."""
+    state: dict[int, tuple[str, int]] = {}
+    for batch in batches:
+        compacted: dict[int, tuple[int, str, str, int]] = {}
+        for seq, (k, v, ts, op) in enumerate(batch):
+            cur = compacted.get(k)
+            if cur is None or (ts, seq) >= (cur[0], cur[3]):
+                compacted[k] = (ts, v, op, seq)
+        for k, (ts, v, op, _seq) in compacted.items():
+            if k in state and ts < state[k][1]:
+                continue
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = (v, ts)
+    return sorted((k, v, ts) for k, (v, ts) in state.items())
+
+
+@given(_BATCHES)
+@settings(max_examples=6, deadline=None)
+def test_guard_mode_backends_match_python_model(spark, batches):
+    """ts_guard=True: COW's sequential MERGE replay and MOR's
+    seq-ordered fold resolution must both equal the guard model —
+    including delete-then-older-insert histories, where a global
+    keep-last-by-ts provably diverges."""
+    work = tempfile.mkdtemp(prefix="backend_guard_props_")
+    try:
+        flat = MergeTable(spark, f"{work}/flat", ["id"])
+        mor = MergeTableMOR(
+            spark, f"{work}/mor", ["id"], ts_guard=True
+        )
+        for batch in batches:
+            b = _spark_batch(spark, batch).localCheckpoint()
+            flat.merge(b, ts_guard=True)
+            mor.merge(b)
+        want = _py_lww_guard(batches)
+        assert _state(flat) == want
+        assert _state(mor) == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

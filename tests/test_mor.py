@@ -256,3 +256,24 @@ def test_mor_lookup_matches_read_filter(spark, tmp_path):
 
         with _pytest.raises(ValueError, match="missing key columns"):
             t.lookup(spark.createDataFrame([("x",)], "other string"))
+
+
+def test_guard_mode_delete_resets_ts_floor(spark, tmp_path):
+    """Pinned divergence probe: after a winning delete, a later batch's
+    OLDER-ts insert must recreate the key (COW MERGE sequential
+    semantics: NOT MATCHED -> INSERT). A global keep-last-by-ts lets
+    the dead row's higher ts suppress the insert — the bug the
+    seq-ordered fold resolution fixes."""
+    seq = [
+        [(1, "a", 100, "c")],
+        [(1, "x", 100, "d")],  # ts tie: source wins, key deleted
+        [(1, "late", 50, "u")],  # older ts, but key is absent now
+    ]
+    cow = MergeTable(spark, str(tmp_path / "cow"), ["id"])
+    mor = MergeTableMOR(spark, str(tmp_path / "mor"), ["id"], ts_guard=True)
+    for rows in seq:
+        cow.merge(batch(spark, rows), ts_guard=True)
+        mor.merge(batch(spark, rows))
+    want = [(1, "late", 50)]
+    assert state(cow.read()) == want
+    assert state(mor.read()) == want
