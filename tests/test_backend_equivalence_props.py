@@ -135,3 +135,41 @@ def test_guard_mode_backends_match_python_model(spark, batches):
         assert _state(mor) == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@given(_BATCHES)
+@settings(max_examples=5, deadline=None)
+def test_time_travel_replays_model_prefixes(spark, batches):
+    """MOR time travel: read(as_of=k) must equal the model applied to
+    the batch PREFIX that version k saw — for every readable version.
+    (The first batch folds into the base, so version 0 already
+    reflects batch 1's inserts; deltas start at batch 2.)"""
+    work = tempfile.mkdtemp(prefix="backend_tt_props_")
+    try:
+        mor = MergeTableMOR(spark, f"{work}/mor", ["id"])
+        for batch in batches:
+            mor.merge(_spark_batch(spark, batch).localCheckpoint())
+        if not mor.exists():
+            assert _py_lww(batches) == []
+            return
+        # leading all-delete batches never create the table (the
+        # zero-file guard), so version 0 corresponds to the FIRST batch
+        # with a surviving insert, and version v to that batch plus the
+        # v batches after it
+        def _has_insert(batch):
+            compacted = {}
+            for seq, (k, v_, ts, op) in enumerate(batch):
+                cur = compacted.get(k)
+                if cur is None or (ts, seq) >= (cur[0], cur[1]):
+                    compacted[k] = (ts, seq, op)
+            return any(op != "d" for _, _, op in compacted.values())
+
+        first = next(i for i, b in enumerate(batches) if _has_insert(b))
+        for v in mor.versions():
+            got = sorted(
+                (r["id"], r["val"], r["__ts_ms"])
+                for r in mor.read(as_of=v).collect()
+            )
+            assert got == _py_lww(batches[: first + v + 1]), (v, batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
