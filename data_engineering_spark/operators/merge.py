@@ -194,19 +194,32 @@ def _fold_sequential(
     op_col: str,
     ts_col: str,
     seq_col: str = "__delta_seq",
+    guard: bool = True,
+    sch_col: str | None = None,
 ) -> DataFrame:
     """Replay MERGE batches per key in ``seq_col`` order with COW
-    ts-guard semantics, entirely in JVM expressions (one shuffle, no
-    Python): an event applies iff the key is absent OR its ts >= the
-    STORED row's ts; a winning delete clears the key and its ts floor.
+    semantics, entirely in JVM expressions (one shuffle, no Python).
+
+    ``guard=True``: an event applies iff the key is absent OR its
+    ts >= the STORED row's ts; a winning delete clears the key and its
+    ts floor. ``guard=False``: every event applies (reference mode).
+
+    ``sch_col`` names an array<string> column listing the columns the
+    row's ORIGINAL frame carried (pre-unionByName back-fill): when a
+    winning upsert's schema LACKED a column, its value carries forward
+    from the stored row instead of the back-filled NULL — COW's
+    merge_frames.pick retention rule (an explicitly-NULL value in a
+    carrying schema still overwrites). Keys, seq, op and ts are never
+    carried: they are per-event, not per-entity.
 
     The state is genuinely order-dependent (failed events leave no
-    trace; deletes reset the floor), so no single keep-last expresses
-    it — instead rows are collect_list'ed per key (bounded by the
-    delta count, which compaction bounds), array_sort'ed on the
-    leading seq field, and folded with F.aggregate. NULL-ts events
-    lose against a present row (SQL-NULL comparison → not s_wins),
-    matching merge_frames exactly.
+    trace; deletes reset the floor; carry-forward reads the prior
+    survivor), so no single keep-last expresses it — instead rows are
+    collect_list'ed per key (bounded by the delta count, which
+    compaction bounds), array_sort'ed on the leading seq field, and
+    folded with F.aggregate. NULL-ts events lose against a present
+    row (SQL-NULL comparison → not s_wins), matching merge_frames
+    exactly.
     """
     other = [c for c in df.columns if c != seq_col]
     row = F.struct(F.col(seq_col), *[F.col(c) for c in other])
@@ -218,20 +231,43 @@ def _fold_sequential(
         F.lit(False).alias("present"),
         F.lit(None).cast(row_type).alias("row"),
     )
+    no_carry = {*key_columns, seq_col, op_col, ts_col, sch_col}
 
     def step(acc: Column, x: Column) -> Column:
-        s_wins = F.coalesce(
-            ~acc["present"] | (x[ts_col] >= acc["row"][ts_col]),
-            F.lit(False),
-        )
+        if guard:
+            s_wins = F.coalesce(
+                ~acc["present"] | (x[ts_col] >= acc["row"][ts_col]),
+                F.lit(False),
+            )
+        else:
+            s_wins = F.lit(True)
         is_del = F.coalesce(x[op_col] == F.lit(DELETE_OP), F.lit(False))
+        if sch_col is None:
+            winner = x
+        else:
+            winner = F.struct(
+                *[
+                    (
+                        x[c]
+                        if c in no_carry
+                        else F.when(
+                            F.array_contains(x[sch_col], c)
+                            | ~acc["present"],
+                            x[c],
+                        ).otherwise(acc["row"][c])
+                    ).alias(c)
+                    for c in [seq_col, *other]
+                ]
+            )
         return F.struct(
             F.when(s_wins, ~is_del)
             .otherwise(acc["present"])
             .alias("present"),
             # on a winning delete acc.row goes stale, which is safe:
             # present=False short-circuits the next comparison
-            F.when(s_wins & ~is_del, x).otherwise(acc["row"]).alias("row"),
+            F.when(s_wins & ~is_del, winner)
+            .otherwise(acc["row"])
+            .alias("row"),
         )
 
     final = per_key.select(
@@ -981,19 +1017,48 @@ class MergeTableMOR:
                     f"as_of={as_of} out of range 0..{len(paths)}"
                 )
             paths = paths[:as_of]
-        base = self.spark.read.parquet(self.base_path).withColumn(
-            "__delta_seq", F.lit(-1)
-        )
-        deltas = [
+        frames = [
+            self.spark.read.parquet(self.base_path).withColumn(
+                "__delta_seq", F.lit(-1)
+            )
+        ] + [
             self.spark.read.parquet(p).withColumn("__delta_seq", F.lit(i))
             for i, p in enumerate(paths)
         ]
-        if not deltas:
-            out = base
+        # schema evolution: COW MERGE retains the TARGET's value for
+        # columns the source schema LACKS (an explicit NULL overwrites
+        # — Delta's UPDATE SET * rule, merge_frames.pick). After
+        # unionByName back-fill that distinction is gone, so frames
+        # that miss union columns are tagged with the column list they
+        # actually carried and resolution switches to the carry-forward
+        # fold. Uniform-schema history (the common case) keeps the
+        # cheap untagged paths.
+        union_cols = set()
+        for f in frames:
+            union_cols.update(c for c in f.columns if c != "__delta_seq")
+        need_carry = any(
+            union_cols - set(f.columns) for f in frames
+        )
+        if need_carry:
+            frames = [
+                f.withColumn(
+                    "__sch",
+                    F.array(
+                        *[
+                            F.lit(c)
+                            for c in f.columns
+                            if c != "__delta_seq"
+                        ]
+                    ),
+                )
+                for f in frames
+            ]
+        if len(frames) == 1:
+            out = frames[0]
         else:
             out = reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True),
-                [base, *deltas],
+                frames,
             )
         if keys is not None:
             missing = [
@@ -1018,27 +1083,38 @@ class MergeTableMOR:
             out = out.withColumn(
                 op_col, F.coalesce(F.col(op_col), F.lit("r"))
             )
-        if self.ts_guard:
+        if self.ts_guard or need_carry:
             # guard mode is NOT a global keep-last by ts: COW MERGE
             # semantics are SEQUENTIAL — a winning delete removes the
             # row AND its ts floor, so a later batch's OLDER-ts insert
             # recreates the key (NOT MATCHED → INSERT). A keep-last
             # over all history lets the dead row's higher ts suppress
             # that insert (probed divergence: c@100, d@100, u@50 —
-            # COW keeps u@50, keep-last said deleted). The fold below
+            # COW keeps u@50, keep-last said deleted). Evolved-schema
+            # histories need the fold too (carry-forward of columns a
+            # winning row's schema lacked), in either mode. The fold
             # replays the batch order per key exactly.
             resolved = _fold_sequential(
-                out, self.key_columns, op_col, ts_col
+                out,
+                self.key_columns,
+                op_col,
+                ts_col,
+                guard=self.ts_guard,
+                sch_col="__sch" if need_carry else None,
             )
         else:
-            # reference mode: later batch wins unconditionally, so the
-            # sequential fold degenerates to keep-last by batch order
+            # reference mode, uniform schema: later batch wins
+            # unconditionally, so the sequential fold degenerates to
+            # keep-last by batch order
             resolved = keep_last_agg(
                 out, self.key_columns, "__delta_seq"
             )
-        return resolved.filter(F.col(op_col) != DELETE_OP).drop(
+        resolved = resolved.filter(F.col(op_col) != DELETE_OP).drop(
             "__delta_seq"
         )
+        if need_carry:
+            resolved = resolved.drop("__sch")
+        return resolved
 
     def lookup(self, keys: DataFrame) -> DataFrame:
         """Point-read: resolved rows whose key tuple appears in

@@ -173,3 +173,100 @@ def test_time_travel_replays_model_prefixes(spark, batches):
             assert got == _py_lww(batches[: first + v + 1]), (v, batches)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_EVO_BATCHES = st.lists(
+    st.tuples(
+        st.lists(_EVENT, min_size=1, max_size=5),
+        st.booleans(),  # this batch carries the evolved column
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _py_lww_evolved(batches):
+    """Reference-mode model with schema evolution: a batch may carry an
+    extra `note` column. Retention rule (Delta UPDATE SET * / COW
+    merge_frames.pick): a winning upsert whose schema LACKS the column
+    keeps the stored row's value; a fresh insert from an old-schema
+    batch reads back NULL."""
+    state: dict[int, tuple[str, object, int]] = {}
+    for batch, has_note in batches:
+        compacted: dict[int, tuple[int, str, str, int]] = {}
+        for seq, (k, v, ts, op) in enumerate(batch):
+            cur = compacted.get(k)
+            if cur is None or (ts, seq) >= (cur[0], cur[3]):
+                compacted[k] = (ts, v, op, seq)
+        for k, (ts, v, op, _seq) in compacted.items():
+            if op == "d":
+                state.pop(k, None)
+            elif has_note:
+                state[k] = (v, f"n{v}", ts)
+            else:
+                prior = state.get(k)
+                state[k] = (v, prior[1] if prior else None, ts)
+    return sorted((k, v, n, ts) for k, (v, n, ts) in state.items())
+
+
+def _spark_evolved_batch(spark, batch, has_note):
+    from data_engineering_spark.operators.dedup import keep_last
+
+    if has_note:
+        rows = [
+            (k, v, f"n{v}", ts, op, seq)
+            for seq, (k, v, ts, op) in enumerate(batch)
+        ]
+        schema = (
+            "id long, val string, note string, __ts_ms long, "
+            "__op string, __seq long"
+        )
+    else:
+        rows = [
+            (k, v, ts, op, seq)
+            for seq, (k, v, ts, op) in enumerate(batch)
+        ]
+        schema = "id long, val string, __ts_ms long, __op string, __seq long"
+    df = spark.createDataFrame(rows, schema)
+    return keep_last(df, ["id"], "__ts_ms", tiebreakers=["__seq"]).drop(
+        "__seq"
+    )
+
+
+@given(_EVO_BATCHES)
+@settings(max_examples=5, deadline=None)
+def test_schema_evolution_backends_match_model(spark, batches):
+    """Mid-sequence column addition: COW (mergeSchema + widened
+    rewrite) and MOR (unionByName back-fill) must both read back the
+    model's state with NULLs exactly where old-schema rows won."""
+    work = tempfile.mkdtemp(prefix="backend_evo_props_")
+    try:
+        flat = MergeTable(spark, f"{work}/flat", ["id"])
+        mor = MergeTableMOR(spark, f"{work}/mor", ["id"])
+        for batch, has_note in batches:
+            b = _spark_evolved_batch(
+                spark, batch, has_note
+            ).localCheckpoint()
+            flat.merge(b)
+            mor.merge(b)
+        want = _py_lww_evolved(batches)
+
+        def rows(table):
+            if not table.exists():
+                return []
+            df = table.read()
+            cols = df.columns
+            return sorted(
+                (
+                    r["id"],
+                    r["val"],
+                    r["note"] if "note" in cols else None,
+                    r["__ts_ms"],
+                )
+                for r in df.collect()
+            )
+
+        assert rows(flat) == want
+        assert rows(mor) == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
