@@ -123,15 +123,18 @@ def test_guard_mode_backends_match_python_model(spark, batches):
     work = tempfile.mkdtemp(prefix="backend_guard_props_")
     try:
         flat = MergeTable(spark, f"{work}/flat", ["id"])
+        buck = MergeTable(spark, f"{work}/buck", ["id"], bucket_by=4)
         mor = MergeTableMOR(
             spark, f"{work}/mor", ["id"], ts_guard=True
         )
         for batch in batches:
             b = _spark_batch(spark, batch).localCheckpoint()
             flat.merge(b, ts_guard=True)
+            buck.merge(b, ts_guard=True)
             mor.merge(b)
         want = _py_lww_guard(batches)
         assert _state(flat) == want
+        assert _state(buck) == want
         assert _state(mor) == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -242,12 +245,14 @@ def test_schema_evolution_backends_match_model(spark, batches):
     work = tempfile.mkdtemp(prefix="backend_evo_props_")
     try:
         flat = MergeTable(spark, f"{work}/flat", ["id"])
+        buck = MergeTable(spark, f"{work}/buck", ["id"], bucket_by=4)
         mor = MergeTableMOR(spark, f"{work}/mor", ["id"])
         for batch, has_note in batches:
             b = _spark_evolved_batch(
                 spark, batch, has_note
             ).localCheckpoint()
             flat.merge(b)
+            buck.merge(b)
             mor.merge(b)
         want = _py_lww_evolved(batches)
 
@@ -267,6 +272,7 @@ def test_schema_evolution_backends_match_model(spark, batches):
             )
 
         assert rows(flat) == want
+        assert rows(buck) == want
         assert rows(mor) == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
