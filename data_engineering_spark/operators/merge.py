@@ -188,6 +188,39 @@ def merge_frames(
     )
 
 
+def _recover_swap(path: str) -> None:
+    """Self-heal the two-rename swap's crash window.
+
+    The atomic swap is `rename(path, old); rename(staging, path);
+    rmtree(old)`. A crash between the renames leaves NO table at
+    `path` — the data is intact in the single `.old-*` dir; restore
+    it (any staging dir is an unpublished partial write, garbage). A
+    crash after the second rename leaves a stale `.old-*` (and the
+    next op's staging) — both garbage once `path` exists. Runs under
+    the table's path lock at every write-op entry, so each op starts
+    from a healed directory and at most one `.old-*` can ever exist;
+    more than one means external interference and recovery refuses to
+    guess.
+    """
+    import glob as _glob
+
+    esc = _glob.escape(path)
+    olds = _glob.glob(f"{esc}.old-*")
+    if not os.path.exists(path):
+        if len(olds) == 1:
+            os.replace(olds[0], path)
+            olds = []
+        elif len(olds) > 1:
+            raise RuntimeError(
+                f"ambiguous crash recovery at {path}: "
+                f"{len(olds)} .old-* directories; restore manually"
+            )
+    for o in olds:
+        shutil.rmtree(o, ignore_errors=True)
+    for s in _glob.glob(f"{esc}.staging-*"):
+        shutil.rmtree(s, ignore_errors=True)
+
+
 def _fold_sequential(
     df: DataFrame,
     key_columns: Sequence[str],
@@ -602,9 +635,10 @@ class MergeTable:
             raise ValueError(
                 f"bucket_by must be positive: {new_bucket_by}"
             )
-        if not self.exists():
-            raise ValueError(f"no table at {self.path}")
         with self._lock:
+            _recover_swap(self.path)
+            if not self.exists():
+                raise ValueError(f"no table at {self.path}")
             if new_bucket_by == self.bucket_by:
                 return
             df = self._read_raw()
@@ -688,6 +722,13 @@ class MergeTable:
         with self._lock:
             self._merge_inner(source, op_col, ts_col, ts_guard)
 
+    def recover(self) -> None:
+        """Heal a crashed swap (see _recover_swap) without writing.
+        Write ops run this automatically; call it explicitly when a
+        reader finds the table path missing after a writer crash."""
+        with self._lock:
+            _recover_swap(self.path)
+
     def _merge_inner(
         self,
         source: DataFrame,
@@ -695,6 +736,7 @@ class MergeTable:
         ts_col: str,
         ts_guard: bool,
     ) -> None:
+        _recover_swap(self.path)
         if self.bucket_by is not None:
             # stamp every batch row (deletes included — a delete must
             # rewrite the bucket holding its row) with its bucket
@@ -951,6 +993,7 @@ class MergeTableMOR:
         """Append the batch as one delta (source must be pre-compacted
         to one row per key, as the CDC pipeline guarantees)."""
         with self._lock:
+            _recover_swap(self.base_path)
             if not self.exists():
                 inserts = source.filter(
                     F.coalesce(F.col(op_col) != DELETE_OP, F.lit(True))
@@ -1157,12 +1200,19 @@ class MergeTableMOR:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), picked
         )
 
+    def recover(self) -> None:
+        """Heal a crashed compact swap on the base (see _recover_swap).
+        Write ops run this automatically."""
+        with self._lock:
+            _recover_swap(self.base_path)
+
     def compact(self) -> int:
         """Fold all deltas into a new base (atomic swap); returns the
         number of deltas folded. The MOR maintenance job: run when
         delta_count()/bytes crosses a threshold so read amplification
         stays bounded."""
         with self._lock:
+            _recover_swap(self.base_path)
             paths = self._delta_paths()
             if not paths:
                 return 0

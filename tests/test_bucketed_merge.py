@@ -316,3 +316,63 @@ def test_cdc_engine_adopts_stored_layout(spark, tmp_path):
         spark, LakeConfig(root=str(tmp_path / "l2"), default_bucket_by=8)
     )
     assert eng_b.get_table("orders", ["id"]).bucket_by is None
+
+
+def test_swap_crash_recovery(spark, tmp_path):
+    """A crash between the swap's two renames leaves no table at path
+    (data stranded in .old-*); the next write op — or an explicit
+    recover() — must restore it and discard the unpublished staging."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"])
+    t.merge(mk(spark, [(1, "a", 100, "c"), (2, "b", 100, "c")]))
+    before = sorted(map(tuple, t.read().collect()))
+
+    # simulate the crash window: first rename done, second never ran
+    os.replace(path, f"{path}.old-deadbeef")
+    os.makedirs(f"{path}.staging-cafe")  # unpublished partial write
+    assert not t.exists()
+
+    t.recover()
+    assert sorted(map(tuple, t.read().collect())) == before
+    assert not os.path.exists(f"{path}.old-deadbeef")
+    assert not os.path.exists(f"{path}.staging-cafe")
+
+    # post-swap garbage (.old left by a crash after the second rename)
+    os.makedirs(f"{path}.old-feedface")
+    t.merge(mk(spark, [(1, "a2", 200, "u")]))
+    assert not os.path.exists(f"{path}.old-feedface")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "a2", 2: "b"}
+
+    # ambiguity refuses to guess
+    os.replace(path, f"{path}.old-one")
+    os.makedirs(f"{path}.old-two")
+    with pytest.raises(RuntimeError, match="ambiguous"):
+        t.recover()
+    shutil.rmtree(f"{path}.old-two")
+    t.recover()
+    assert t.exists()
+
+
+def test_mor_compact_crash_recovery(spark, tmp_path):
+    from data_engineering_spark.operators.merge import MergeTableMOR
+
+    path = str(tmp_path / "m")
+    t = MergeTableMOR(spark, path, ["id"])
+    t.merge(mk(spark, [(1, "a", 100, "c"), (2, "b", 100, "c")]))
+    t.merge(mk(spark, [(1, "a2", 200, "u")]))
+    before = sorted(map(tuple, t.read().select("id", "val").collect()))
+
+    base = t.base_path
+    os.replace(base, f"{base}.old-deadbeef")
+    t.recover()
+    assert sorted(
+        map(tuple, t.read().select("id", "val").collect())
+    ) == before
+    # and the next write op heals on its own
+    os.replace(base, f"{base}.old-deadbeef")
+    t.merge(mk(spark, [(3, "c", 300, "c")]))
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c"}
