@@ -559,16 +559,52 @@ class MergeTable:
                 df = df.withColumnRenamed(phys, logical)
         return df
 
+    # -- schema sidecar (empty-table readability) ----------------------
+    #
+    # A merge whose deletes remove the table's LAST rows leaves a
+    # parquet directory with zero data files (a dynamic partition
+    # overwrite of an empty frame writes nothing and the stale-partition
+    # cleanup removes the emptied directories), and parquet cannot infer
+    # a schema from no footers. Every write therefore records the
+    # written schema in `_schema.json`; `_read_raw` falls back to a
+    # zero-row frame of that schema, so "table exists but is empty" is a
+    # first-class state matching the MOR backend (found by the
+    # backend-equivalence property test: insert then delete one key).
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
+    def _write_schema(self, schema) -> None:
+        import json
+
+        with open(self._schema_path, "w") as f:
+            f.write(json.dumps(schema.jsonValue()))
+
     def _read_raw(self) -> DataFrame:
+        from pyspark.errors.exceptions.base import AnalysisException
+
         # mergeSchema: after schema evolution, a partition-pruned merge
         # rewrites only touched partitions with the widened schema —
         # untouched partition files keep the old one. Footer-of-one-file
         # schema inference would silently drop the new columns.
-        return self._apply_colmap(
-            self.spark.read.option("mergeSchema", "true").parquet(
+        try:
+            df = self.spark.read.option("mergeSchema", "true").parquet(
                 self.path
             )
-        )
+        except AnalysisException as e:
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e) or not os.path.exists(
+                self._schema_path
+            ):
+                raise
+            import json
+
+            from pyspark.sql.types import StructType
+
+            with open(self._schema_path) as f:
+                stored = StructType.fromJson(json.load(f))
+            df = self.spark.createDataFrame([], stored)
+        return self._apply_colmap(df)
 
     def read(self) -> DataFrame:
         df = self._read_raw()
@@ -669,6 +705,7 @@ class MergeTable:
             if os.path.exists(old_map):
                 shutil.copy(old_map, self._colmap_path)
             self._write_layout()
+            self._write_schema(df.schema)
             shutil.rmtree(old, ignore_errors=True)
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -696,6 +733,7 @@ class MergeTable:
             df = self._with_bucket(df)
         self._write(df, self.path)
         self._write_layout()
+        self._write_schema(df.schema)
 
     def merge(
         self,
@@ -782,6 +820,7 @@ class MergeTable:
         if os.path.exists(old_map):
             shutil.copy(old_map, self._colmap_path)
         self._write_layout()
+        self._write_schema(merged.schema)
         shutil.rmtree(old, ignore_errors=True)
 
     def _merge_partitioned(
@@ -909,6 +948,7 @@ class MergeTable:
                 os.path.join(self.path, _partition_dir(p, stale)),
                 ignore_errors=True,
             )
+        self._write_schema(merged.schema)
         if staging_in is not None:
             shutil.rmtree(staging_in, ignore_errors=True)
 

@@ -376,3 +376,50 @@ def test_mor_compact_crash_recovery(spark, tmp_path):
     t.merge(mk(spark, [(3, "c", 300, "c")]))
     got = {r["id"]: r["val"] for r in t.read().collect()}
     assert got == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_delete_last_row_leaves_readable_empty_table(spark, tmp_path):
+    """Regression (backend-equivalence property counterexample): a
+    batch whose deletes remove the table's LAST rows used to leave a
+    zero-data-file directory — the dynamic overwrite of the empty
+    merged frame writes nothing and the stale-partition cleanup removes
+    the emptied bucket dirs — and every later read died with
+    UNABLE_TO_INFER_SCHEMA. The `_schema.json` sidecar now makes
+    "exists but empty" a readable state, matching the MOR backend."""
+    for kwargs in ({"bucket_by": 4}, {}):
+        sub = "buck" if kwargs else "flat"
+        t = MergeTable(spark, str(tmp_path / sub), ["id"], **kwargs)
+        t.merge(mk(spark, [(0, "a", 0, "c")]))
+        t.merge(mk(spark, [(0, "a", 0, "d")]))
+        assert t.exists()
+        df = t.read()
+        assert df.count() == 0
+        assert set(df.columns) == {"id", "val", "__ts_ms", "__op"}
+        assert BUCKET_COL not in df.columns
+        # lookup on the empty table exercises the bucket-pruned path
+        keys = spark.createDataFrame([(0,)], "id long")
+        assert t.lookup(keys).count() == 0
+        # and the table comes back to life on the next batch
+        t.merge(mk(spark, [(1, "b", 1, "c"), (0, "a2", 1, "c")]))
+        got = {r["id"]: r["val"] for r in t.read().collect()}
+        assert got == {0: "a2", 1: "b"}
+
+
+def test_partitioned_delete_all_rows_readable(spark, tmp_path):
+    """Same last-row-delete regression on a NATURALLY partitioned
+    table (partition column not a merge key, so the moved-keys path
+    runs too)."""
+    t = MergeTable(spark, str(tmp_path / "p"), ["id"], partition_by="pt")
+    df = spark.createDataFrame(
+        [(1, "x", "a", 100, "c"), (2, "y", "b", 100, "c")],
+        "id long, val string, pt string, __ts_ms long, __op string",
+    )
+    t.merge(df)
+    dels = spark.createDataFrame(
+        [(1, "x", "a", 200, "d"), (2, "y", "b", 200, "d")],
+        "id long, val string, pt string, __ts_ms long, __op string",
+    )
+    t.merge(dels)
+    assert t.exists()
+    assert t.read().count() == 0
+    assert "pt" in t.read().columns
