@@ -1,0 +1,138 @@
+"""Hashed-feature linear text classifier SCORING (fastText-style).
+
+The quality-classifier stage of an LLM training-data pipeline (the
+WebText-style logistic-regression filter, fastText quality/language
+gates) is, at inference time: hash each token n-gram into a fixed
+bucket space, sum the per-bucket weights, threshold the logit.
+Training happens offline on a sample; scoring the 100 TB corpus is
+the distributed job, and that is what this module implements —
+beyond-reference surface (the reference at
+/root/reference/incremental_kafka_s3_cdc.py has no text operators);
+same extension family as operators/dsir.py.
+
+Spark shape (all JVM expression work, no Python in the scan):
+
+1. `hashed_ngram_buckets` (operators/dsir.py): one corpus scan →
+   explode unigrams+bigrams → pmod(hash) → partial-aggregated
+   groupBy(doc, bucket). The only corpus-sized shuffle, and it moves
+   (id, int, count) rows — fixed width regardless of document size.
+2. The weight table is ≤ num_buckets rows (a few thousand) —
+   broadcast to every executor, never shuffled.
+3. groupBy(doc) sum re-uses the (doc, bucket) clustering from step 1,
+   so AQE plans it as a near-local aggregation.
+
+Weights are FIXED-POINT LONGS (milli-units or whatever scale the
+trainer chose), not doubles: integer accumulation is exactly
+associative, so the logit is bit-stable under any partitioning — the
+property every oracle and every retry-idempotency contract here
+relies on. A float-weight model quantizes to 1e-3 with no measurable
+quality loss (fastText itself ships quantized models).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.dsir import hashed_ngram_buckets
+from data_engineering_spark.operators.sketches import uniform_hash60
+
+
+def synthetic_weights(
+    spark,
+    num_buckets: int,
+    seed: str = "clsw",
+    scale: int = 1000,
+) -> DataFrame:
+    """(bucket, weight): deterministic pseudo-random integer weights in
+    [-scale, scale], derived from md5(bucket || '|' || seed) — the
+    stand-in for a trained model in tests/oracles, recomputable
+    bit-exactly by any engine with md5 (the q_doc_split_assign trick).
+    """
+    return spark.range(num_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            uniform_hash60(F.concat_ws("|", F.col("id"), F.lit(seed)))
+            % (2 * scale + 1)
+            - scale
+        )
+        .cast("long")
+        .alias("weight"),
+    )
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    bias: int = 0,
+    bucket_hash: str = "md5",
+) -> DataFrame:
+    """(id, logit, label): score every document under a linear model
+    over hashed unigram+bigram counts.
+
+        logit(d) = bias + Σ_b count_b(d) · weight[b]
+        label(d) = logit(d) > 0
+
+    `weights` is a (bucket: long, weight: long) frame with at most one
+    row per bucket (missing buckets weigh 0). Documents with no
+    features (empty/whitespace text) still get a row: logit = bias —
+    a classifier that silently drops unscorable documents corrupts
+    the downstream keep/drop accounting.
+
+    Scale: one corpus scan + one (doc,bucket) fixed-width shuffle +
+    a broadcast of the ≤num_buckets-row weight table; the final
+    groupBy(doc) rides the same key the feature aggregation already
+    clustered on. 100 TB-safe by the same argument as DSIR's weight
+    join (operators/dsir.py step 3).
+    """
+    feats = hashed_ngram_buckets(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        num_buckets=num_buckets,
+        bucket_hash=bucket_hash,
+    )
+    per_doc = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc")
+        .agg(
+            F.sum(
+                F.col("c") * F.coalesce(F.col("weight"), F.lit(0))
+            ).alias("__s")
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce(F.col("__s"), F.lit(0)) + F.lit(bias))
+            .cast("long")
+            .alias("logit"),
+        )
+        .withColumn("label", F.col("logit") > 0)
+    )
+
+
+def classifier_filter_stats(
+    scored: DataFrame,
+    docs: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group keep/drop accounting of a classifier gate: (group...,
+    n_docs, n_kept, sum_logit) — the report a curation operator reads
+    before committing to a threshold. Integer sums only, so the frame
+    is oracle-exact."""
+    return (
+        docs.join(scored, id_col)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("label").cast("long")).cast("long").alias("n_kept"),
+            F.sum("logit").cast("long").alias("sum_logit"),
+        )
+    )

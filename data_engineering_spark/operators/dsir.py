@@ -36,8 +36,20 @@ from pyspark.sql import functions as F
 from data_engineering_spark.operators.text import tokens
 
 
-def _bucket(col: Column, num_buckets: int) -> Column:
-    return F.pmod(F.xxhash64(col), F.lit(num_buckets))
+def _bucket(
+    col: Column, num_buckets: int, bucket_hash: str = "xxhash64"
+) -> Column:
+    if bucket_hash == "xxhash64":
+        return F.pmod(F.xxhash64(col), F.lit(num_buckets))
+    if bucket_hash == "md5":
+        # engine-portable 60-bit hash (sketches.uniform_hash60): lets a
+        # DuckDB oracle recompute the exact bucket assignment
+        from data_engineering_spark.operators.sketches import (
+            uniform_hash60,
+        )
+
+        return F.pmod(uniform_hash60(col), F.lit(num_buckets))
+    raise ValueError(f"bucket_hash must be 'xxhash64' or 'md5': {bucket_hash}")
 
 
 def hashed_ngram_buckets(
@@ -45,13 +57,18 @@ def hashed_ngram_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int = 8192,
+    bucket_hash: str = "xxhash64",
 ) -> DataFrame:
     """(doc, bucket, c): hashed unigram+bigram counts per document.
     Built ROW-WISE (posexplode tokens → lead window → 2-element
     explode), not by exploding a composed array expression — codegen
     re-evaluates a generator's child per OUTPUT row, which turns
     explode(bigram_array_expr) quadratic in document length (the same
-    trap ngram_jaccard_pairs documents with measurements)."""
+    trap ngram_jaccard_pairs documents with measurements).
+
+    `bucket_hash`: 'xxhash64' (default, fastest) or 'md5' (portable —
+    a DuckDB oracle can recompute the buckets; see linear classifier
+    scoring in operators/classifier.py)."""
     from pyspark.sql import Window
 
     tok = docs.select(
@@ -75,7 +92,10 @@ def hashed_ngram_buckets(
         ).alias("f"),
     ).filter(F.col("f").isNotNull())
     return (
-        feats.select("doc", _bucket(F.col("f"), num_buckets).alias("bucket"))
+        feats.select(
+            "doc",
+            _bucket(F.col("f"), num_buckets, bucket_hash).alias("bucket"),
+        )
         .groupBy("doc", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -5,6 +5,7 @@ Importing this package registers every query + oracle into
 """
 
 from data_engineering_spark.queries import (  # noqa: F401
+    classifier,
     collections,
     curation,
     diagnostics,

@@ -1,0 +1,135 @@
+"""Hashed-feature linear classifier scoring + BPE pair induction."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.bpe import (
+    bpe_pair_counts,
+    bpe_top_pairs,
+    word_frequencies,
+)
+from data_engineering_spark.operators.classifier import (
+    classifier_filter_stats,
+    linear_classifier_score,
+    synthetic_weights,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -- classifier -------------------------------------------------------
+
+
+def test_linear_score_matches_hand_computation(spark):
+    """Logit = bias + Σ count(feature) · weight[md5-bucket(feature)],
+    recomputed independently in pure Python."""
+    B, bias = 64, 7
+    d = docs(spark, [(1, "a b a"), (2, "zz")])
+    w = synthetic_weights(spark, B, seed="t", scale=50)
+    got = {
+        r["doc_id"]: (r["logit"], r["label"])
+        for r in linear_classifier_score(
+            d, w, num_buckets=B, bias=bias
+        ).collect()
+    }
+
+    def weight(bucket: int) -> int:
+        return _h60(f"{bucket}|t") % 101 - 50
+
+    def logit(feats: list[str]) -> int:
+        return bias + sum(weight(_h60(f) % B) for f in feats)
+
+    want1 = logit(["a", "b", "a", "a b", "b a"])
+    want2 = logit(["zz"])
+    assert got == {1: (want1, want1 > 0), 2: (want2, want2 > 0)}
+
+
+def test_empty_text_scores_bias(spark):
+    """Unscorable documents still get a row (logit = bias) — dropping
+    them would corrupt downstream keep/drop accounting."""
+    d = docs(spark, [(1, "   "), (2, ""), (3, "word")])
+    w = synthetic_weights(spark, 32, seed="e")
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in linear_classifier_score(d, w, num_buckets=32, bias=-3)
+        .collect()
+    }
+    assert got[1] == -3 and got[2] == -3
+    assert len(got) == 3
+
+
+def test_missing_weight_buckets_weigh_zero(spark):
+    d = docs(spark, [(1, "only")])
+    w = spark.createDataFrame([(0, 99)], "bucket long, weight long")
+    b = _h60("only") % 16
+    got = linear_classifier_score(d, w, num_buckets=16).collect()[0]
+    assert got["logit"] == (99 if b == 0 else 0)
+
+
+def test_weight_table_is_broadcast(spark):
+    d = docs(spark, [(1, "a b")])
+    w = synthetic_weights(spark, 128)
+    plan = linear_classifier_score(d, w, num_buckets=128)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_filter_stats(spark):
+    d = spark.createDataFrame(
+        [(1, "x", "en"), (2, "y", "en"), (3, "z", "de")],
+        "doc_id long, text string, lang string",
+    )
+    scored = spark.createDataFrame(
+        [(1, 5, True), (2, -2, False), (3, 9, True)],
+        "doc_id long, logit long, label boolean",
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["n_kept"], r["sum_logit"])
+        for r in classifier_filter_stats(scored, d, ["lang"]).collect()
+    }
+    assert got == {"en": (2, 1, 3), "de": (1, 1, 9)}
+
+
+# -- BPE pair induction ------------------------------------------------
+
+
+def test_word_frequencies_ascii_filter(spark):
+    d = docs(spark, [(1, "ab ab café"), (2, " ab  x ")])
+    got = {
+        r["word"]: r["freq"] for r in word_frequencies(d).collect()
+    }
+    assert got == {"ab": 3, "x": 1}  # café has a non-ASCII char
+
+
+def test_pair_counts_hand_checked(spark):
+    v = spark.createDataFrame(
+        [("abab", 2), ("ba", 3), ("x", 5)], "word string, freq long"
+    )
+    got = {
+        r["pair"]: (r["n_words"], r["total"])
+        for r in bpe_pair_counts(v).collect()
+    }
+    # abab: ab x2, ba x1; ba: ba x1; x: no pairs (filtered, no phantom
+    # sequence(1,0) pair)
+    assert got == {"ab": (1, 4), "ba": (2, 5)}
+
+
+def test_top_pairs_deterministic_order(spark):
+    d = docs(spark, [(1, "aaa aaa bb"), (2, "bb aaa")])
+    rows = bpe_top_pairs(d, k=2).collect()
+    # aa appears twice per "aaa" (3 words) = 6; bb once per "bb" (2) = 2
+    assert [(r["pair"], r["total"]) for r in rows] == [("aa", 6), ("bb", 2)]
+
+
+def test_single_char_words_yield_no_pairs(spark):
+    d = docs(spark, [(1, "a b c d")])
+    assert bpe_top_pairs(d, k=10).count() == 0
