@@ -263,6 +263,91 @@ def cosine_similarity_join(
     )
 
 
+def assign_nearest_seed(
+    vectors: DataFrame,
+    seed_ids: Sequence[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, seed_id, __dot): nearest-seed assignment by inner product —
+    the coarse quantizer shared by SemDeDup bucketing and
+    prototypicality pruning. The dot product is an explicit
+    left-associated term chain, so the double result (and therefore
+    the argmax) is bit-identical across engines; ties break on the
+    lower seed_id. Seeds are broadcast; one corpus scan."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = vector_dim(vectors, vec_col)
+    seeds = vectors.filter(F.col(id_col).isin(*seed_ids)).select(
+        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("__s")
+    )
+    raw = vectors.select(F.col(id_col).alias("id"), F.col(vec_col))
+    dot = None
+    for i in range(1, dim + 1):
+        term = F.element_at(vec_col, i).cast("double") * F.element_at(
+            "__s", i
+        ).cast("double")
+        dot = term if dot is None else dot + term
+    scored = raw.crossJoin(F.broadcast(seeds)).select(
+        "id", "seed_id", dot.alias("__dot")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__dot"), F.asc("seed_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "seed_id", "__dot")
+    )
+
+
+def prototype_prune(
+    vectors: DataFrame,
+    seed_ids: Sequence[int],
+    prune_frac: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws", arXiv:2206.14486 — SSL-prototypes metric): the most
+    PROTOTYPICAL examples of each cluster (highest inner product with
+    their assigned centroid) are the most redundant, so drop the top
+    `prune_frac` of every cluster and keep the hard remainder.
+
+    Output: (id, seed_id, rank, n_cluster, pruned) for every vector —
+    rank 1 = most prototypical; pruned = rank <= floor(frac ·
+    n_cluster). Full membership, not just survivors, so downstream
+    accounting (and the oracle) sees both sides of the cut.
+
+    Determinism: assignment and ranking order by the bit-stable dot
+    chain with id tiebreakers; `floor(n · frac)` is exact for dyadic
+    fractions (0.25, 0.5). Scale: one broadcast-seed corpus scan + two
+    windows over the same (seed_id) partitioning — no all-pairs stage
+    anywhere, unlike SemDeDup's within-bucket matmul.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= prune_frac < 1.0:
+        raise ValueError(f"prune_frac must be in [0, 1): {prune_frac}")
+    assigned = assign_nearest_seed(
+        vectors, seed_ids, id_col=id_col, vec_col=vec_col
+    )
+    wr = Window.partitionBy("seed_id").orderBy(
+        F.desc("__dot"), F.asc("id")
+    )
+    wc = Window.partitionBy("seed_id")
+    return (
+        assigned.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .withColumn("n_cluster", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn(
+            "pruned",
+            F.col("rank")
+            <= F.floor(F.col("n_cluster") * F.lit(prune_frac)),
+        )
+        .select("id", "seed_id", "rank", "n_cluster", "pruned")
+    )
+
+
 def semdedup_pairs(
     vectors: DataFrame,
     seed_ids: Sequence[int],
@@ -300,25 +385,9 @@ def semdedup_pairs(
             [], "id_a long, id_b long, bucket long, cosine_r double"
         )
 
-    seeds = vectors.filter(F.col(id_col).isin(*seed_ids)).select(
-        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("__s")
-    )
-    raw = vectors.select(F.col(id_col).alias("id"), F.col(vec_col))
-    dot = None
-    for i in range(1, dim + 1):
-        term = F.element_at(vec_col, i).cast("double") * F.element_at(
-            "__s", i
-        ).cast("double")
-        dot = term if dot is None else dot + term
-    scored = raw.crossJoin(F.broadcast(seeds)).select(
-        "id", "seed_id", dot.alias("__dot")
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("__dot"), F.asc("seed_id"))
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "seed_id")
-    )
+    assigned = assign_nearest_seed(
+        vectors, seed_ids, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select("id", "seed_id")
 
     u = with_unit_vector(vectors, vec_col).select(
         F.col(id_col).alias("id"), F.col("__uv")

@@ -673,6 +673,50 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embedding_prototype_prune",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id AS seed_id, embedding FROM embeddings
+      WHERE vec_id IN {_SEEDS}),
+    scored AS (
+      SELECT e.vec_id, s.seed_id, {_DOT_SQL} AS dot
+      FROM embeddings e CROSS JOIN s),
+    best AS (
+      SELECT vec_id, seed_id, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, seed_id) AS rn
+      FROM scored),
+    a AS (SELECT vec_id AS id, seed_id, dot FROM best WHERE rn = 1),
+    r AS (
+      SELECT id, seed_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY seed_id
+                                     ORDER BY dot DESC, id) AS INT)
+               AS rank,
+             CAST(COUNT(*) OVER (PARTITION BY seed_id) AS BIGINT)
+               AS n_cluster
+      FROM a)
+    SELECT id, seed_id, rank, n_cluster,
+           rank <= FLOOR(n_cluster * 0.25) AS pruned
+    FROM r
+    """,
+)
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based data pruning (Sorscher et al. 2022 SSL-prototypes):
+    assign every embedding to its nearest seed centroid, rank by
+    prototypicality (inner product with the centroid), and mark the
+    top 25% of each cluster pruned — redundant examples a scaling-law-
+    aware pipeline drops first. Full membership output so the oracle
+    checks both sides of the cut; all ranking rides the bit-stable dot
+    chain (operators/similarity.prototype_prune)."""
+    from data_engineering_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return prototype_prune(e, _SEEDS, prune_frac=0.25)
+
+
 def _pca_oracle() -> str:
     """Eigendecomposition isn't SQL — but the PROJECTION is, given the
     model. The fixed point: the query fits, quantizes the model at

@@ -133,3 +133,41 @@ def test_top_pairs_deterministic_order(spark):
 def test_single_char_words_yield_no_pairs(spark):
     d = docs(spark, [(1, "a b c d")])
     assert bpe_top_pairs(d, k=10).count() == 0
+
+
+# -- prototypicality pruning -------------------------------------------
+
+
+def test_prototype_prune_hand_checked(spark):
+    """2 seeds on the axes; 6 unit-ish vectors with known dots — ranks
+    and the 50% cut recomputed by hand."""
+    import pytest
+
+    from data_engineering_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),   # seed A
+        (1, [0.0, 1.0]),   # seed B
+        (2, [0.9, 0.1]),   # A, dot .9
+        (3, [0.8, 0.2]),   # A, dot .8
+        (4, [0.1, 0.9]),   # B, dot .9
+        (5, [0.2, 0.8]),   # B, dot .8
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["id"]: (r["seed_id"], r["rank"], r["n_cluster"], r["pruned"])
+        for r in prototype_prune(df, (0, 1), prune_frac=0.5).collect()
+    }
+    # cluster A = {0 (dot 1.0), 2 (.9), 3 (.8)}: floor(3*.5)=1 pruned
+    assert got[0] == (0, 1, 3, True)
+    assert got[2] == (0, 2, 3, False)
+    assert got[3] == (0, 3, 3, False)
+    # cluster B = {1, 4, 5}
+    assert got[1] == (1, 1, 3, True)
+    assert got[4] == (1, 2, 3, False)
+    assert got[5] == (1, 3, 3, False)
+
+    with pytest.raises(ValueError, match="prune_frac"):
+        prototype_prune(df, (0, 1), prune_frac=1.0)
