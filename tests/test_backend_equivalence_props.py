@@ -276,3 +276,83 @@ def test_schema_evolution_backends_match_model(spark, batches):
         assert rows(mor) == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_KEYSET = st.lists(
+    st.integers(min_value=0, max_value=7),  # 6,7 never occur: absent keys
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@given(_BATCHES, _KEYSET)
+@settings(max_examples=4, deadline=None)
+def test_lookup_equals_filtered_read(spark, batches, keys):
+    """Point reads are an ACCESS PATH, not a semantic: lookup(keys)
+    must equal read().filter(key in keys) on every backend — including
+    bucket-pruned lookups against a table whose last rows were deleted
+    (the empty-but-exists state)."""
+    work = tempfile.mkdtemp(prefix="backend_lookup_props_")
+    try:
+        flat = MergeTable(spark, f"{work}/flat", ["id"])
+        buck = MergeTable(spark, f"{work}/buck", ["id"], bucket_by=4)
+        mor = MergeTableMOR(spark, f"{work}/mor", ["id"])
+        for batch in batches:
+            b = _spark_batch(spark, batch).localCheckpoint()
+            flat.merge(b)
+            buck.merge(b)
+            mor.merge(b)
+        want = [t for t in _py_lww(batches) if t[0] in set(keys)]
+        kdf = spark.createDataFrame([(k,) for k in keys], "id long")
+        for table in (flat, buck, mor):
+            if not table.exists():
+                assert want == []
+                continue
+            got = sorted(
+                (r["id"], r["val"], r["__ts_ms"])
+                for r in table.lookup(kdf).collect()
+            )
+            assert got == want, type(table).__name__
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@given(
+    _BATCHES,
+    st.integers(min_value=0, max_value=2),       # rebucket after batch i
+    st.sampled_from([None, 2, 8]),               # target layout
+)
+@settings(max_examples=4, deadline=None)
+def test_rebucket_midstream_preserves_state(spark, batches, cut, new_n):
+    """Layout evolution is content-invariant: rebucketing (or
+    flattening) between any two merges must leave the final state
+    equal to the never-rebucketed model."""
+    work = tempfile.mkdtemp(prefix="backend_rebucket_props_")
+    try:
+        t = MergeTable(spark, f"{work}/t", ["id"], bucket_by=4)
+        for i, batch in enumerate(batches):
+            t.merge(_spark_batch(spark, batch).localCheckpoint())
+            if i == cut and t.exists():
+                t.rebucket(new_n)
+        assert _state(t) == _py_lww(batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@given(_BATCHES, st.integers(min_value=0, max_value=2))
+@settings(max_examples=4, deadline=None)
+def test_mor_compact_midstream_invariant(spark, batches, cut):
+    """compact() folds deltas into a new base — at ANY point in the
+    ingest sequence it must not change the resolved state, and later
+    merges must keep agreeing with the model."""
+    work = tempfile.mkdtemp(prefix="backend_compact_props_")
+    try:
+        mor = MergeTableMOR(spark, f"{work}/mor", ["id"])
+        for i, batch in enumerate(batches):
+            mor.merge(_spark_batch(spark, batch).localCheckpoint())
+            if i == cut and mor.exists():
+                mor.compact()
+        assert _state(mor) == _py_lww(batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
