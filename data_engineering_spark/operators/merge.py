@@ -804,11 +804,20 @@ class MergeTable:
         merged = merge_frames(
             target, source, self.key_columns, op_col, ts_col, ts_guard
         )
-        # staging lives NEXT TO the table, not in /tmp: across
-        # filesystems shutil.move degrades to a recursive copy — not
-        # atomic, double the space, and a crash mid-copy loses the
-        # table path. Same-filesystem staging keeps the swap a pair of
-        # renames.
+        self._publish_rewrite(merged)
+
+    def _publish_rewrite(self, merged: DataFrame) -> None:
+        """Full-rewrite publish: write `merged` to a staging dir and
+        swap it in with a pair of renames. The plan may read the live
+        table directory — staging is a DIFFERENT path, so Spark's
+        no-self-overwrite rule never triggers and no checkpoint /
+        intermediate materialization is needed.
+
+        Staging lives NEXT TO the table, not in /tmp: across
+        filesystems shutil.move degrades to a recursive copy — not
+        atomic, double the space, and a crash mid-copy loses the
+        table path. Same-filesystem staging keeps the swap a pair of
+        renames."""
         staging = f"{self.path}.staging-{uuid.uuid4().hex}"
         self._write(merged, staging)
         old = f"{self.path}.old-{uuid.uuid4().hex}"
@@ -877,6 +886,28 @@ class MergeTable:
             all_parts = src_parts.union(moved_parts).distinct()
         parts = [r[p] for r in all_parts.collect()]
         if not parts:  # empty batch → nothing to rewrite
+            return
+        # Full-rewrite detection: when the batch touches EVERY existing
+        # partition (wide-keyspace drains, small tables), the "pruned"
+        # path below degenerates to a full rewrite that ALSO pays a
+        # full-target localCheckpoint materialization — strictly worse
+        # than the unpartitioned staging+swap, which writes the table
+        # exactly once (the plan reads the live directory and writes a
+        # DIFFERENT path, so no checkpoint is needed). Directory names
+        # are reconstructed with the same escaping the writer uses
+        # (_partition_dir, proven by the stale-cleanup path), so the
+        # comparison is exact.
+        existing_dirs = {
+            e
+            for e in os.listdir(self.path)
+            if e.startswith(f"{p}=") or e == _NULL_PART_DIR
+        }
+        touched_dirs = {_partition_dir(p, v) for v in parts}
+        if existing_dirs <= touched_dirs:
+            merged = merge_frames(
+                target, source, self.key_columns, op_col, ts_col, ts_guard
+            )
+            self._publish_rewrite(merged)
             return
         # Spark (rightly) refuses to overwrite a path its own plan reads
         # from, so the affected partitions must be materialized off the

@@ -152,3 +152,37 @@ def test_concurrent_partitioned_merges_no_cross_table_damage(spark, tmp_path):
         out = {r["id"]: r["val"] for r in t.read().collect()}
         # untouched partitions survived; January holds the last update
         assert out == {1: f"{tag}2", 2: "b", 3: "c"}
+
+
+def test_full_touch_batch_takes_swap_path(spark, tmp_path):
+    """A batch touching EVERY existing partition publishes via
+    staging+swap (one table write, no full-target checkpoint) instead
+    of the pruned dynamic overwrite; a subset batch keeps overwriting
+    in place. Observable: the swap replaces the table directory inode,
+    in-place overwrite keeps it."""
+    import os
+
+    from data_engineering_spark.operators.merge import MergeTable
+
+    path = str(tmp_path / "t")
+    t = MergeTable(spark, path, ["id"], partition_by="pt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "id long, pt string, val string, __ts_ms long, __op string"
+        )
+
+    t.merge(mk([(1, "a", "v1", 100, "c"), (2, "b", "v2", 100, "c")]))
+    ino_after_create = os.stat(path).st_ino
+
+    # subset batch: only partition 'a' touched -> in-place dynamic
+    # overwrite, directory inode survives
+    t.merge(mk([(1, "a", "v1b", 200, "u")]))
+    assert os.stat(path).st_ino == ino_after_create
+
+    # full-touch batch: both partitions -> staging+swap, new inode
+    t.merge(mk([(1, "a", "v1c", 300, "u"), (3, "b", "v3", 300, "c")]))
+    assert os.stat(path).st_ino != ino_after_create
+
+    got = sorted((r["id"], r["pt"], r["val"]) for r in t.read().collect())
+    assert got == [(1, "a", "v1c"), (2, "b", "v2"), (3, "b", "v3")]
