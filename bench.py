@@ -74,6 +74,10 @@ HEADLINE = [
     # round-5: daily-ingest embedding dedup — batch probes the
     # persistent LSH index at batch cost (flat probe, SCALE.md)
     "q_embedding_incremental_neardup",
+    # round-6: linear quality-classifier scoring — the corpus-gate
+    # inference pass (one scan, one fixed-width shuffle, broadcast
+    # weights); benched so the new classifier path stays visible
+    "q_doc_quality_classifier",
 ]
 
 
