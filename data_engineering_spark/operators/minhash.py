@@ -292,7 +292,16 @@ def _shingle_sets_and_bands(
             for i in range(num_hashes)
         ]
     )
-    return docsets, band_rows(sigs, num_hashes, num_bands)
+    # band rows are consumed 2-4x downstream (both sides of the
+    # candidate self-join; star_edges' agg AND join-back; the verify
+    # path re-reads through them) and each recomputation re-pays the
+    # num_hashes-string-hash signature stage (~0.5 s/scan at sf0.1,
+    # measured) — while the frame itself is num_bands fixed-width rows
+    # per doc, trivially cacheable. Caller owns both persists.
+    bands = band_rows(sigs, num_hashes, num_bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return docsets, bands
 
 
 def minhash_near_dup_pairs(
@@ -366,6 +375,7 @@ def minhash_near_dup_pairs(
     # persists this flag exists to release (materialize.py)
     out = eager_checkpoint(result)
     cands.unpersist()
+    bands.unpersist()
     docsets.unpersist()
     return out
 
