@@ -30,7 +30,12 @@ EXCHANGE_BUDGET = {
     "q_doc_dedup_exact": 6,
     # r5 PPJoin/collect_set rewrites: 145 -> 27 and 43 -> 15
     "q_doc_ngram_jaccard_pairs": 27,
-    "q_doc_minhash_neardup": 15,
+    # 15 -> 16 in r6: the band-rows persist adds one InMemoryRelation
+    # whose embedded build plan the textual count double-counts —
+    # EXECUTED shuffles went down (the persist exists to stop 2-4
+    # recomputations of the signature stage; isolated A/B in the
+    # r6 commit log)
+    "q_doc_minhash_neardup": 16,
     "q_cosine_topk": 4,
     "q_embedding_similarity_join": 2,
     "q_events_tumbling_window": 4,
@@ -62,6 +67,10 @@ EXCHANGE_BUDGET = {
     # batch banding (×2: touched-buckets probe + union branch) + the
     # index semi-join + grouped GEMM + band dedup
     "q_embedding_incremental_neardup": 8,
+    # round-6 classifier scoring: feature count shuffle + broadcast
+    # weight join + doc-sum + the left join back to the id spine;
+    # pure JVM end to end
+    "q_doc_quality_classifier": 6,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
@@ -111,6 +120,10 @@ EXTRA_BUDGET = {
     "q_doc_debiased_sample": 4,
     "q_doc_source_budget": 10,
     "q_join_size_estimate": 4,
+    # round-6 additions (not in HEADLINE except the classifier)
+    "q_doc_classifier_lang_stats": 10,
+    "q_doc_bpe_top_pairs": 4,
+    "q_embedding_prototype_prune": 6,
 }
 
 
