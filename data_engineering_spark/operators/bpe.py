@@ -106,3 +106,100 @@ def bpe_top_pairs(
     the repo-wide LIMIT policy (registry.py)."""
     counts = bpe_pair_counts(word_frequencies(docs, text_col))
     return counts.orderBy(F.desc("total"), F.asc("pair")).limit(k)
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    max_vocab_rows: int = 2_000_000,
+) -> list[tuple[str, str]]:
+    """Full BPE training: the ordered merge list, greedy by pair
+    frequency (ties: lexicographically smallest pair — deterministic
+    across runs and engines).
+
+    Architecture (the standard one, stated honestly): the CORPUS pass
+    is Spark — one word-count shuffle reduces 100 TB to its vocabulary
+    — and the merge loop runs DRIVER-SIDE over that vocabulary.
+    Heaps' law bounds the vocab at ~10⁵–10⁷ rows regardless of corpus
+    size; `max_vocab_rows` ENFORCES the bound before collecting
+    (probe with limit(N+1).count(), the same bounded-driver-work
+    contract as operators/pq.py's query batches) instead of letting an
+    un-tokenizable corpus melt the driver. Every real-world BPE trainer
+    (sentencepiece, HF tokenizers) is this same shape: distributed
+    count, local loop.
+
+    Merge semantics per Sennrich et al. 2016: words are character
+    sequences with no cross-word pairs; each round merges every
+    non-overlapping occurrence of the most frequent adjacent symbol
+    pair, left to right. Counts are weighted by word frequency. Stops
+    early when no pair occurs twice.
+    """
+    vocab = word_frequencies(docs, text_col)
+    if vocab.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
+            "raise the bound or pre-filter the corpus"
+        )
+    words: list[tuple[list[str], int]] = [
+        (list(r["word"]), r["freq"]) for r in vocab.collect()
+    ]
+
+    from collections import Counter, defaultdict
+
+    def pair_counts_of(sym: list[str]):
+        # non-overlapping occurrence counting happens at MERGE time;
+        # for candidate selection plain adjacent counts are the
+        # Sennrich formulation
+        return Counter(zip(sym[:-1], sym[1:]))
+
+    counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)  # pair -> word ids
+    for wid, (sym, freq) in enumerate(words):
+        for pr, c in pair_counts_of(sym).items():
+            counts[pr] += c * freq
+            index[pr].add(wid)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = None
+        for pr, c in counts.items():
+            if c >= 2 and (
+                best is None
+                or c > counts[best]
+                or (c == counts[best] and pr < best)
+            ):
+                best = pr
+        if best is None:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for wid in list(index[best]):
+            sym, freq = words[wid]
+            old = pair_counts_of(sym)
+            new_sym: list[str] = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    new_sym.append(joined)
+                    i += 2
+                else:
+                    new_sym.append(sym[i])
+                    i += 1
+            words[wid] = (new_sym, freq)
+            new = pair_counts_of(new_sym)
+            for pr in old.keys() | new.keys():
+                d = new.get(pr, 0) - old.get(pr, 0)
+                if d:
+                    counts[pr] += d * freq
+                    if counts[pr] <= 0:
+                        del counts[pr]
+                if new.get(pr, 0):
+                    index[pr].add(wid)
+                elif pr in index:
+                    index[pr].discard(wid)
+    return merges

@@ -171,3 +171,65 @@ def test_prototype_prune_hand_checked(spark):
 
     with pytest.raises(ValueError, match="prune_frac"):
         prototype_prune(df, (0, 1), prune_frac=1.0)
+
+
+def test_bpe_train_matches_naive_reference(spark):
+    """The incremental-index trainer must equal a naive recount-
+    everything implementation on assorted corpora (same greedy rule:
+    max weighted pair count, ties to the lexicographically smallest)."""
+    from collections import Counter
+
+    from data_engineering_spark.operators.bpe import bpe_train
+
+    def naive(word_freqs, num_merges):
+        words = [(list(w), f) for w, f in word_freqs.items()]
+        merges = []
+        for _ in range(num_merges):
+            counts = Counter()
+            for sym, f in words:
+                for pr in zip(sym[:-1], sym[1:]):
+                    counts[pr] += f
+            cands = [(c, pr) for pr, c in counts.items() if c >= 2]
+            if not cands:
+                break
+            # max by count then LEX SMALLEST pair
+            best_c = max(c for c, _ in cands)
+            pr = min(p for c, p in cands if c == best_c)
+            merges.append(pr)
+            joined = pr[0] + pr[1]
+            nw = []
+            for sym, f in words:
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pr:
+                        out.append(joined); i += 2
+                    else:
+                        out.append(sym[i]); i += 1
+                nw.append((out, f))
+            words = nw
+        return merges
+
+    corpora = [
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3},
+        {"aaaa": 3, "aaab": 2, "abab": 4},
+        {"xy": 1, "yz": 1},          # all pairs count 1 -> no merges
+        {"abcabc": 2, "bca": 5, "cab": 1, "aa": 7},
+    ]
+    for wf in corpora:
+        text = " ".join(w for w, f in wf.items() for _ in range(f))
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = bpe_train(d, num_merges=8)
+        want = naive(wf, 8)
+        assert got == want, (wf, got, want)
+
+
+def test_bpe_train_vocab_bound(spark):
+    import pytest
+
+    from data_engineering_spark.operators.bpe import bpe_train
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        bpe_train(d, max_vocab_rows=3)
