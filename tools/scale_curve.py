@@ -153,6 +153,10 @@ FLAGSHIP = {
         "q_doc_dsir_select",
         "q_corpus_curated",
         "q_corpus_curated_star",
+        # round-6: classifier scoring and BPE counting must stay ~linear
+        # (one fixed-width shuffle each after the scan)
+        "q_doc_quality_classifier",
+        "q_doc_bpe_top_pairs",
     ],
     "events": [
         "q_events_keep_last_per_user",
