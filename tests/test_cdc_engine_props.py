@@ -1,0 +1,169 @@
+"""Model-based property test for the CDC ENGINE path: random Debezium
+envelope batches through CdcEngine.process_batch must leave the table
+(and the quarantine) exactly where a sequential python model of the
+documented semantics puts them — raw-stage LWW per message key,
+null-key payload grouping, quarantine of NULL-key survivors, keyed
+MERGE with op-code dispatch, and add-column schema evolution with the
+COW retention rule (a winning upsert whose schema LACKS a column keeps
+the stored value).
+
+The storage-backend properties (test_backend_equivalence_props) pin
+the merge algebra; this pins the GLUE above it — envelope parse, key
+inference from the message key schema, LWW grouping, quarantine
+routing, evolution — which is the reference's actual program
+(/root/reference/incremental_kafka_s3_cdc.py:321-388)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
+
+_EVENT = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=4)),  # key
+    st.sampled_from(["a", "b", "dd", ""]),                        # value
+    st.integers(min_value=0, max_value=9),                        # ts
+    st.sampled_from(["c", "u", "d"]),                             # op
+)
+_BATCHES = st.lists(
+    st.tuples(
+        st.lists(_EVENT, min_size=1, max_size=5),
+        st.booleans(),  # batch carries the evolved `note` column
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _normalize(batches):
+    """Make each batch model-friendly WITHOUT changing what is being
+    tested: timestamps become unique per batch (ts*100 + position —
+    LWW ties without an __offset tiebreaker are legitimately
+    unordered, so the property avoids them), and a keyed event is
+    moved to the end (the engine reads the key schema from the TAIL
+    message; order is otherwise irrelevant once timestamps are
+    unique). Batches with no keyed event at all are dropped (they
+    would legitimately route to the keyless-append path — a different
+    contract)."""
+    out = []
+    for events, has_note in batches:
+        events = [
+            (k, v, ts * 100 + i, op)
+            for i, (k, v, ts, op) in enumerate(events)
+        ]
+        keyed = [e for e in events if e[0] is not None]
+        if not keyed:
+            continue
+        rest = [e for e in events if e is not keyed[-1]]
+        out.append((rest + [keyed[-1]], has_note))
+    return out
+
+
+def _schema_json(has_note: bool) -> str:
+    fields = [
+        {"field": "id", "type": "int64", "optional": False},
+        {"field": "val", "type": "string", "optional": True},
+    ]
+    if has_note:
+        fields.append({"field": "note", "type": "string", "optional": True})
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _envelope_df(spark, events, has_note):
+    schema = _schema_json(has_note)
+    rows = []
+    for k, v, ts, op in events:
+        payload = {"id": k, "val": v}
+        if has_note:
+            payload["note"] = f"n{v}"
+        rows.append(
+            (
+                json.dumps({"id": k}),
+                json.dumps({"schema": json.loads(schema), "payload": payload}),
+                "source_glaucus1.oms1.t1",
+                "t1",
+                op,
+                ts,
+                "oms1",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "key string, value string, __topic string, __table string, "
+        "__op string, __ts_ms long, __db string",
+    )
+
+
+def _model(batches):
+    """Sequential semantics: per batch, LWW by key (unique ts so max-ts
+    wins); the null-key group's survivor is quarantined (one row per
+    batch that has any); winners apply c/u as upsert, d as delete;
+    `note` follows the COW retention rule."""
+    state: dict[int, tuple[str, object, int]] = {}
+    n_quarantined = 0
+    for events, has_note in batches:
+        winners: dict[object, tuple[int, str, str]] = {}
+        for k, v, ts, op in events:
+            cur = winners.get(k)
+            if cur is None or ts > cur[0]:
+                winners[k] = (ts, v, op)
+        if None in winners:
+            n_quarantined += 1
+            del winners[None]
+        for k, (ts, v, op) in winners.items():
+            if op == "d":
+                state.pop(k, None)
+            elif has_note:
+                state[k] = (v, f"n{v}", ts)
+            else:
+                prior = state.get(k)
+                state[k] = (v, prior[1] if prior else None, ts)
+    want = sorted((k, v, n, ts) for k, (v, n, ts) in state.items())
+    return want, n_quarantined
+
+
+@given(_BATCHES)
+@settings(max_examples=6, deadline=None)
+def test_engine_matches_model(spark, batches):
+    batches = _normalize(batches)
+    if not batches:
+        return
+    root = tempfile.mkdtemp(prefix="cdc_engine_props_")
+    try:
+        engine = CdcEngine(spark, LakeConfig(root=root))
+        for events, has_note in batches:
+            engine.process_batch(_envelope_df(spark, events, has_note))
+        want, want_q = _model(batches)
+
+        table = engine.tables.get("t1")
+        if table is None or not table.exists():
+            got = []
+        else:
+            df = table.read()
+            cols = df.columns
+            got = sorted(
+                (
+                    r["id"],
+                    r["val"],
+                    r["note"] if "note" in cols else None,
+                    r["__ts_ms"],
+                )
+                for r in df.collect()
+            )
+        assert got == want, (batches, got, want)
+
+        qdir = os.path.join(root, "_quarantine", "t1")
+        if os.path.isdir(qdir) and glob.glob(f"{qdir}/*.parquet"):
+            got_q = spark.read.parquet(qdir).count()
+        else:
+            got_q = 0
+        assert got_q == want_q, (batches, got_q, want_q)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
