@@ -137,3 +137,22 @@ def q_doc_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bpe.py). Total order (total DESC, pair ASC)."""
     d = load_table(spark, sf_dir, "documents")
     return bpe_top_pairs(d, k=50)
+
+
+@query("q_doc_lm_perplexity")  # rows-only: log/exp are out of oracle policy
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (operators/lm.py): a hashed bigram
+    LM trained on the English slice scores every document; low
+    perplexity = target-like. Rows-only by the documented
+    transcendental exemption (same as dsir_log_weights);
+    tests/test_classifier_bpe.py verifies the scores against a pure
+    python model."""
+    from data_engineering_spark.operators.lm import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    lm = train_bigram_lm(target)
+    return lm_perplexity(d, lm)

@@ -233,3 +233,62 @@ def test_bpe_train_vocab_bound(spark):
     )
     with pytest.raises(ValueError, match="max_vocab_rows"):
         bpe_train(d, max_vocab_rows=3)
+
+
+# -- perplexity filtering ----------------------------------------------
+
+
+def test_lm_perplexity_matches_python_model(spark):
+    """Hashed bigram LM + doc scoring vs an independent pure-python
+    computation (md5 buckets so python can recompute them)."""
+    import math
+
+    from data_engineering_spark.operators.lm import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    B = 128
+    target = docs(spark, [(1, "the cat sat"), (2, "the cat ran far")])
+    raw = docs(spark, [(10, "the cat sat"), (11, "zz qq"), (12, "one")])
+
+    lm = train_bigram_lm(target, num_buckets=B, bucket_hash="md5")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"], r["ppl"])
+        for r in lm_perplexity(
+            raw, lm, num_buckets=B, bucket_hash="md5"
+        ).collect()
+    }
+
+    def bucket(s):
+        return _h60(s) % B
+
+    counts = {}
+    for t in ["the cat sat", "the cat ran far"]:
+        toks = t.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for f_ in feats:
+            counts[bucket(f_)] = counts.get(bucket(f_), 0) + 1
+
+    def score(text):
+        toks = text.split()
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            return (0, None, None)
+        nll = -sum(
+            math.log(counts.get(bucket(f"{a} {b}"), 0) + 1.0)
+            - math.log(counts.get(bucket(a), 0) + float(B))
+            for a, b in bgs
+        )
+        return (len(bgs), nll, math.exp(nll / len(bgs)))
+
+    for did, text in [(10, "the cat sat"), (11, "zz qq"), (12, "one")]:
+        n, nll, ppl = score(text)
+        gn, gnll, gppl = got[did]
+        assert gn == n
+        if nll is None:
+            assert gnll is None and gppl is None
+        else:
+            assert abs(gnll - nll) < 1e-9 and abs(gppl - ppl) < 1e-9
+    # in-target doc scores lower perplexity than out-of-vocab junk
+    assert got[10][2] < got[11][2]
