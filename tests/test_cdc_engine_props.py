@@ -167,3 +167,67 @@ def test_engine_matches_model(spark, batches):
         assert got_q == want_q, (batches, got_q, want_q)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _keyless_envelope_df(spark, events, has_note):
+    """Same envelopes but with NULL message keys throughout — the
+    engine must route to the keyless-append path (reference :275-276
+    INSERT fallback)."""
+    schema = _schema_json(has_note)
+    rows = []
+    for k, v, ts, op in events:
+        payload = {"id": k, "val": v}
+        if has_note:
+            payload["note"] = f"n{v}"
+        rows.append(
+            (
+                None,
+                json.dumps({"schema": json.loads(schema), "payload": payload}),
+                "source_glaucus1.oms1.t2",
+                "t2",
+                op,
+                ts,
+                "oms1",
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "key string, value string, __topic string, __table string, "
+        "__op string, __ts_ms long, __db string",
+    )
+
+
+@given(_BATCHES)
+@settings(max_examples=4, deadline=None)
+def test_keyless_append_matches_model(spark, batches):
+    """No key schema → append-only: every non-delete row accumulates
+    (no LWW, no dedup, no quarantine), deletes are dropped."""
+    batches = [
+        ([(k if k is not None else 9, v, ts * 100 + i, op)
+          for i, (k, v, ts, op) in enumerate(events)], has_note)
+        for events, has_note in batches
+    ]
+    root = tempfile.mkdtemp(prefix="cdc_keyless_props_")
+    try:
+        engine = CdcEngine(spark, LakeConfig(root=root))
+        for events, has_note in batches:
+            engine.process_batch(
+                _keyless_envelope_df(spark, events, has_note)
+            )
+        want = sorted(
+            (k, v, ts)
+            for events, _ in batches
+            for (k, v, ts, op) in events
+            if op != "d"
+        )
+        table = engine.tables.get("t2")
+        if table is None or not table.exists():
+            got = []
+        else:
+            got = sorted(
+                (r["id"], r["val"], r["__ts_ms"])
+                for r in table.read().collect()
+            )
+        assert got == want, (batches, got, want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
