@@ -41,6 +41,10 @@ def curate_corpus(
     jaccard_threshold: float = 0.6,
     score_col: str | None = None,
     near_dup: str = "ppjoin",
+    quality_gate: str = "gopher",
+    classifier_weights: DataFrame | None = None,
+    classifier_bias: int = 0,
+    classifier_buckets: int = 4096,
 ) -> tuple[DataFrame, list[tuple[str, DataFrame]]]:
     """Returns (curated corpus frame, ordered [(stage, frame)] list —
     first entry is the raw input, last is the curated output).
@@ -71,10 +75,36 @@ def curate_corpus(
 
     exact = dedup_exact(docs, [text_col], id_col).drop("n_copies")
 
-    gm = gopher_metrics(exact, id_col=id_col, text_col=text_col)
-    quality = exact.join(
-        gm.filter(F.col("keep")).select(id_col), id_col, "left_semi"
-    )
+    if quality_gate == "gopher":
+        gm = gopher_metrics(exact, id_col=id_col, text_col=text_col)
+        keep_ids = gm.filter(F.col("keep")).select(id_col)
+    elif quality_gate == "classifier":
+        # trained-model gate instead of the heuristic band — the
+        # md5-portable scorer, so the funnel stays oracle-checkable
+        # end to end (operators/classifier.py)
+        if classifier_weights is None:
+            raise ValueError(
+                "quality='classifier' needs classifier_weights"
+            )
+        from data_engineering_spark.operators.classifier import (
+            linear_classifier_score,
+        )
+
+        scored = linear_classifier_score(
+            exact,
+            classifier_weights,
+            id_col=id_col,
+            text_col=text_col,
+            num_buckets=classifier_buckets,
+            bias=classifier_bias,
+        )
+        keep_ids = scored.filter(F.col("label")).select(id_col)
+    else:
+        raise ValueError(
+            "quality_gate must be 'gopher' or 'classifier': "
+            f"{quality_gate}"
+        )
+    quality = exact.join(keep_ids, id_col, "left_semi")
     # the near-dup stage consumes `quality` three ways (pairs, member
     # join, length score); persist the survivor set once
     quality = quality.persist(StorageLevel.MEMORY_AND_DISK)

@@ -24,12 +24,15 @@ _SCALE = 1000  # weight range [-1000, 1000]
 _SEED = "clsw"
 _BIAS = -2500
 
-# features → md5 buckets → synthetic integer weights → per-doc logit,
-# shared by both classifier oracles
-_SCORE_CTE = f"""
+# features → md5 buckets → synthetic integer weights → per-doc logit.
+# Parameterized over the source relation so the curation funnel can
+# score its exact-dedup survivors with the same model
+# (queries/curation.py's classifier-gated funnel oracle).
+def classifier_score_cte(src: str) -> str:
+    return f"""
     tok AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents),
+      FROM {src}),
     uni AS (SELECT doc_id, unnest(t) AS f FROM tok),
     bi AS (
       SELECT doc_id,
@@ -54,8 +57,10 @@ _SCORE_CTE = f"""
     scored AS (
       SELECT d.doc_id,
              CAST(COALESCE(s.raw, 0) + {_BIAS} AS BIGINT) AS logit
-      FROM documents d LEFT JOIN s USING (doc_id))
+      FROM {src} d LEFT JOIN s USING (doc_id))
 """
+
+
 
 
 def _score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +74,7 @@ def _score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_doc_quality_classifier",
     oracle=f"""
-    WITH {_SCORE_CTE}
+    WITH {classifier_score_cte("documents")}
     SELECT doc_id, logit, logit > 0 AS label FROM scored
     """,
 )
@@ -87,7 +92,7 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_doc_classifier_lang_stats",
     oracle=f"""
-    WITH {_SCORE_CTE}
+    WITH {classifier_score_cte("documents")}
     SELECT d.source, d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN sc.logit > 0 THEN 1 ELSE 0 END) AS BIGINT)

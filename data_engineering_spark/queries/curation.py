@@ -94,6 +94,31 @@ _FUNNEL_CTE = """
 """
 
 
+# the funnel split into reusable pieces: exact-dedup head, the Gopher
+# quality stage, and the near-dup/cap tail — so the classifier-gated
+# variant below swaps ONLY the quality stage and shares everything else
+_E_CTE, _rest = _FUNNEL_CTE.split("    tq AS (", 1)
+_Q_GOPHER, _TAIL_CTE = ("    tq AS (" + _rest).split("    tok2 AS (", 1)
+_TAIL_CTE = "    tok2 AS (" + _TAIL_CTE
+
+
+def _classifier_funnel_cte() -> str:
+    from data_engineering_spark.queries.classifier import (
+        classifier_score_cte,
+    )
+
+    return (
+        _E_CTE
+        + classifier_score_cte("e")
+        + """,
+    q AS (
+      SELECT e.doc_id, e.text, e.source, e.lang, e.n_chars
+      FROM e JOIN scored USING (doc_id) WHERE scored.logit > 0),
+"""
+        + _TAIL_CTE
+    )
+
+
 def _curate(spark: SparkSession, sf_dir: str):
     d = load_table(spark, sf_dir, "documents")
     return curate_corpus(d, score_col="n_chars")
@@ -135,6 +160,50 @@ def q_corpus_curated_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair-join funnel goes quadratic)."""
     d = load_table(spark, sf_dir, "documents")
     final, _ = curate_corpus(d, score_col="n_chars", near_dup="star")
+    return final.select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("long")
+    )
+
+
+@query(
+    "q_corpus_curated_classifier",
+    oracle=f"""
+    WITH RECURSIVE {_classifier_funnel_cte()}
+    SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM capped
+    """,
+)
+def q_corpus_curated_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation funnel with the TRAINED-MODEL quality gate: the
+    Gopher heuristic band is swapped for linear classifier scoring
+    (operators/classifier.py, md5-portable synthetic weights, keep =
+    logit > 0) while exact dedup, near-dup canonicalization and the
+    domain cap stay identical. The oracle rebuilds the whole composed
+    pipeline — classifier inference INSIDE the funnel — so stage order
+    (classifier sees exact-dedup survivors, not the raw corpus) is
+    part of what hash-matching checks."""
+    from data_engineering_spark.operators.classifier import (
+        synthetic_weights,
+    )
+    from data_engineering_spark.queries.classifier import (
+        _B,
+        _BIAS,
+        _SCALE,
+        _SEED,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = synthetic_weights(spark, _B, seed=_SEED, scale=_SCALE)
+    final, _ = curate_corpus(
+        d,
+        score_col="n_chars",
+        quality_gate="classifier",
+        classifier_weights=w,
+        classifier_bias=_BIAS,
+        classifier_buckets=_B,
+    )
     return final.select(
         "doc_id", "source", "lang", F.col("n_chars").cast("long")
     )

@@ -124,6 +124,10 @@ EXTRA_BUDGET = {
     "q_doc_classifier_lang_stats": 10,
     "q_doc_bpe_top_pairs": 4,
     "q_embedding_prototype_prune": 6,
+    # classifier-gated funnel: same machinery as q_corpus_curated with
+    # the Gopher scan swapped for the classifier's count shuffle +
+    # broadcast weight join; pure JVM end to end
+    "q_corpus_curated_classifier": 34,
 }
 
 
