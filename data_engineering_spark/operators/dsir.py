@@ -147,11 +147,15 @@ def dsir_log_weights(
     sf0.1: 2.4 s two-scan vs 3.8 s subset)."""
     from pyspark import StorageLevel
 
-    raw_counts = hashed_ngram_buckets(docs, id_col, text_col, num_buckets)
+    # raw_counts feeds at least two consumers (the raw distribution
+    # and the scoring join; three with target_subset) and each
+    # recomputation re-pays the corpus tokenize+hash scan — persist the
+    # fixed-width (doc, bucket, c) frame, same rationale as the LSH
+    # band-rows persist in operators/minhash.py
+    raw_counts = hashed_ngram_buckets(
+        docs, id_col, text_col, num_buckets
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if target_subset:
-        # raw_counts now feeds three consumers (raw distribution,
-        # target slice, scoring join) — persist the one corpus pass
-        raw_counts = raw_counts.persist(StorageLevel.MEMORY_AND_DISK)
         tgt_counts = raw_counts.join(
             target.select(F.col(id_col).alias("doc")).distinct(),
             "doc",
