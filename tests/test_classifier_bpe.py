@@ -292,3 +292,45 @@ def test_lm_perplexity_matches_python_model(spark):
             assert abs(gnll - nll) < 1e-9 and abs(gppl - ppl) < 1e-9
     # in-target doc scores lower perplexity than out-of-vocab junk
     assert got[10][2] < got[11][2]
+
+
+def test_classifier_property_random_text(spark):
+    """Random ASCII-ish corpora vs the pure-python model — pins
+    tokenization (trim + \\s+ split, Java \\s is ASCII-only so the
+    alphabet avoids unicode whitespace), md5 bucketing, and integer
+    aggregation under repeated tokens, empty and whitespace-only text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    B, bias, seed = 32, -5, "p"
+
+    alphabet = st.sampled_from(list("ab δ日 "))
+    texts = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+
+    def weight(bucket):
+        return _h60(f"{bucket}|{seed}") % 101 - 50
+
+    def model(text):
+        toks = text.strip().split() if text.strip() else []
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return bias + sum(weight(_h60(f) % B) for f in feats)
+
+    @given(texts)
+    @settings(max_examples=8, deadline=None)
+    def check(ts):
+        d = docs(spark, list(enumerate(ts)))
+        w = synthetic_weights(spark, B, seed=seed, scale=50)
+        got = {
+            r["doc_id"]: r["logit"]
+            for r in linear_classifier_score(
+                d, w, num_buckets=B, bias=bias
+            ).collect()
+        }
+        want = {i: model(t) for i, t in enumerate(ts)}
+        assert got == want, (ts, got, want)
+
+    check()
