@@ -23,6 +23,7 @@ import tempfile
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from data_engineering_spark.cdc.pipeline import CdcEngine, LakeConfig
 
@@ -229,5 +230,63 @@ def test_keyless_append_matches_model(spark, batches):
                 for r in table.read().collect()
             )
         assert got == want, (batches, got, want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@given(_BATCHES, st.integers(min_value=2, max_value=3))
+@settings(max_examples=3, deadline=None)
+def test_multi_table_routing_matches_model(spark, batches, par):
+    """Two tables interleaved in every batch, processed through the
+    thread-pooled per-table dispatch (table_parallelism > 1): each
+    table's final state must equal the single-table model applied to
+    ITS slice — no cross-table bleed through the shared cached raw
+    frame or the threaded routing."""
+    batches = _normalize(batches)
+    if not batches:
+        return
+    root = tempfile.mkdtemp(prefix="cdc_multi_props_")
+    try:
+        engine = CdcEngine(
+            spark, LakeConfig(root=root, table_parallelism=par)
+        )
+        for events, has_note in batches:
+            a = _envelope_df(spark, events, has_note)
+            # table B sees the same events shifted by one ts unit so
+            # the two slices are distinct but correlated
+            b_events = [
+                (k, v, ts + 1, op) for (k, v, ts, op) in events
+            ]
+            b = _envelope_df(spark, b_events, has_note).withColumn(
+                "__table", F.lit("t9")
+            ).withColumn(
+                "__topic", F.lit("source_glaucus1.oms1.t9")
+            )
+            engine.process_batch(a.unionByName(b))
+        for name, shift in (("t1", 0), ("t9", 1)):
+            shifted = [
+                (
+                    [(k, v, ts + shift, op) for (k, v, ts, op) in ev],
+                    hn,
+                )
+                for ev, hn in batches
+            ]
+            want, _ = _model(shifted)
+            table = engine.tables.get(name)
+            if table is None or not table.exists():
+                got = []
+            else:
+                df = table.read()
+                cols = df.columns
+                got = sorted(
+                    (
+                        r["id"],
+                        r["val"],
+                        r["note"] if "note" in cols else None,
+                        r["__ts_ms"],
+                    )
+                    for r in df.collect()
+                )
+            assert got == want, (name, batches, got, want)
     finally:
         shutil.rmtree(root, ignore_errors=True)
