@@ -254,12 +254,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        # stall guard: when the two runs disagree by >2x, at least one
+        # hit a JIT/GC/host stall (the documented environmental
+        # pattern — identical commits have read 4-5x apart); one more
+        # sample tightens the min-estimator without changing its
+        # meaning. Steady queries still pay exactly 2 runs.
+        if max(runs) > 2 * min(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         # the near-dup/span operators persist shared subtrees and the
         # CC loop localCheckpoints per round; across 2×N timed runs
         # those blocks accumulate until the block manager thrashes
