@@ -584,6 +584,16 @@ class MergeTable:
     def _read_raw(self) -> DataFrame:
         from pyspark.errors.exceptions.base import AnalysisException
 
+        if not os.path.exists(self.path):
+            # a reader arriving inside a crashed swap's window (path
+            # renamed away, data intact in the single .old-*): heal
+            # before parquet raises PATH_NOT_FOUND. Write ops already
+            # do this at entry; reads now self-heal the same way
+            # instead of requiring a manual recover(). No-op when
+            # there is genuinely no table.
+            with self._lock:
+                _recover_swap(self.path)
+
         # mergeSchema: after schema evolution, a partition-pruned merge
         # rewrites only touched partitions with the widened schema —
         # untouched partition files keep the old one. Footer-of-one-file
@@ -1124,6 +1134,11 @@ class MergeTableMOR:
 
         from data_engineering_spark.operators.dedup import keep_last_agg
 
+        if not os.path.exists(self.base_path):
+            # reader inside a crashed compact-swap window: heal before
+            # the base read raises PATH_NOT_FOUND (parity with the COW
+            # reader's self-heal; no-op when there is no table)
+            self.recover()
         paths = self._delta_paths()
         if as_of is not None:
             if not 0 <= as_of <= len(paths):

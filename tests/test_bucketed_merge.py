@@ -423,3 +423,26 @@ def test_partitioned_delete_all_rows_readable(spark, tmp_path):
     assert t.exists()
     assert t.read().count() == 0
     assert "pt" in t.read().columns
+
+
+def test_reader_self_heals_crashed_swap(spark, tmp_path):
+    """A READER arriving inside the swap crash window (table path
+    renamed away, data intact in the single .old-*) heals on its own —
+    no manual recover() call, COW and MOR alike."""
+    from data_engineering_spark.operators.merge import MergeTableMOR
+
+    path = str(tmp_path / "cow")
+    t = MergeTable(spark, path, ["id"])
+    t.merge(mk(spark, [(1, "a", 100, "c"), (2, "b", 100, "c")]))
+    os.replace(path, f"{path}.old-crash")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "b"}
+    assert t.exists()
+
+    mpath = str(tmp_path / "mor")
+    m = MergeTableMOR(spark, mpath, ["id"])
+    m.merge(mk(spark, [(1, "a", 100, "c")]))
+    m.merge(mk(spark, [(2, "b", 200, "c")]))
+    os.replace(m.base_path, f"{m.base_path}.old-crash")
+    got = {r["id"]: r["val"] for r in m.read().collect()}
+    assert got == {1: "a", 2: "b"}
