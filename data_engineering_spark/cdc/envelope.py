@@ -250,9 +250,19 @@ def latest_envelope_schema(raw: DataFrame) -> tuple[str | None, str | None]:
     key on the newest record must not silently demote a keyed table to
     keyless appends. The value schema still comes from the latest
     record overall. Both ride ONE aggregate action."""
+    # `$.schema.fields[0]` (not just `$.schema`): a record carrying an
+    # EMPTY or field-less schema object would win the latest-ts race
+    # and yield a zero-field struct — every downstream column lookup
+    # then dies with UNRESOLVED_COLUMN for the whole table slice
+    # (found by the malformed-payload engine property). Only records
+    # whose schema can actually type a payload are schema candidates;
+    # field-less ones still flow to parse+quarantine like any other
+    # malformed row.
     row = (
         raw.select("key", "value", "__ts_ms")
-        .filter(F.get_json_object("value", "$.schema").isNotNull())
+        .filter(
+            F.get_json_object("value", "$.schema.fields[0]").isNotNull()
+        )
         .agg(
             F.max_by(
                 "key",

@@ -800,8 +800,17 @@ class MergeTable:
             # that every later read rejects with UNABLE_TO_INFER_SCHEMA
             # — deletes into a non-existent table are a no-op, so leave
             # the table uncreated (found by the backend-equivalence
-            # property test)
-            if inserts.isEmpty():
+            # property test).
+            #
+            # count(), NOT isEmpty(): the CDC engine rides its
+            # quarantine metrics on the FIRST action over the observed
+            # batch plan (Observation completes there), and a limit-1
+            # probe short-circuits — metrics get counted over only the
+            # rows the early exit happened to scan, silently dropping
+            # quarantine rows (found by the malformed-payload engine
+            # property). The full count is one aggregate over a batch
+            # the very next statement writes out anyway.
+            if inserts.count() == 0:
                 return
             self.create(inserts)
             return
@@ -1080,8 +1089,10 @@ class MergeTableMOR:
                     F.coalesce(F.col(op_col) != DELETE_OP, F.lit(True))
                 )
                 # same guard as the COW path: an all-deletes first
-                # batch must not create a zero-file (unreadable) base
-                if not inserts.isEmpty():
+                # batch must not create a zero-file (unreadable) base.
+                # count() not isEmpty() for the same observed-metrics
+                # reason documented in MergeTable._merge_inner.
+                if inserts.count() != 0:
                     self.create(inserts)
                 return
             # stage-then-rename: writing delta-N directly is not

@@ -290,3 +290,71 @@ def test_multi_table_routing_matches_model(spark, batches, par):
             assert got == want, (name, batches, got, want)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    st.lists(_EVENT, min_size=1, max_size=4),
+    st.lists(
+        st.sampled_from(
+            [
+                "not json at all",
+                '{"schema": null, "payload": "string-not-object"}',
+                '{"schema": {}, "payload": {"val": "x"}}',  # no id field
+                '{"payload": {"id": null, "val": "y"}}',    # explicit null id
+            ]
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(max_examples=4, deadline=None)
+def test_malformed_payloads_quarantined_not_merged(spark, events, bads):
+    """Envelopes whose payload parses to NULL key columns — broken
+    JSON, non-object payloads, missing or null id — are quarantined,
+    never merged, and never poison the valid rows sharing the batch.
+    Malformed rows carry message keys DISJOINT from the valid ones so
+    the raw-stage LWW cannot make a malformed event shadow a valid
+    event's key (that shadowing edge is a separate, order-dependent
+    contract)."""
+    events = [
+        (k if k is not None else 3, v, ts * 100 + i, op)
+        for i, (k, v, ts, op) in enumerate(events)
+    ]
+    root = tempfile.mkdtemp(prefix="cdc_malformed_props_")
+    try:
+        engine = CdcEngine(spark, LakeConfig(root=root))
+        good = _envelope_df(spark, events, False)
+        bad_rows = [
+            (json.dumps({"id": 100 + j}), b, "source_glaucus1.oms1.t1",
+             "t1", "u", 1_000_000 + j, "oms1")
+            for j, b in enumerate(bads)
+        ]
+        bad = spark.createDataFrame(
+            bad_rows,
+            "key string, value string, __topic string, __table string, "
+            "__op string, __ts_ms long, __db string",
+        )
+        engine.process_batch(good.unionByName(bad))
+
+        want, _ = _model([(events, False)])
+        table = engine.tables.get("t1")
+        if table is None or not table.exists():
+            got = []
+        else:
+            got = sorted(
+                (r["id"], r["val"], None, r["__ts_ms"])
+                for r in table.read().collect()
+            )
+        assert got == want, (events, bads, got, want)
+
+        qdir = os.path.join(root, "_quarantine", "t1")
+        got_q = (
+            spark.read.parquet(qdir).count()
+            if os.path.isdir(qdir) and glob.glob(f"{qdir}/*.parquet")
+            else 0
+        )
+        # each malformed row has a distinct message key -> all survive
+        # the raw LWW and all land in quarantine
+        assert got_q == len(bads), (bads, got_q)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
