@@ -88,6 +88,11 @@ def linear_classifier_score(
     clustered on. 100 TB-safe by the same argument as DSIR's weight
     join (operators/dsir.py step 3).
     """
+    from data_engineering_spark.operators.dsir import check_bucket_bound
+
+    # broadcast(weights) below is the scale contract; enforce the
+    # caller-controlled bound instead of trusting it (r6 verdict #7)
+    check_bucket_bound(num_buckets)
     feats = hashed_ngram_buckets(
         docs,
         id_col=id_col,

@@ -36,6 +36,25 @@ from pyspark.sql import functions as F
 from data_engineering_spark.operators.text import tokens
 
 
+# every consumer of the hashed-bucket models (DSIR importance weights,
+# the bigram LM, the linear classifier) BROADCASTS a ≤num_buckets-row
+# table to the corpus scan; past this bound that frame stops being
+# broadcastable (10M (long,long,...) rows ≈ hundreds of MB serialized,
+# past Spark's 8 GB broadcast hard limit territory once task
+# deserialization multiplies it) and the whole scale contract silently
+# inverts — fail loudly at the API instead (r6 verdict item 7)
+MAX_BROADCAST_BUCKETS = 10_000_000
+
+
+def check_bucket_bound(num_buckets: int) -> None:
+    if not 0 < num_buckets <= MAX_BROADCAST_BUCKETS:
+        raise ValueError(
+            f"num_buckets={num_buckets} outside (0, "
+            f"{MAX_BROADCAST_BUCKETS}]: the bucket model must stay "
+            "broadcast-sized — shard the model or reduce buckets"
+        )
+
+
 def _bucket(
     col: Column, num_buckets: int, bucket_hash: str = "xxhash64"
 ) -> Column:
@@ -69,6 +88,7 @@ def hashed_ngram_buckets(
     `bucket_hash`: 'xxhash64' (default, fastest) or 'md5' (portable —
     a DuckDB oracle can recompute the buckets; see linear classifier
     scoring in operators/classifier.py)."""
+    check_bucket_bound(num_buckets)
     from pyspark.sql import Window
 
     tok = docs.select(

@@ -81,8 +81,16 @@ def lm_perplexity(
     same generator-trap avoidance) as the feature extractor."""
     from pyspark.sql import Window
 
-    from data_engineering_spark.operators.dsir import _bucket
+    from data_engineering_spark.operators.dsir import (
+        _bucket,
+        check_bucket_bound,
+    )
     from data_engineering_spark.operators.text import tokens
+
+    # the LM is broadcast TWICE below (joint + context views): the
+    # num_buckets bound is the broadcastability contract, caller-
+    # controlled and therefore enforced (r6 verdict item 7)
+    check_bucket_bound(num_buckets)
 
     tok = docs.select(
         F.col(id_col).alias("doc"),

@@ -188,7 +188,7 @@ def merge_frames(
     )
 
 
-def _recover_swap(path: str) -> None:
+def _recover_swap(path: str, read_only: bool = False) -> None:
     """Self-heal the two-rename swap's crash window.
 
     The atomic swap is `rename(path, old); rename(staging, path);
@@ -201,6 +201,14 @@ def _recover_swap(path: str) -> None:
     from a healed directory and at most one `.old-*` can ever exist;
     more than one means external interference and recovery refuses to
     guess.
+
+    ``read_only=True`` (the read-path self-heal) restores the single
+    `.old-*` if the table is missing but deletes NOTHING: the path
+    lock is process-local, so a reader in another process that
+    observes a live writer's two-rename window must not rmtree that
+    writer's in-flight `.staging-*` (or race its `.old-*` cleanup) —
+    garbage collection belongs to write-op entry, which does hold the
+    writer's lock.
     """
     import glob as _glob
 
@@ -215,6 +223,8 @@ def _recover_swap(path: str) -> None:
                 f"ambiguous crash recovery at {path}: "
                 f"{len(olds)} .old-* directories; restore manually"
             )
+    if read_only:
+        return
     for o in olds:
         shutil.rmtree(o, ignore_errors=True)
     for s in _glob.glob(f"{esc}.staging-*"):
@@ -590,9 +600,11 @@ class MergeTable:
             # before parquet raises PATH_NOT_FOUND. Write ops already
             # do this at entry; reads now self-heal the same way
             # instead of requiring a manual recover(). No-op when
-            # there is genuinely no table.
+            # there is genuinely no table. read_only: the restore only
+            # — never delete another process's in-flight staging dir
+            # (the lock below is process-local)
             with self._lock:
-                _recover_swap(self.path)
+                _recover_swap(self.path, read_only=True)
 
         # mergeSchema: after schema evolution, a partition-pruned merge
         # rewrites only touched partitions with the widened schema —
@@ -916,10 +928,10 @@ class MergeTable:
         # are reconstructed with the same escaping the writer uses
         # (_partition_dir, proven by the stale-cleanup path), so the
         # comparison is exact.
+        # (null partitions land as `col=__HIVE_DEFAULT_PARTITION__`,
+        # which the prefix match already covers)
         existing_dirs = {
-            e
-            for e in os.listdir(self.path)
-            if e.startswith(f"{p}=") or e == _NULL_PART_DIR
+            e for e in os.listdir(self.path) if e.startswith(f"{p}=")
         }
         touched_dirs = {_partition_dir(p, v) for v in parts}
         if existing_dirs <= touched_dirs:

@@ -475,6 +475,14 @@ def minhash_star_clusters(
     from data_engineering_spark.operators.graph import connected_components
 
     comp = connected_components(star, "doc_a", "doc_b")
+    # connected_components materializes its edge input EAGERLY (the
+    # persist+count at graph.py's entry) and returns checkpointed
+    # labels, so the bands/docsets caches are fully consumed by this
+    # point and nothing in the returned plan re-reads them — release
+    # unconditionally (the r6 ADVICE leak: repeated star-path calls in
+    # a long-lived session accumulated cached band blocks forever)
+    bands.unpersist(blocking=False)
+    docsets.unpersist(blocking=False)
     return (
         docs.select(F.col(id_col))
         .join(

@@ -50,3 +50,39 @@ def read_schemas(df: DataFrame) -> str:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return plan_string(df).count("WholeStageCodegen")
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the optimized logical plan with an EMPTY
+    partition spec over UNBOUNDED input — the "move every row to one
+    partition and sort it in one task" pattern (WindowExec's own
+    warning), a guaranteed straggler at scale.
+
+    A window is exempt when its input subtree is provably row-bounded:
+    it contains a Limit, or a grouping-less Aggregate (1 row), or —
+    for multi-child nodes — every child is bounded.  Those windows
+    touch a driver-sized frame no matter the corpus size.  Returns the
+    offending nodes' simpleStrings (empty list = scale-safe).
+    """
+    out: list[str] = []
+
+    def walk(node) -> bool:
+        kids = node.children()
+        n = kids.length()
+        child_bounded = [walk(kids.apply(i)) for i in range(n)]
+        bounded = bool(child_bounded) and all(child_bounded)
+        name = node.getClass().getSimpleName()
+        if name in ("GlobalLimit", "LocalLimit"):
+            bounded = True
+        elif name == "Aggregate" and node.groupingExpressions().isEmpty():
+            bounded = True
+        elif name in ("LocalRelation", "OneRowRelation"):
+            # literal/in-memory relations are driver-sized by
+            # construction (createDataFrame of collected metadata)
+            bounded = True
+        elif name == "Window" and node.partitionSpec().isEmpty() and not bounded:
+            out.append(node.simpleString(120))
+        return bounded
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out

@@ -29,9 +29,15 @@ _BIAS = -2500
 # score its exact-dedup survivors with the same model
 # (queries/curation.py's classifier-gated funnel oracle).
 def classifier_score_cte(src: str) -> str:
+    # the CASE guard mirrors operators/text.tokens: bare
+    # string_split_regex yields [''] for empty/whitespace text (a
+    # phantom unigram that would pick up a hashed weight) where the
+    # Spark side maps it to an empty array (logit = bias alone)
     return f"""
     tok AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
       FROM {src}),
     uni AS (SELECT doc_id, unnest(t) AS f FROM tok),
     bi AS (

@@ -384,8 +384,6 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be order-nondeterministic across engines. Plan: one tokenize
     fan-out filtered to the query terms (tiny), doc-length agg, df agg,
     broadcast-sized joins, global top-10."""
-    from pyspark.sql import Window
-
     from data_engineering_spark.operators.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -439,12 +437,36 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.round(
         ((F.col("p0") + F.col("p1")) + F.col("p2")) + F.col("p3"), 6
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    # Top-10 as orderBy().limit(): plans as TakeOrderedAndProject —
+    # each task keeps its local top-10 and the driver merges — instead
+    # of a row_number window with an empty partition spec, which moves
+    # EVERY matching doc to one partition for a single-task sort (the
+    # r6 verdict's scale-killer).  rank is then stamped on the ≤10-row
+    # result with a bounded self-join (rank = 1 + strictly-better
+    # rows): deterministic, no window, no single-partition exchange.
+    # The twin TakeOrdered subtrees share their upstream shuffles via
+    # ReusedExchange, so the corpus is still scanned once.
+    top = (
         pivoted.withColumn("score", score)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", "score", "rank")
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    better = (F.col("b.score") > F.col("a.score")) | (
+        (F.col("b.score") == F.col("a.score"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    j = (
+        top.alias("a")
+        .join(F.broadcast(top.alias("b")), better, "left")
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.score").alias("score"),
+            F.col("b.doc_id").alias("__b"),
+        )
+    )
+    return j.groupBy("doc_id", "score").agg(
+        (F.count("__b") + 1).cast("int").alias("rank")
     )
 
 

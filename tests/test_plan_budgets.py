@@ -131,6 +131,62 @@ EXTRA_BUDGET = {
 }
 
 
+# Unpartitioned-window ban (r6 verdict item 1): a Window with an empty
+# partition spec over unbounded input plans as "move every row to one
+# partition and sort in one task" — the single-task straggler that
+# killed q_doc_bm25_linear and q_events_equidepth_histogram before
+# their r7 rewrites (TakeOrdered + bounded rank-join; range-id +
+# broadcast prefix offsets).  The detector walks the optimized logical
+# plan and already exempts provably bounded inputs (Limit subtrees,
+# grouping-less aggregates, literal relations).  Everything else needs
+# an entry here WITH a size argument.
+UNPARTITIONED_WINDOW_OK = {
+    # water-fill allocation: input is one row per SOURCE (an aggregate
+    # of the corpus) — operators/filters.py:374 documents the bound
+    "q_doc_source_budget",
+    # CDF over the per-length histogram: one row per distinct doc
+    # length (≤ the Gopher max-length cap) — llm_filters.py length
+    # outliers
+    "q_doc_length_outliers",
+    # vocabulary ranks: one row per distinct word, Heaps-bounded
+    # (queries/text.py vocab-coverage)
+    "q_doc_vocab_coverage",
+    # one row per nation — dimension-bounded (≤25 at any SF)
+    "q_nation_revenue_share",
+    # one row per order YEAR — calendar-bounded (diagnostics.py yoy)
+    "q_orders_yoy_growth",
+}
+
+
+def test_no_unpartitioned_windows_anywhere(spark):
+    """Every registered query (not just headline) must be free of
+    single-partition windows over unbounded input."""
+    from data_engineering_spark.plans.explain import (
+        unpartitioned_windows,
+    )
+
+    spark.catalog.clearCache()
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name in UNPARTITIONED_WINDOW_OK:
+            continue
+        hits = unpartitioned_windows(QUERIES[name](spark, SF))
+        if hits:
+            offenders[name] = hits[0][:120]
+    assert not offenders, (
+        "single-partition window over unbounded input crept into: "
+        f"{offenders} — fix the plan (TakeOrdered / partitioned rank) "
+        "or whitelist WITH a size argument"
+    )
+
+
+def test_unpartitioned_window_whitelist_is_tight():
+    """Whitelisted names must still exist — a renamed query must not
+    leave a stale exemption behind."""
+    stale = UNPARTITIONED_WINDOW_OK - set(QUERIES)
+    assert not stale, f"stale whitelist entries: {stale}"
+
+
 @pytest.mark.parametrize("name", sorted(EXTRA_BUDGET))
 def test_extra_exchange_budget(spark, name):
     spark.catalog.clearCache()
