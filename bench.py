@@ -78,6 +78,10 @@ HEADLINE = [
     # inference pass (one scan, one fixed-width shuffle, broadcast
     # weights); benched so the new classifier path stays visible
     "q_doc_quality_classifier",
+    # round-7: IVF-PQ serving with the exact re-rank stage — benched
+    # next to q_embedding_pq_topk so the refine lookup's added cost is
+    # a visible delta round-over-round
+    "q_embedding_ivfpq_refine_topk",
 ]
 
 
@@ -252,6 +256,7 @@ def main() -> None:
     # AQE-chosen plan variants the smaller warmup didn't trigger; the
     # better of two runs is the steady-state number a pipeline sees.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
@@ -269,6 +274,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        # ALL raw samples go into the artifact (r6 verdict item 2): a
+        # driver-vs-clean-host disagreement is then diagnosable from
+        # the json alone — a stalled sample shows up as one outlier
+        # run, not as an unexplained min.
+        samples[name] = [round(r, 3) for r in runs]
         # the near-dup/span operators persist shared subtrees and the
         # CC loop localCheckpoints per round; across 2×N timed runs
         # those blocks accumulate until the block manager thrashes
@@ -293,9 +303,11 @@ def main() -> None:
     bench_cdc_ingest(spark, warm_dir)  # warm the CDC pipeline shapes too
     # best-of-2, same as the queries: a single timed run is exposed to
     # multi-second JIT/GC stalls that have nothing to do with the plan
-    timings["cdc_ingest_pipeline"] = min(
+    cdc_runs = [
         bench_cdc_ingest(spark, sf_dir), bench_cdc_ingest(spark, sf_dir)
-    )
+    ]
+    timings["cdc_ingest_pipeline"] = min(cdc_runs)
+    samples["cdc_ingest_pipeline"] = cdc_runs
     # VERDICT r4 #7: the bucketed fact-fact join, benched (plan is
     # assert-checked Exchange-free inside)
     timings["bucketed_orderkey_join"] = bench_bucketed_join(spark, sf_dir)
@@ -312,6 +324,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf_val,
             }
         )

@@ -141,8 +141,22 @@ def bpe_train(
             f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
             "raise the bound or pre-filter the corpus"
         )
+    return bpe_merge_loop(
+        [(r["word"], r["freq"]) for r in vocab.collect()], num_merges
+    )
+
+
+def bpe_merge_loop(
+    word_freqs: list[tuple[str, int]], num_merges: int
+) -> list[tuple[str, str]]:
+    """The driver-side greedy merge loop over an already-collected
+    (word, freq) vocabulary — pure python, deterministic (ties break
+    to the lexicographically smallest pair), so the oracle fixture
+    seeder (queries/_fixtures.py, fed by a DuckDB word count) and
+    `bpe_train` (fed by the Spark word count) produce IDENTICAL merge
+    lists from identical vocabularies."""
     words: list[tuple[list[str], int]] = [
-        (list(r["word"]), r["freq"]) for r in vocab.collect()
+        (list(w), f) for w, f in word_freqs
     ]
 
     from collections import Counter, defaultdict
@@ -203,3 +217,151 @@ def bpe_train(
                 elif pr in index:
                     index[pr].discard(wid)
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Encode / apply — turn a trained merge list into per-word and per-doc
+# token counts, corpus-wide, with zero Python in the distributed plan.
+# ---------------------------------------------------------------------------
+#
+# Representation trick: a word's current segmentation is one string in
+# which every symbol is wrapped in \x01 sentinels ("he" →
+# "\x01h\x01\x01e\x01").  Applying merge (a, b) is then a PLAIN string
+# replace of "\x01a\x01\x01b\x01" with "\x01ab\x01" — and plain
+# replace has identical left-to-right non-overlapping semantics in
+# Spark (java String.replace) and DuckDB, which is exactly BPE's
+# merge rule ("aaaa" merges to "aa","aa", not three overlapping "aa").
+# The sentinel cannot occur in a word (words are pre-filtered to
+# printable ASCII, same as training), so a pattern can never match
+# across symbol boundaries, and the replacement string is derivable
+# from the pattern by deleting the interior "\x01\x01" — both engines
+# need only the pattern list.  The whole encode is therefore ONE
+# JVM-side fold (aggregate) over the merge-pattern array, run on the
+# DISTINCT-WORD vocabulary (Heaps-bounded), never on the corpus.
+
+BPE_SENTINEL = "\x01"
+
+
+def merge_patterns(merges: list[tuple[str, str]]) -> list[str]:
+    """The trained (a, b) merge list as sentinel-wrapped replace
+    patterns, in training order."""
+    s = BPE_SENTINEL
+    return [f"{s}{a}{s}{s}{b}{s}" for a, b in merges]
+
+
+def bpe_segment_expr(word_col: str, patterns: list[str]):
+    """Column: the word's final BPE segmentation as a sentinel-wrapped
+    string — a fold of plain replaces over the merge patterns.
+
+    Evaluate this on DISTINCT words only (see bpe_doc_token_counts):
+    it is O(len(word) · num_merges) per row, cheap on a Heaps-bounded
+    vocabulary and wasteful on the raw corpus."""
+    s = BPE_SENTINEL
+    seg0 = F.regexp_replace(F.col(word_col), "(.)", f"{s}$1{s}")
+    if not patterns:
+        return seg0
+    parr = F.array(*[F.lit(p) for p in patterns])
+    return F.aggregate(
+        parr,
+        seg0,
+        lambda acc, p: F.replace(
+            acc, p, F.replace(p, F.lit(s + s), F.lit(""))
+        ),
+    )
+
+
+def bpe_encode_words(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """vocab + (bpe_tokens array<string>, n_bpe_tokens int): the final
+    segmentation of each DISTINCT word under the trained merges.
+    Non-printable-ASCII words (outside the training alphabet, same
+    filter as word_frequencies) encode as a single unknown token."""
+    s = BPE_SENTINEL
+    seg = bpe_segment_expr(word_col, merge_patterns(merges))
+    is_ascii = F.col(word_col).rlike(_ASCII_WORD)
+    toks = F.split(
+        F.expr(f"trim(BOTH '{s}' FROM __seg)"), s + s
+    )
+    n = (
+        (F.length("__seg") - F.length(F.replace(F.col("__seg"), F.lit(s))))
+        / 2
+    ).cast("int")
+    return (
+        vocab.withColumn("__seg", F.when(is_ascii, seg))
+        .withColumn(
+            "bpe_tokens",
+            F.when(is_ascii, toks).otherwise(
+                F.array(F.col(word_col))
+            ),
+        )
+        .withColumn(
+            "n_bpe_tokens",
+            F.when(is_ascii, n).otherwise(F.lit(1)),
+        )
+        .drop("__seg")
+    )
+
+
+def bpe_doc_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_words, n_bpe_tokens): real tokenized length of every
+    document under the trained merge list — the number packing and
+    token-budget math actually need (the regex pre-tokenizer proxy in
+    q_doc_bpe_token_count over-counts merged subwords).
+
+    Plan: corpus → (doc, word, c) one fixed-width shuffle; the encode
+    fold runs on the DISTINCT-word side of a word-keyed aggregation
+    (Heaps-bounded work no matter the corpus size); counts join back
+    on `word` (AQE broadcasts the vocabulary when it fits, falls back
+    to a shuffle join when a 10⁷-row vocab doesn't) and re-aggregate
+    by document.  One corpus scan end to end; no Python anywhere.
+    """
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    ).groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    enc = bpe_encode_words(
+        occ.select("word").distinct(), merges
+    ).select("word", "n_bpe_tokens")
+    per_doc = (
+        occ.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_words"),
+            F.sum(F.col("__c") * F.col("n_bpe_tokens"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+    # empty/whitespace docs have no words — still rows (0 tokens), the
+    # same never-drop-unscorable contract as classifier scoring
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+
+
+def patterns_to_merges(patterns: list[str]) -> list[tuple[str, str]]:
+    """Inverse of merge_patterns — recover (a, b) from the stored
+    sentinel-wrapped pattern (fixture round-trip)."""
+    s = BPE_SENTINEL
+    out = []
+    for p in patterns:
+        a, b = p[1:-1].split(s + s)
+        out.append((a, b))
+    return out

@@ -260,3 +260,63 @@ def dsir_select(
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def dsir_bucket_stats(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8192,
+    bucket_hash: str = "md5",
+) -> DataFrame:
+    """(id, n_feats, dot_target, dot_raw): the INTEGER core of the
+    DSIR importance weight — per-document feature count and the
+    count-weighted dot products against the target/raw bucket models
+    (the c·cb sums whose logs dsir_log_weights takes).  Fixed-point
+    end to end with the md5 bucket hash, so a DuckDB oracle recomputes
+    the full path; only the log smoothing stays under the
+    transcendental exemption (r6 verdict item 4).
+
+    Same broadcast shape as the weight join: the two ≤num_buckets-row
+    distributions ship to the corpus scan; one (doc,bucket) shuffle.
+    """
+    check_bucket_bound(num_buckets)
+    raw_counts = hashed_ngram_buckets(
+        docs, id_col, text_col, num_buckets, bucket_hash
+    )
+    tgt_counts = hashed_ngram_buckets(
+        target, id_col, text_col, num_buckets, bucket_hash
+    )
+    tgt_b = tgt_counts.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("__ct")
+    )
+    raw_b = raw_counts.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("__cr")
+    )
+    per_doc = (
+        raw_counts.join(F.broadcast(tgt_b), "bucket", "left")
+        .join(F.broadcast(raw_b), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.coalesce(F.col("__ct"), F.lit(0)))
+            .cast("long")
+            .alias("dot_target"),
+            F.sum(F.col("c") * F.col("__cr"))
+            .cast("long")
+            .alias("dot_raw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(
+            per_doc.withColumnRenamed("doc", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("dot_target", F.lit(0)).alias("dot_target"),
+            F.coalesce("dot_raw", F.lit(0)).alias("dot_raw"),
+        )
+    )

@@ -79,38 +79,18 @@ def lm_perplexity(
     context count for "w1 w2" is c[bucket(w1)] of the LEFT word; that
     pairing is rebuilt here with the same lead-window shape (and the
     same generator-trap avoidance) as the feature extractor."""
-    from pyspark.sql import Window
-
     from data_engineering_spark.operators.dsir import (
-        _bucket,
         check_bucket_bound,
     )
-    from data_engineering_spark.operators.text import tokens
 
     # the LM is broadcast TWICE below (joint + context views): the
     # num_buckets bound is the broadcastability contract, caller-
     # controlled and therefore enforced (r6 verdict item 7)
     check_bucket_bound(num_buckets)
 
-    tok = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    keyed, joint, ctx = _bigram_keyed(
+        docs, lm, id_col, text_col, num_buckets, bucket_hash
     )
-    nxt = F.lead("w", 1).over(Window.partitionBy("doc").orderBy("pos"))
-    pairs = tok.select("doc", "w", nxt.alias("w2")).filter(
-        F.col("w2").isNotNull()
-    )
-    keyed = pairs.select(
-        "doc",
-        _bucket(
-            F.concat_ws(" ", "w", "w2"), num_buckets, bucket_hash
-        ).alias("b12"),
-        _bucket(F.col("w"), num_buckets, bucket_hash).alias("b1"),
-    )
-    joint = lm.select(
-        F.col("bucket").alias("b12"), F.col("c").alias("c12")
-    )
-    ctx = lm.select(F.col("bucket").alias("b1"), F.col("c").alias("c1"))
     scored = (
         keyed.join(F.broadcast(joint), "b12", "left")
         .join(F.broadcast(ctx), "b1", "left")
@@ -137,5 +117,87 @@ def lm_perplexity(
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             "nll",
             F.exp(F.col("nll") / F.col("n_bigrams")).alias("ppl"),
+        )
+    )
+
+
+def _bigram_keyed(docs, lm, id_col, text_col, num_buckets, bucket_hash):
+    """(keyed, joint, ctx): the per-doc bigram bucket stream and the
+    LM's two keyed views — the shared front half of lm_perplexity and
+    lm_bigram_stats."""
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.dsir import _bucket
+    from data_engineering_spark.operators.text import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    )
+    nxt = F.lead("w", 1).over(Window.partitionBy("doc").orderBy("pos"))
+    pairs = tok.select("doc", "w", nxt.alias("w2")).filter(
+        F.col("w2").isNotNull()
+    )
+    keyed = pairs.select(
+        "doc",
+        _bucket(
+            F.concat_ws(" ", "w", "w2"), num_buckets, bucket_hash
+        ).alias("b12"),
+        _bucket(F.col("w"), num_buckets, bucket_hash).alias("b1"),
+    )
+    joint = lm.select(
+        F.col("bucket").alias("b12"), F.col("c").alias("c12")
+    )
+    ctx = lm.select(F.col("bucket").alias("b1"), F.col("c").alias("c1"))
+    return keyed, joint, ctx
+
+
+def lm_bigram_stats(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8192,
+    bucket_hash: str = "md5",
+) -> DataFrame:
+    """(id, n_bigrams, sum_c12, sum_c1): the INTEGER core of the
+    perplexity filter — per-document bigram count and the summed
+    joint/context LM lookups that feed lm_perplexity's logs.  Pure
+    fixed-point arithmetic end to end, so a DuckDB oracle recomputes
+    the entire inference path (tokenize → md5 buckets → LM counts →
+    lookups → sums) bit-exactly; only the final log/exp of
+    lm_perplexity stays under the transcendental exemption (r6
+    verdict item 4).  Default bucket_hash is 'md5' (engine-portable)
+    for exactly that reason."""
+    from data_engineering_spark.operators.dsir import (
+        check_bucket_bound,
+    )
+
+    check_bucket_bound(num_buckets)
+    keyed, joint, ctx = _bigram_keyed(
+        docs, lm, id_col, text_col, num_buckets, bucket_hash
+    )
+    per_doc = (
+        keyed.join(F.broadcast(joint), "b12", "left")
+        .join(F.broadcast(ctx), "b1", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("c12"), F.lit(0)))
+            .cast("long")
+            .alias("sum_c12"),
+            F.sum(F.coalesce(F.col("c1"), F.lit(0)))
+            .cast("long")
+            .alias("sum_c1"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_c12", F.lit(0)).alias("sum_c12"),
+            F.coalesce("sum_c1", F.lit(0)).alias("sum_c1"),
         )
     )

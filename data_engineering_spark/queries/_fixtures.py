@@ -358,3 +358,138 @@ def seed_pca_fixture() -> str:
         write_pca_fixture(pca_model_rows(mean, comps, n), n)
         have.add(n)
     return path
+
+
+# ---------------------------------------------------------------------------
+# BPE merge list — the trained tokenizer model shared by the Spark
+# encode queries and their DuckDB oracles.  Keyed by documents-table
+# row count (distinct per scale factor, same convention as PCA/IVF).
+# Pre-seeded from a DuckDB word count + the SAME pure-python greedy
+# merge loop bpe_train runs (operators/bpe.bpe_merge_loop), so whichever
+# side writes first, the parameters are identical.  The fixture stores
+# the sentinel-wrapped replace PATTERNS in training order — all either
+# engine needs to run the full encode fold.
+# ---------------------------------------------------------------------------
+
+BPE_NUM_MERGES = 100
+
+
+def bpe_fixture_path() -> str:
+    return os.path.join(
+        FIXTURE_DIR, f"bpe_merges_m{BPE_NUM_MERGES}.parquet"
+    )
+
+
+def _bpe_word_freqs_duckdb(sf_dir: str):
+    """(word, freq) vocabulary + documents row count via DuckDB —
+    the tokenize twin of operators/bpe.word_frequencies (trim →
+    whitespace split → printable-ASCII filter)."""
+    import duckdb
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(doc):
+        return None, 0
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{doc}'"
+    ).fetchone()[0]
+    rows = con.execute(
+        f"""
+        WITH t AS (
+          SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                 ELSE string_split_regex(trim(text), '\\s+') END AS t
+          FROM '{doc}'),
+        w AS (SELECT unnest(t) AS word FROM t)
+        SELECT word, COUNT(*) AS freq FROM w
+        WHERE regexp_matches(word, '^[!-~]+$')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    return [(w, int(f)) for w, f in rows], int(n)
+
+
+def write_bpe_fixture(patterns: list, corpus_n: int) -> str:
+    """Merge `patterns` (training order) into the fixture under key
+    corpus_n, replacing prior rows for the same key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = bpe_fixture_path()
+    keep = []
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        keep = [
+            r
+            for r in zip(
+                t["corpus_n"].to_pylist(),
+                t["idx"].to_pylist(),
+                t["pat"].to_pylist(),
+            )
+            if r[0] != corpus_n
+        ]
+    allr = keep + [
+        (corpus_n, i, p) for i, p in enumerate(patterns)
+    ]
+    cols = list(zip(*allr)) if allr else [[], [], []]
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "corpus_n": list(cols[0]),
+                "idx": list(cols[1]),
+                "pat": list(cols[2]),
+            },
+            schema=pa.schema(
+                [
+                    ("corpus_n", pa.int64()),
+                    ("idx", pa.int32()),
+                    ("pat", pa.string()),
+                ]
+            ),
+        ),
+    )
+    return path
+
+
+def read_bpe_fixture(corpus_n: int) -> list | None:
+    """Patterns in training order for corpus_n, or None if unseeded."""
+    import pyarrow.parquet as pq
+
+    path = bpe_fixture_path()
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    rows = sorted(
+        (i, p)
+        for cn, i, p in zip(
+            t["corpus_n"].to_pylist(),
+            t["idx"].to_pylist(),
+            t["pat"].to_pylist(),
+        )
+        if cn == corpus_n
+    )
+    return [p for _, p in rows] if rows else None
+
+
+def seed_bpe_fixture() -> str:
+    """Pre-seed the merge list for every testdata sf (DuckDB word
+    count + the exact bpe_merge_loop the Spark trainer runs)."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_spark.operators.bpe import (
+        bpe_merge_loop,
+        merge_patterns,
+    )
+
+    path = bpe_fixture_path()
+    have = set()
+    if os.path.exists(path):
+        have = set(pq.read_table(path)["corpus_n"].to_pylist())
+    for sf_dir in _PCA_TESTDATA_SFS:
+        vocab, n = _bpe_word_freqs_duckdb(sf_dir)
+        if vocab is None or n in have:
+            continue
+        merges = bpe_merge_loop(vocab, BPE_NUM_MERGES)
+        write_bpe_fixture(merge_patterns(merges), n)
+        have.add(n)
+    return path

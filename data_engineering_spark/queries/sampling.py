@@ -231,7 +231,10 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution. Rows-only driver check: log() is a transcendental,
     outside the repo's cross-engine oracle policy (libm last-ulp
     divergence); tests/test_dsir.py verifies the weight math against
-    an independent numpy computation instead."""
+    an independent numpy computation, and q_doc_dsir_bucket_stats
+    oracles the ENTIRE integer path (features → buckets → both models
+    → count-weighted lookups) — only this query's log/Gumbel tail
+    remains outside the oracle."""
     from data_engineering_spark.operators.dsir import dsir_select
 
     d = load_table(spark, sf_dir, "documents")
@@ -244,4 +247,67 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("log_w", 6).alias("log_w_r"),
         F.round("gumbel_key", 6).alias("gumbel_key_r"),
+    )
+
+
+_DSB = 8192  # DSIR bucket count (matches dsir_log_weights default)
+
+
+@query(
+    "q_doc_dsir_bucket_stats",
+    oracle=f"""
+    WITH dtok AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source, unnest(t) AS f FROM dtok
+      UNION ALL
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS f
+      FROM dtok),
+    fc AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(f), 1, 15))::BIGINT % {_DSB} AS bucket,
+             COUNT(*) AS c
+      FROM feats GROUP BY 1, 2, 3),
+    tgt AS (
+      SELECT bucket, SUM(c) AS ct FROM fc
+      WHERE source = 'src1' GROUP BY 1),
+    raw AS (SELECT bucket, SUM(c) AS cr FROM fc GROUP BY 1),
+    per AS (
+      SELECT fc.doc_id,
+             SUM(fc.c) AS n_feats,
+             SUM(fc.c * COALESCE(t.ct, 0)) AS dot_target,
+             SUM(fc.c * r.cr) AS dot_raw
+      FROM fc
+      LEFT JOIN tgt t ON fc.bucket = t.bucket
+      JOIN raw r ON fc.bucket = r.bucket
+      GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(p.dot_target, 0) AS BIGINT) AS dot_target,
+           CAST(COALESCE(p.dot_raw, 0) AS BIGINT) AS dot_raw
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_doc_dsir_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTEGER core of DSIR importance weighting, fully oracled
+    (r6 verdict item 4): per-document feature count and count-weighted
+    dot products against the target (source='src1', mirroring
+    q_doc_dsir_select) and raw bucket models — the exact fixed-point
+    c·cb sums whose smoothed logs the weight takes.  md5 buckets so
+    DuckDB recomputes feature hashing, both models and the lookups
+    bit-exactly; only the log/Gumbel tail of the sibling stays
+    oracle-exempt."""
+    from data_engineering_spark.operators.dsir import (
+        dsir_bucket_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src1")
+    return dsir_bucket_stats(
+        d, target, num_buckets=_DSB, bucket_hash="md5"
     )

@@ -848,3 +848,100 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebooks=_pq_codebooks_spark(spark, e),
     )
     return ivf_pq_topk(cents, cb, encoded, q, k=_K, n_probe=8)
+
+
+def _ivf_pq_refine_oracle() -> str:
+    """IVF-PQ + exact re-rank replay: the ADC pipeline of
+    _ivf_pq_oracle pre-ranks k·4 candidates per query; their TRUE
+    embeddings are then re-scored with the exact cosine (the same
+    dot/(|q|·|v|) the Spark refine stage evaluates) and the exact
+    scores pick the final top-k."""
+    from data_engineering_spark.queries._fixtures import (
+        PQ_K_CODES,
+        ivf_fixture_path,
+        pq_fixture_path,
+        seed_ivf_fixture,
+        seed_pq_fixture,
+    )
+
+    try:
+        seed_ivf_fixture()
+        seed_pq_fixture()
+    except Exception:
+        pass
+    ivf_common = _IVF_ORACLE_COMMON.format(
+        path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
+    )
+    pq_common = _PQ_ORACLE_COMMON.format(
+        k=PQ_K_CODES, path=pq_fixture_path(), nq=_TOPK_QUERIES
+    )
+    return f"""{ivf_common},
+    {pq_common},
+    dots AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, SUM(q.x * c.w) AS dot
+      FROM probes p
+      JOIN assign a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+      JOIN cw c ON c.vec_id = a.vec_id
+      JOIN dims q ON q.vec_id = p.query_id AND q.d = c.d
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             d.dot / COALESCE(NULLIF(qn.qnorm, 0), 1)
+                   / COALESCE(NULLIF(n.cnorm, 0), 1) AS cos
+      FROM dots d
+      JOIN qn ON qn.query_id = d.query_id
+      JOIN nrm n ON n.vec_id = d.neighbor_id),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {_K * 4}),
+    tnrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS tn FROM dims GROUP BY 1),
+    tdot AS (
+      SELECT c.query_id, c.neighbor_id, SUM(q.x * v.x) AS dot
+      FROM cand c
+      JOIN dims q ON q.vec_id = c.query_id
+      JOIN dims v ON v.vec_id = c.neighbor_id AND v.d = q.d
+      GROUP BY 1, 2),
+    ex AS (
+      SELECT t.query_id, t.neighbor_id,
+             t.dot / COALESCE(NULLIF(nq_.tn, 0), 1)
+                   / COALESCE(NULLIF(nn.tn, 0), 1) AS cos
+      FROM tdot t
+      JOIN tnrm nq_ ON nq_.vec_id = t.query_id
+      JOIN tnrm nn ON nn.vec_id = t.neighbor_id)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cosine_r
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM ex)
+    WHERE rn <= {_K}
+    """
+
+
+@query("q_embedding_ivfpq_refine_topk", oracle=_ivf_pq_refine_oracle())
+def q_embedding_ivfpq_refine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ with the exact re-rank stage (FAISS Refine; r6 verdict
+    item 6): the ADC pass over-fetches 4·k candidates per query, one
+    broadcast lookup re-scores their TRUE vectors with the exact
+    zip_with cosine, and the exact scores pick the top-k — recall goes
+    to the probe ceiling at unchanged probe budget
+    (tests/test_pq.py::test_ivf_pq_refine_recall measures it)."""
+    from data_engineering_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    cents, cb, encoded = build_ivf_pq_index(
+        e, n_clusters=16, m=16, k_codes=64,
+        centroids_df=_ivf_centroids_spark(spark, e),
+        codebooks=_pq_codebooks_spark(spark, e),
+    )
+    return ivf_pq_topk(
+        cents, cb, encoded, q, k=_K, n_probe=8,
+        refine=e, refine_factor=4,
+    )

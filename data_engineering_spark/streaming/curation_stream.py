@@ -133,6 +133,55 @@ def _gate(
     return eager_checkpoint(survivors)
 
 
+def _quality_filter(
+    batch: DataFrame,
+    quality_gate: str | None,
+    id_col: str,
+    text_col: str,
+    classifier_weights: DataFrame | None,
+    classifier_bias: int,
+    classifier_buckets: int,
+) -> DataFrame:
+    """The funnel's quality stage, applied INCREMENTALLY to each
+    micro-batch before the near-dup gate (mirrors curate_corpus's
+    stage order: quality survivors are what near-dedup sees).  A
+    quality-rejected document never reaches the corpus OR the band
+    index, so it can never suppress a later arrival — per-document
+    statelessness is exactly why the stage streams for free."""
+    if quality_gate is None:
+        return batch
+    if quality_gate == "gopher":
+        from data_engineering_spark.operators.filters import (
+            gopher_metrics,
+        )
+
+        keep = gopher_metrics(
+            batch, id_col=id_col, text_col=text_col
+        ).filter(F.col("keep")).select(id_col)
+        return batch.join(keep, id_col, "left_semi")
+    if quality_gate == "classifier":
+        if classifier_weights is None:
+            raise ValueError(
+                "quality_gate='classifier' needs classifier_weights"
+            )
+        from data_engineering_spark.operators.classifier import (
+            linear_classifier_score,
+        )
+
+        scored = linear_classifier_score(
+            batch,
+            classifier_weights,
+            id_col=id_col,
+            text_col=text_col,
+            num_buckets=classifier_buckets,
+            bias=classifier_bias,
+            bucket_hash="md5",
+        )
+        keep = scored.filter(F.col("label")).select(id_col)
+        return batch.join(keep, id_col, "left_semi")
+    raise ValueError(f"unknown quality_gate: {quality_gate!r}")
+
+
 def curate_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -144,6 +193,10 @@ def curate_batch(
     threshold: float = 0.6,
     num_hashes: int = 64,
     num_bands: int = 32,
+    quality_gate: str | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_bias: int = 0,
+    classifier_buckets: int = 4096,
 ) -> int:
     """Apply one ingest batch: near-dup gate, then append survivors to
     the corpus table and their band rows to the index. Returns the
@@ -165,6 +218,10 @@ def curate_batch(
         num_bands=num_bands,
     )
     _local_only(corpus_path, index_path)
+    batch = _quality_filter(
+        batch, quality_gate, id_col, text_col,
+        classifier_weights, classifier_bias, classifier_buckets,
+    )
     survivors = _gate(spark, batch, corpus_path, index_path, threshold, kw)
     retained = survivors.count()
     if retained:
@@ -188,6 +245,10 @@ def curate_batch_committed(
     threshold: float = 0.6,
     num_hashes: int = 64,
     num_bands: int = 32,
+    quality_gate: str | None = None,
+    classifier_weights: DataFrame | None = None,
+    classifier_bias: int = 0,
+    classifier_buckets: int = 4096,
 ) -> int:
     """`curate_batch` with a write-ahead commit protocol, closing the
     crash window the plain function has: if a run dies BETWEEN the
@@ -230,6 +291,13 @@ def curate_batch_committed(
     import shutil
 
     _local_only(corpus_path, index_path, commit_root)
+    # quality first, near-dup second — the funnel's stage order. The
+    # filter is a pure per-document function of the batch, so replays
+    # re-derive the identical survivor set (no extra staging needed).
+    batch = _quality_filter(
+        batch, quality_gate, id_col, text_col,
+        classifier_weights, classifier_bias, classifier_buckets,
+    )
     os.makedirs(commit_root, exist_ok=True)
     stage = os.path.join(commit_root, f"stage-{batch_id:020d}")
     corpus_marker = os.path.join(commit_root, f"corpus-{batch_id:020d}")

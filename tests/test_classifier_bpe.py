@@ -334,3 +334,133 @@ def test_classifier_property_random_text(spark):
         assert got == want, (ts, got, want)
 
     check()
+
+
+# -- BPE encode/apply -------------------------------------------------
+
+
+def _py_encode(word: str, merges) -> list[str]:
+    """Reference encoder: merges applied sequentially in training
+    order, each pass replacing non-overlapping occurrences left to
+    right (Sennrich apply_bpe semantics)."""
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The JVM sentinel-fold segmentation equals the sequential python
+    encoder for every vocab word, including the overlap cases the
+    plain-replace semantics must get right ('aaaa' -> aa aa,
+    'aaa' -> aa a)."""
+    from data_engineering_spark.operators.bpe import (
+        bpe_encode_words,
+        bpe_train,
+    )
+
+    d = docs(
+        spark,
+        [
+            (1, "low lower lowest low low aaaa aaa"),
+            (2, "new newer newest news new"),
+            (3, "wide wider widest low new"),
+        ],
+    )
+    merges = bpe_train(d, num_merges=25)
+    assert merges, "trainer found no merges"
+    vocab = spark.createDataFrame(
+        [
+            ("low",),
+            ("lowest",),
+            ("newer",),
+            ("aaaa",),
+            ("aaa",),
+            ("x",),
+            ("widest",),
+        ],
+        ["word"],
+    )
+    got = {
+        r["word"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_encode_words(vocab, merges).collect()
+    }
+    for w, (toks, n) in got.items():
+        ref = _py_encode(w, merges)
+        assert toks == ref, (w, toks, ref)
+        assert n == len(ref)
+
+
+def test_bpe_encode_non_ascii_is_single_unknown(spark):
+    """Words outside the training alphabet encode as one unknown
+    token (count 1), never through the sentinel machinery."""
+    from data_engineering_spark.operators.bpe import bpe_encode_words
+
+    vocab = spark.createDataFrame(
+        [("héllo",), ("日本語",), ("ok",)], ["word"]
+    )
+    got = {
+        r["word"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_encode_words(vocab, [("o", "k")]).collect()
+    }
+    assert got["héllo"] == (["héllo"], 1)
+    assert got["日本語"] == (["日本語"], 1)
+    assert got["ok"] == (["ok"], 1)
+
+
+def test_bpe_doc_token_counts_hand_checked(spark):
+    """Per-doc totals: sum over word occurrences of encoded lengths;
+    empty docs keep a zero row."""
+    from data_engineering_spark.operators.bpe import (
+        bpe_doc_token_counts,
+    )
+
+    d = docs(spark, [(1, "ab ab cd"), (2, ""), (3, "ab naïve")])
+    merges = [("a", "b")]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_doc_token_counts(d, merges).collect()
+    }
+    # doc1: ab(1)+ab(1)+cd(2)=4; doc2: empty; doc3: ab(1)+unk(1)=2
+    assert got == {1: (3, 4), 2: (0, 0), 3: (2, 2)}
+
+
+def test_bpe_pattern_roundtrip():
+    from data_engineering_spark.operators.bpe import (
+        merge_patterns,
+        patterns_to_merges,
+    )
+
+    merges = [("a", "b"), ("ab", "c"), ("x", "yz")]
+    assert patterns_to_merges(merge_patterns(merges)) == merges
+
+
+def test_bpe_fixture_twin_equals_spark_trainer(spark):
+    """The DuckDB-count + bpe_merge_loop fixture seeder must produce
+    the EXACT merge list bpe_train derives from the Spark word count
+    (the oracle-integrity contract: shared parameters, not a shared
+    shortcut)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.bpe import (
+        bpe_merge_loop,
+        bpe_train,
+        merge_patterns,
+    )
+    from data_engineering_spark.queries import _fixtures as FX
+
+    sf = "/root/testdata/sf0.001"
+    vocab, _n = FX._bpe_word_freqs_duckdb(sf)
+    twin = merge_patterns(bpe_merge_loop(vocab, FX.BPE_NUM_MERGES))
+    d = load_table(spark, sf, "documents")
+    via_spark = merge_patterns(
+        bpe_train(d, num_merges=FX.BPE_NUM_MERGES)
+    )
+    assert twin == via_spark

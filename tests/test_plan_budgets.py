@@ -52,6 +52,10 @@ EXCHANGE_BUDGET = {
     "q_orders_change_feed": 6,
     # ADC serving: window top-k over the mapInPandas candidates
     "q_embedding_pq_topk": 2,
+    # IVF-PQ + exact re-rank: candidate window + the two broadcast
+    # joins of the refine lookup and the final exact-rank window (the
+    # ADC corpus pass itself is exchange-free Arrow batches)
+    "q_embedding_ivfpq_refine_topk": 10,
     # two hashed-ngram count pipelines (raw + target) + broadcast
     # scoring join; the textual count repeats shared subtrees
     "q_doc_dsir_select": 48,
@@ -78,6 +82,9 @@ PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
 PYTHON_OK = {
     "q_embedding_similarity_join",
     "q_embedding_pq_topk",
+    # the ADC candidate pass is the same Arrow-batched scorer as
+    # q_embedding_pq_topk; the refine stage itself is pure JVM
+    "q_embedding_ivfpq_refine_topk",
     # banding sign-GEMM + bucket-local scoring are Arrow-batched by
     # design (see operators/similarity._lsh_banded/_score_buckets)
     "q_embedding_incremental_neardup",
@@ -128,6 +135,17 @@ EXTRA_BUDGET = {
     # the Gopher scan swapped for the classifier's count shuffle +
     # broadcast weight join; pure JVM end to end
     "q_corpus_curated_classifier": 34,
+    # round-7 BPE encode: (doc,word) count shuffle + distinct-vocab
+    # agg + the word join back + doc re-agg + the id-spine left join;
+    # the encode fold itself is expression-only (zero exchanges)
+    "q_doc_bpe_encode": 10,
+    # encode plan + the (lang,source) pack window + final agg
+    "q_doc_bpe_pack_bins": 14,
+    # round-7 integer cores (the oracled fixed-point halves of the
+    # perplexity/DSIR pipelines): feature shuffles for docs + target,
+    # two broadcast model joins, doc re-agg, id-spine left join
+    "q_doc_lm_bigram_stats": 16,
+    "q_doc_dsir_bucket_stats": 16,
 }
 
 

@@ -136,3 +136,66 @@ def test_pq_topk_rejects_unbounded_query_side(spark):
     enc = pq_encode(e, cb)
     with _pytest.raises(ValueError, match="max_query_rows"):
         pq_topk(enc, cb, e, k=3, max_query_rows=10)
+
+
+def test_ivf_pq_refine_recall(spark):
+    """The exact re-rank stage (r6 verdict item 6): over-fetch
+    k·refine_factor ADC candidates, re-score their TRUE vectors, keep
+    top-k. Refine must eliminate the PQ-error term entirely: measured
+    recall@5 at n_probe=8 is 0.575 bare vs 0.825 refined — and 0.825
+    IS the probe ceiling at that budget on these near-random
+    embeddings (refine_factor 8 and 16 plateau there; the remaining
+    misses live in unprobed clusters, unreachable by any re-rank).
+    At n_probe=n_clusters, refined recall must be PERFECT (the full
+    candidate set is probed, exact scores decide) — the two-point
+    check that separates 'refine removed PQ error' from 'probe
+    budget'. Refined scores are exact cosines, so they must agree
+    with the exact top-k scores on every hit."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.pq import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+    )
+
+    e = load_table(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cents, cb, encoded = build_ivf_pq_index(
+        e, n_clusters=16, m=16, k_codes=64
+    )
+    refined = ivf_pq_topk(
+        cents, cb, encoded, q, k=5, n_probe=8,
+        refine=e, refine_factor=4,
+    ).collect()
+    exact_rows = cosine_topk(e, q, k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    got = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"refine recall {recall} < 0.8"
+    # full-probe + refine at a candidate budget wide enough that every
+    # true neighbor survives the ADC pre-rank (rf=8 measured; rf=4
+    # drops 2/40 whose ADC rank exceeds 20): recall must be exactly
+    # 1.0 — only probe misses could lose a neighbor and every cluster
+    # is probed, so any miss would be a refine bug
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_pq_topk(
+            cents, cb, encoded, q, k=5, n_probe=16,
+            refine=e, refine_factor=8,
+        ).collect()
+    }
+    assert len(full & exact) / len(exact) == 1.0
+    # exact scores on the overlap (same zip_with cosine both sides)
+    escore = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_r"]
+        for r in exact_rows
+    }
+    for r in refined:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in escore:
+            assert abs(r["cosine_r"] - escore[key]) < 1e-9
+    per_q = {}
+    for r in refined:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    assert all(r["neighbor_id"] != r["query_id"] for r in refined)

@@ -326,3 +326,112 @@ def test_curation_batch_empty_survivors(spark, tmp_path):
     assert retained == 0
     assert sorted(os.listdir(corpus)) == files_before
     assert _corpus_ids(spark, corpus) == {1, 3}
+
+
+def test_classifier_gated_stream_matches_sequential(spark, tmp_path):
+    """The classifier-gated funnel runs as a stream (r6 verdict item
+    8): quality first, near-dup second, per micro-batch. A 3-batch
+    drain must leave EXACTLY the corpus the sequential curate_batch
+    fold with the same gate leaves — and a quality-rejected document
+    must never reach the corpus, the index, or (being absent from
+    both) suppress a later near-dup decision."""
+    from data_engineering_spark.operators.classifier import (
+        linear_classifier_score,
+        synthetic_weights,
+    )
+
+    w = synthetic_weights(spark, 64, seed="sg", scale=50)
+    all_rows = [r for b in BATCHES for r in b]
+    base = {
+        r["doc_id"]: r["logit"]
+        for r in linear_classifier_score(
+            spark.createDataFrame(all_rows, DOC_SCHEMA),
+            w, num_buckets=64, bias=0, bucket_hash="md5",
+        ).collect()
+    }
+    # bias chosen so doc 1 (the batch-1 anchor every later near-dup
+    # collides with) is quality-REJECTED — the gate visibly reshapes
+    # the dedup outcome relative to the ungated {1, 3, 5, 7}
+    bias = -(base[1] + 1)
+    gate_kw = dict(
+        quality_gate="classifier",
+        classifier_weights=w,
+        classifier_bias=bias,
+        classifier_buckets=64,
+    )
+    kept_q = {d for d, lg in base.items() if lg + bias > 0}
+    assert 1 not in kept_q
+
+    src = str(tmp_path / "incoming")
+    _write_batches(spark, src)
+
+    seq_corpus = str(tmp_path / "seq_corpus")
+    seq_index = str(tmp_path / "seq_index")
+    for rows in BATCHES:
+        curate_batch(
+            spark,
+            spark.createDataFrame(rows, DOC_SCHEMA),
+            seq_corpus,
+            seq_index,
+            **KW,
+            **gate_kw,
+        )
+    expected = _corpus_ids(spark, seq_corpus)
+    assert 1 not in expected
+    assert expected <= kept_q  # nothing quality-rejected got in
+    assert expected != {1, 3, 5, 7}  # the gate changed the outcome
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    q = run_curation_stream(
+        spark,
+        src,
+        DOC_SCHEMA,
+        corpus,
+        index,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        **KW,
+        **gate_kw,
+    )
+    q.awaitTermination(300)
+    assert _corpus_ids(spark, corpus) == expected
+
+    # incrementally-appended index == full rebuild of the retained
+    # corpus, same as the ungated invariant
+    rebuilt = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in minhash_band_index(
+            spark.read.parquet(corpus),
+            num_hashes=KW["num_hashes"],
+            num_bands=KW["num_bands"],
+        ).collect()
+    }
+    incremental = {
+        (r["doc"], r["band"], r["bucket"])
+        for r in spark.read.parquet(index).collect()
+    }
+    assert incremental == rebuilt and incremental
+
+
+def test_stream_quality_gate_rejects_unknown(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="quality_gate"):
+        curate_batch(
+            spark,
+            spark.createDataFrame(BATCHES[0], DOC_SCHEMA),
+            str(tmp_path / "c"),
+            str(tmp_path / "i"),
+            quality_gate="nope",
+            **KW,
+        )
+    with pytest.raises(ValueError, match="classifier_weights"):
+        curate_batch(
+            spark,
+            spark.createDataFrame(BATCHES[0], DOC_SCHEMA),
+            str(tmp_path / "c"),
+            str(tmp_path / "i"),
+            quality_gate="classifier",
+            **KW,
+        )
