@@ -365,3 +365,61 @@ def patterns_to_merges(patterns: list[str]) -> list[tuple[str, str]]:
         a, b = p[1:-1].split(s + s)
         out.append((a, b))
     return out
+
+
+def bpe_vocab_ids(
+    merges: list[tuple[str, str]],
+) -> list[tuple[str, int]]:
+    """The deterministic (token, id) vocabulary a trained merge list
+    induces: id 0 = <unk> (anything outside the training alphabet),
+    ids 1..94 = the printable-ASCII base symbols in codepoint order,
+    ids 95.. = merged tokens in training order.  Pure function of the
+    merge list, so both engines derive the identical mapping (merge
+    token string = its pattern with the sentinels deleted)."""
+    vocab = [("<unk>", 0)]
+    vocab += [(chr(c), 1 + c - 33) for c in range(33, 127)]
+    vocab += [(a + b, 95 + i) for i, (a, b) in enumerate(merges)]
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, wpos, tpos, token_id): the tokenized corpus as an
+    integer id stream — what a training pipeline actually feeds the
+    model.  (wpos, tpos) = (word position, token position within the
+    word), a deterministic within-document order without any global
+    sequence window.
+
+    Plan: the segmentation fold runs once per DISTINCT word (Heaps-
+    bounded); the ≤(94 + num_merges)-row id table broadcasts; the
+    corpus pays its (doc, wpos, word) explode + the vocabulary join.
+    Out-of-alphabet words emit one <unk> (id 0) — same never-drop
+    contract as bpe_encode_words."""
+    spark = docs.sparkSession
+    tokw = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("wpos", "word"),
+    )
+    enc = bpe_encode_words(
+        tokw.select("word").distinct(), merges
+    ).select(
+        "word", F.posexplode("bpe_tokens").alias("tpos", "__tok")
+    )
+    vocab_df = spark.createDataFrame(
+        bpe_vocab_ids(merges), "__tok string, __tid int"
+    )
+    word_ids = enc.join(F.broadcast(vocab_df), "__tok", "left").select(
+        "word",
+        "tpos",
+        F.coalesce("__tid", F.lit(0)).alias("token_id"),
+    )
+    return tokw.join(word_ids, "word").select(
+        id_col,
+        F.col("wpos").cast("int"),
+        F.col("tpos").cast("int"),
+        "token_id",
+    )

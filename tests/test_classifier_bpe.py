@@ -464,3 +464,41 @@ def test_bpe_fixture_twin_equals_spark_trainer(spark):
         bpe_train(d, num_merges=FX.BPE_NUM_MERGES)
     )
     assert twin == via_spark
+
+
+def test_bpe_token_ids_reconstruct_words(spark):
+    """Token-id streams are lossless for in-alphabet words: mapping
+    ids back through the vocabulary and concatenating within (doc,
+    wpos) must reproduce every ASCII word exactly; out-of-alphabet
+    words map to the single <unk> id 0."""
+    from data_engineering_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab_ids,
+    )
+
+    d = docs(
+        spark,
+        [(1, "low lower lowest"), (2, "héllo low"), (3, "")],
+    )
+    merges = bpe_train(d, num_merges=10)
+    id2tok = {i: t for t, i in bpe_vocab_ids(merges)}
+    rows = bpe_encode_ids(d, merges).collect()
+    by_word: dict[tuple, list] = {}
+    for r in rows:
+        by_word.setdefault((r["doc_id"], r["wpos"]), []).append(
+            (r["tpos"], r["token_id"])
+        )
+    originals = {
+        (did, i): w
+        for did, text in [(1, "low lower lowest"), (2, "héllo low")]
+        for i, w in enumerate(text.split())
+    }
+    assert set(by_word) == set(originals)
+    for key, toks in by_word.items():
+        word = originals[key]
+        ids = [t for _, t in sorted(toks)]
+        if word.isascii():
+            assert "".join(id2tok[i] for i in ids) == word
+        else:
+            assert ids == [0]

@@ -146,6 +146,9 @@ EXTRA_BUDGET = {
     # two broadcast model joins, doc re-agg, id-spine left join
     "q_doc_lm_bigram_stats": 16,
     "q_doc_dsir_bucket_stats": 16,
+    # token-id stream: (doc,word) explode + distinct-vocab encode +
+    # broadcast id join + the word join back
+    "q_doc_bpe_token_ids": 6,
 }
 
 

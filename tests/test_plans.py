@@ -96,6 +96,9 @@ def test_no_python_in_relational_hot_path(spark):
         # argmin + LUT gathers have no builtin-expression equivalent)
         "q_embedding_pq_topk",
         "q_embedding_ivf_pq_topk",
+        # refine variant: same ADC mapInPandas candidate pass; the
+        # exact re-rank stage itself is pure JVM
+        "q_embedding_ivfpq_refine_topk",
     }
     for name, fn in QUERIES.items():
         if name in ARROW_BATCH_OK:
