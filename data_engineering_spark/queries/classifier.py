@@ -482,3 +482,113 @@ def q_doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_encode_ids(d, _bpe_merges(spark, sf_dir))
+
+
+@query(
+    "q_doc_token_budget_mix",
+    oracle=f"""
+    WITH {{bpe_cte}},
+    dem AS (
+      SELECT d.source,
+             CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS demand
+      FROM enc_docs e JOIN documents d USING (doc_id)
+      GROUP BY 1),
+    r AS (
+      SELECT source, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, source) AS k,
+             SUM(demand) OVER (ORDER BY demand, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+             COUNT(*) OVER () AS n
+      FROM dem),
+    f AS (
+      SELECT *, demand * (n - k + 1) <= 10000 - (pfx - demand) AS funded
+      FROM r),
+    bp AS (
+      SELECT COALESCE(MAX(k), 0) AS bk, COALESCE(MAX(pfx), 0) AS bpfx
+      FROM f WHERE funded),
+    alloc AS (
+      SELECT source, demand,
+             CASE WHEN k <= bk THEN CAST(demand AS DOUBLE)
+                  ELSE CAST(10000 - bpfx AS DOUBLE)
+                       / CAST(n - bk AS DOUBLE) END AS alloc
+      FROM f, bp),
+    cum AS (
+      SELECT d.source, e.doc_id, e.n_bpe_tokens,
+             SUM(e.n_bpe_tokens) OVER (
+               PARTITION BY d.source ORDER BY e.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS c
+      FROM enc_docs e JOIN documents d USING (doc_id)),
+    sel AS (
+      SELECT cum.source,
+             COUNT(*) AS n_docs_kept,
+             CAST(SUM(cum.n_bpe_tokens) AS BIGINT) AS tokens_kept
+      FROM cum JOIN alloc USING (source)
+      WHERE cum.c <= alloc.alloc
+      GROUP BY 1)
+    SELECT a.source, a.demand, a.alloc,
+           CAST(COALESCE(s.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(s.tokens_kept, 0) AS BIGINT) AS tokens_kept
+    FROM alloc a LEFT JOIN sel s USING (source)
+    """.replace("{bpe_cte}", _bpe_oracle_cte()),
+)
+def q_doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing on REAL tokenizer counts — the
+    composition round-7's encode work exists for: per-source BPE token
+    demands → max-min-fair water-fill of a 10k-token training budget
+    (operators/filters.water_fill) → the actual greedy selection
+    (docs kept in doc_id order while the source's running token total
+    stays within its allocation). Output: per-source demand,
+    allocation, and what the selection materialized.
+
+    Scale note: the selection cumsum windows per SOURCE — the
+    parallelism unit is the source key, same contract as
+    pack_chunks/pack_bins (budget selection normally runs on the
+    already-curated corpus; for a raw-crawl-sized run, sub-shard the
+    order key the way q_events_equidepth_histogram does)."""
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.bpe import (
+        bpe_doc_token_counts,
+    )
+    from data_engineering_spark.operators.filters import water_fill
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_doc_token_counts(d, _bpe_merges(spark, sf_dir))
+    per_doc = d.select("doc_id", "source").join(counts, "doc_id")
+    demands = per_doc.groupBy("source").agg(
+        F.sum("n_bpe_tokens").cast("long").alias("demand")
+    )
+    # the allocation is one row per SOURCE — collect it (metadata-
+    # sized action; water_fill's single-partition window runs over
+    # that aggregate, the documented q_doc_source_budget exemption)
+    # and re-literalize, so the returned plan carries a LocalRelation
+    # instead of duplicating the whole demands+water-fill subtree in
+    # both consumers below
+    alloc = spark.createDataFrame(
+        water_fill(demands, "source", "demand", budget=10_000)
+        .collect(),
+        "source string, demand long, alloc double",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = (
+        per_doc.withColumn("__c", F.sum("n_bpe_tokens").over(w))
+        .join(F.broadcast(alloc.select("source", "alloc")), "source")
+        .filter(F.col("__c") <= F.col("alloc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_bpe_tokens").cast("long").alias("tokens_kept"),
+        )
+    )
+    return alloc.join(sel, "source", "left").select(
+        "source",
+        "demand",
+        "alloc",
+        F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+    )

@@ -149,6 +149,12 @@ EXTRA_BUDGET = {
     # token-id stream: (doc,word) explode + distinct-vocab encode +
     # broadcast id join + the word join back
     "q_doc_bpe_token_ids": 6,
+    # token-budget mix: the encode pipeline + per-source demand agg +
+    # selection window + final agg; the water-fill allocation itself
+    # is collected and re-literalized (LocalRelation), so its windows
+    # and the duplicated demands subtree stay out of this plan
+    # (86 -> 18 textual exchanges measured)
+    "q_doc_token_budget_mix": 18,
 }
 
 
