@@ -180,18 +180,23 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("region")
-    wall = Window.partitionBy()
     wrank = Window.partitionBy("region").orderBy(
         F.desc("revenue"), F.asc("nation")
     )
-    return rev.select(
+    # global total as a grouping-less aggregate crossJoin (1 bounded
+    # row) instead of SUM() OVER () — same arithmetic, no
+    # empty-partition-spec window, so this query needs no entry in the
+    # plan-ban whitelist (r7; the per-REGION windows keep their
+    # partition specs)
+    total = rev.agg(F.sum("revenue").alias("__tot"))
+    return rev.crossJoin(F.broadcast(total)).select(
         "nation",
         "region",
         F.round("revenue", 2).alias("revenue"),
         F.round(F.col("revenue") / F.sum("revenue").over(wr), 9).alias(
             "region_share"
         ),
-        F.round(F.col("revenue") / F.sum("revenue").over(wall), 9).alias(
+        F.round(F.col("revenue") / F.col("__tot"), 9).alias(
             "global_share"
         ),
         F.rank().over(wrank).alias("rank_in_region"),

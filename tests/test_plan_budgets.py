@@ -178,9 +178,10 @@ UNPARTITIONED_WINDOW_OK = {
     # vocabulary ranks: one row per distinct word, Heaps-bounded
     # (queries/text.py vocab-coverage)
     "q_doc_vocab_coverage",
-    # one row per nation — dimension-bounded (≤25 at any SF)
-    "q_nation_revenue_share",
-    # one row per order YEAR — calendar-bounded (diagnostics.py yoy)
+    # one row per order YEAR — calendar-bounded (diagnostics.py yoy);
+    # lag-with-gap semantics genuinely needs the total order, unlike
+    # q_nation_revenue_share's global sum, which was rewritten r7 as a
+    # grouping-less aggregate crossJoin and left this list
     "q_orders_yoy_growth",
 }
 
