@@ -420,10 +420,13 @@ def _bpe_fixture_path() -> str:
     return bpe_fixture_path()
 
 
-@query(
-    "q_doc_bpe_token_ids",
-    oracle=f"""
-    WITH m AS (
+def _bpe_token_stream_cte() -> str:
+    """CTEs ending in `bpe_ids` (doc_id, wpos, tpos, token_id) — the
+    DuckDB twin of operators/bpe.bpe_encode_ids (full encode + id
+    assignment from the fixture-shared merge list). Shared by
+    q_doc_bpe_token_ids and q_doc_packed_examples."""
+    return f"""
+    m AS (
       SELECT COALESCE(list(pat ORDER BY idx), []) AS ms
       FROM read_parquet('{{bpe_path}}')
       WHERE corpus_n = (SELECT COUNT(*) FROM documents)),
@@ -460,16 +463,25 @@ def _bpe_fixture_path() -> str:
     itk AS (
       SELECT doc_id, wpos, generate_subscripts(ts, 1) - 1 AS tpos,
              unnest(ts) AS tok
-      FROM its)
-    SELECT t.doc_id, CAST(t.wpos AS INT) AS wpos,
-           CAST(t.tpos AS INT) AS tpos,
-           CAST(COALESCE(mv.tid,
-             CASE WHEN length(t.tok) = 1
-                       AND regexp_matches(t.tok, '^[!-~]$')
-                  THEN 1 + ascii(t.tok) - 33 ELSE 0 END) AS INT)
-             AS token_id
-    FROM itk t LEFT JOIN mv ON mv.tok = t.tok
-    """.replace("{bpe_path}", _bpe_fixture_path()),
+      FROM its),
+    bpe_ids AS (
+      SELECT t.doc_id, CAST(t.wpos AS INT) AS wpos,
+             CAST(t.tpos AS INT) AS tpos,
+             CAST(COALESCE(mv.tid,
+               CASE WHEN length(t.tok) = 1
+                         AND regexp_matches(t.tok, '^[!-~]$')
+                    THEN 1 + ascii(t.tok) - 33 ELSE 0 END) AS INT)
+               AS token_id
+      FROM itk t LEFT JOIN mv ON mv.tok = t.tok)
+    """.replace("{bpe_path}", _bpe_fixture_path())
+
+
+@query(
+    "q_doc_bpe_token_ids",
+    oracle=f"""
+    WITH {_bpe_token_stream_cte()}
+    SELECT doc_id, wpos, tpos, token_id FROM bpe_ids
+    """,
 )
 def q_doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenized corpus as an integer-id stream — what a training
@@ -591,4 +603,109 @@ def q_doc_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alloc",
         F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
         F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+    )
+
+
+@query(
+    "q_doc_packed_examples",
+    oracle=f"""
+    WITH {{stream}},
+    dc AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tok
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+                 FROM bpe_ids GROUP BY 1) c USING (doc_id)),
+    pw AS (
+      SELECT doc_id, lang, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // 2048 AS pack_id
+      FROM dc),
+    pk AS (
+      SELECT lang, source, CAST(pack_id AS INT) AS pack_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             MIN(doc_id) AS first_doc
+      FROM pw GROUP BY 1, 2, 3),
+    csvs AS (
+      SELECT w.lang, w.source, CAST(w.pack_id AS INT) AS pack_id,
+             string_agg(CAST(i.token_id AS VARCHAR), ','
+               ORDER BY i.doc_id, i.wpos, i.tpos) AS token_csv
+      FROM bpe_ids i JOIN pw w USING (doc_id)
+      GROUP BY 1, 2, 3)
+    SELECT pk.lang, pk.source, pk.pack_id, pk.n_docs, pk.n_tokens,
+           pk.first_doc, COALESCE(c.token_csv, '') AS token_csv
+    FROM pk LEFT JOIN csvs c
+      ON pk.lang = c.lang AND pk.source = c.source
+     AND pk.pack_id = c.pack_id
+    """.replace("{stream}", _bpe_token_stream_cte()),
+)
+def q_doc_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's last mile, materialized: tokenized documents
+    concatenated into 2048-token training examples per (lang, source)
+    shard — each example row carries its full token-id stream (CSV,
+    the repo's type-plain array emission), member-doc count, token
+    total, and first doc.  Composes bpe_doc_token_counts (budget
+    math), pack_chunks (bin assignment) and bpe_encode_ids (the id
+    stream); the oracle replays all three.  Same per-shard
+    window contract as q_doc_bpe_pack_bins."""
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        bpe_encode_ids,
+    )
+    from data_engineering_spark.operators.text import pack_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    counts = bpe_doc_token_counts(d, merges)
+    per_doc = d.select("doc_id", "lang", "source").join(
+        counts, "doc_id"
+    )
+    packed = pack_chunks(
+        per_doc,
+        budget_tokens=2048,
+        partition_cols=("lang", "source"),
+        order_cols=("doc_id",),
+        tokens_col="n_bpe_tokens",
+    ).select("doc_id", "lang", "source", "pack_id", "n_bpe_tokens")
+    pk = packed.groupBy("lang", "source", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    ids = bpe_encode_ids(d, merges)
+    csvs = (
+        ids.join(
+            packed.select("doc_id", "lang", "source", "pack_id"),
+            "doc_id",
+        )
+        .groupBy("lang", "source", "pack_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "doc_id", "wpos", "tpos", "token_id"
+                            )
+                        )
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+                ",",
+            ).alias("token_csv")
+        )
+    )
+    return pk.join(csvs, ["lang", "source", "pack_id"], "left").select(
+        "lang",
+        "source",
+        "pack_id",
+        "n_docs",
+        "n_tokens",
+        "first_doc",
+        F.coalesce("token_csv", F.lit("")).alias("token_csv"),
     )

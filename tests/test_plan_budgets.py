@@ -155,6 +155,11 @@ EXTRA_BUDGET = {
     # and the duplicated demands subtree stay out of this plan
     # (86 -> 18 textual exchanges measured)
     "q_doc_token_budget_mix": 18,
+    # packed examples: the encode pipeline appears in BOTH consumers
+    # (pack assignment via counts, token stream via ids) — the textual
+    # count doubles the shared subtrees; executed shuffles reuse via
+    # ReusedExchange
+    "q_doc_packed_examples": 42,
 }
 
 
