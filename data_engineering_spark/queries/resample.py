@@ -218,63 +218,14 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     value and never splits ties), so ranges are disjoint and ordered;
     (value, event_id) is a unique key, so the total order — and hence
     every bucket — is deterministic and matches DuckDB's ntile
-    bit-exactly.  Each task sorts ~N/P rows; no stage sees more."""
-    n_buckets, n_parts = 10, 32
+    bit-exactly.  Each task sorts ~N/P rows; no stage sees more.
+    The machinery lives in operators/ranks.exact_ntile (factored r7,
+    property-tested against DuckDB's ntile on adversarial
+    distributions)."""
+    from data_engineering_spark.operators.ranks import exact_ntile
+
     e = load_table(spark, sf_dir, "events")
-    e0 = e.select("value", "event_id")
-    bounds = sorted(
-        set(
-            e0.stat.approxQuantile(
-                "value",
-                [i / n_parts for i in range(1, n_parts)],
-                0.001,
-            )
-        )
-    )
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
-    pid_expr = F.size(
-        F.filter(barr, lambda b: F.col("value") > b)
-    ).alias("__pid")
-    e2 = e0.select("value", "event_id", pid_expr)
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in e2.groupBy("__pid").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).collect()
-    )
-    total = sum(c for _, c in counts)
-    if total == 0:
-        return spark.createDataFrame(
-            [],
-            "bucket int, n bigint, lo double, hi double",
-        )
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
-    base, rem = divmod(total, n_buckets)
-    w = Window.partitionBy("__pid").orderBy("value", "event_id")
-    ranked = (
-        e2.withColumn("__lr", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(off_df), "__pid")
-        .withColumn("__rank", F.col("__off") + F.col("__lr"))
-    )
-    # ntile: ranks 1..rem*(base+1) fall in the first rem (bigger)
-    # buckets; the remainder spreads over base-sized buckets.  SQL
-    # `div` keeps the arithmetic in exact integers (a double division
-    # can round up across a bucket edge at 2^50-scale ranks).
-    big_span = rem * (base + 1)
-    bucket = F.when(
-        F.col("__rank") <= F.lit(big_span),
-        F.expr(f"(__rank - 1) div {base + 1}"),
-    ).otherwise(
-        F.lit(rem)
-        + F.expr(f"(__rank - {big_span} - 1) div {max(base, 1)}")
-    )
-    b = ranked.select(
-        "value", (bucket + 1).cast("int").alias("bucket")
-    )
+    b = exact_ntile(e, 10, "value", "event_id")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("value").alias("lo"),

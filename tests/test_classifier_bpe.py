@@ -502,3 +502,60 @@ def test_bpe_token_ids_reconstruct_words(spark):
             assert "".join(id2tok[i] for i in ids) == word
         else:
             assert ids == [0]
+
+
+def test_bpe_encode_property_random_merges(spark):
+    """Property: for RANDOM printable-ASCII vocabularies and RANDOM
+    (even degenerate) merge lists — overlapping pairs, merges of
+    merges, merges that never fire, single-char repeats — the JVM
+    sentinel-fold equals the sequential python encoder on every word.
+    Catches exactly the class of replace-semantics bug the plain-fold
+    design bets against (overlap handling, boundary crossing,
+    pattern-in-replacement collisions)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_spark.operators.bpe import bpe_encode_words
+
+    alphabet = "ab!~cz.*$"  # incl. regex metachars — replace is plain
+
+    words_st = st.lists(
+        st.text(alphabet=alphabet, min_size=1, max_size=8),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+
+    def merges_from(words, seed):
+        """Plausible + adversarial merge list derived from the words:
+        adjacent pairs that occur, then synthetic merges-of-merges."""
+        rng = random.Random(seed)
+        pairs = sorted(
+            {(w[i], w[i + 1]) for w in words for i in range(len(w) - 1)}
+        )
+        rng.shuffle(pairs)
+        merges = pairs[:6]
+        # merges of merges: join two earlier results
+        for _ in range(3):
+            if len(merges) >= 2:
+                a = rng.choice(merges)
+                b = rng.choice(merges)
+                merges.append((a[0] + a[1], b[0] + b[1]))
+        return merges
+
+    @given(words=words_st, seed=st.integers(min_value=0, max_value=99))
+    @settings(max_examples=12, deadline=None)
+    def check(words, seed):
+        merges = merges_from(words, seed)
+        vocab = spark.createDataFrame([(w,) for w in words], ["word"])
+        got = {
+            r["word"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+            for r in bpe_encode_words(vocab, merges).collect()
+        }
+        for w in words:
+            ref = _py_encode(w, merges)
+            assert got[w] == (ref, len(ref)), (w, merges, got[w], ref)
+
+    check()
