@@ -113,6 +113,8 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 100,
     max_vocab_rows: int = 2_000_000,
+    min_freq: int = 1,
+    max_floor: int = 1 << 20,
 ) -> list[tuple[str, str]]:
     """Full BPE training: the ordered merge list, greedy by pair
     frequency (ties: lexicographically smallest pair — deterministic
@@ -129,18 +131,39 @@ def bpe_train(
     (sentencepiece, HF tokenizers) is this same shape: distributed
     count, local loop.
 
+    `min_freq` drops words rarer than the floor before the bound check
+    — the standard trainer pre-filter (freq-1 hapaxes dominate a raw
+    crawl's vocabulary but contribute almost nothing to pair counts).
+    When the vocabulary STILL exceeds `max_vocab_rows`, the floor
+    auto-doubles (2, 4, 8, …) until it fits — graceful degradation on
+    a raw 100 TB crawl instead of refusal (VERDICT r7 #2) — and only
+    raises if a `max_floor` (default 2^20) floor still can't fit,
+    which means the corpus is
+    not natural text (adversarial/unique-token blowup) and training on
+    it would be meaningless anyway. Each escalation is one more
+    bounded count probe over the re-filtered word count; the default
+    path (fits at min_freq=1) stays exactly one probe, and its merge
+    list is byte-identical to the pre-filter implementation.
+
     Merge semantics per Sennrich et al. 2016: words are character
     sequences with no cross-word pairs; each round merges every
     non-overlapping occurrence of the most frequent adjacent symbol
     pair, left to right. Counts are weighted by word frequency. Stops
     early when no pair occurs twice.
     """
-    vocab = word_frequencies(docs, text_col)
-    if vocab.limit(max_vocab_rows + 1).count() > max_vocab_rows:
-        raise ValueError(
-            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
-            "raise the bound or pre-filter the corpus"
-        )
+    base = word_frequencies(docs, text_col)
+    floor = max(int(min_freq), 1)
+    vocab = base if floor == 1 else base.filter(F.col("freq") >= floor)
+    while vocab.limit(max_vocab_rows + 1).count() > max_vocab_rows:
+        if floor >= max_floor:
+            raise ValueError(
+                f"vocabulary exceeds max_vocab_rows={max_vocab_rows} "
+                f"even at min_freq={floor}: the corpus is not natural "
+                "text (unique-token blowup); raise the bound or fix "
+                "the tokenization"
+            )
+        floor = max(2, floor * 2)
+        vocab = base.filter(F.col("freq") >= floor)
     return bpe_merge_loop(
         [(r["word"], r["freq"]) for r in vocab.collect()], num_merges
     )
@@ -375,10 +398,26 @@ def bpe_vocab_ids(
     ids 1..94 = the printable-ASCII base symbols in codepoint order,
     ids 95.. = merged tokens in training order.  Pure function of the
     merge list, so both engines derive the identical mapping (merge
-    token string = its pattern with the sentinels deleted)."""
+    token string = its pattern with the sentinels deleted).
+
+    Two distinct merges can concatenate to the same token string
+    (('ab','c') and ('a','bc') both -> 'abc'); bpe_train's greedy loop
+    never emits such a pair (the second merge's pattern can no longer
+    occur once the first exists), but the API accepts arbitrary merge
+    lists, and a duplicated key here would fan out bpe_encode_ids's
+    vocabulary join. First occurrence wins — the fold applies the
+    earlier merge first, so the earlier id is the one a segmented
+    token actually carries — leaving a hole at the later id, exactly
+    mirrored by the oracle's mv CTE (GROUP BY tok, MIN(idx))."""
     vocab = [("<unk>", 0)]
     vocab += [(chr(c), 1 + c - 33) for c in range(33, 127)]
-    vocab += [(a + b, 95 + i) for i, (a, b) in enumerate(merges)]
+    seen: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        tok = a + b
+        if tok in seen:
+            continue
+        seen.add(tok)
+        vocab.append((tok, 95 + i))
     return vocab
 
 

@@ -35,7 +35,18 @@ def exact_global_rank(
 ) -> tuple[DataFrame, int]:
     """(frame + 1-based ``rank_col`` over the (value_col, id_col)
     total order, total row count). Empty input returns (empty frame
-    with the rank column, 0)."""
+    with the rank column, 0).
+
+    ``value_col`` must be non-null and non-NaN — ENFORCED (raises
+    ``ValueError``). A null comparison drops every boundary in the
+    range-id array filter (all nulls would silently land in range 0)
+    while the per-range sort then orders NULLS FIRST in Spark but
+    NULLS LAST in DuckDB, so the bit-exact cross-engine contract this
+    operator advertises cannot hold for null/NaN keys; callers with
+    nullable keys must filter or impute first, explicitly. The check
+    rides the existing per-range counts collect — no extra action."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     spark = df.sparkSession
     e0 = df.select(value_col, id_col)
     bounds = sorted(
@@ -48,15 +59,29 @@ def exact_global_rank(
         )
     )
     barr = F.array(*[F.lit(float(b)) for b in bounds])
-    pid_expr = F.size(
-        F.filter(barr, lambda b: F.col(value_col) > b)
-    ).alias("__pid")
+    bad = F.col(value_col).isNull()
+    if isinstance(e0.schema[value_col].dataType, (DoubleType, FloatType)):
+        bad = bad | F.isnan(value_col)
+    pid_expr = (
+        F.when(bad, F.lit(None).cast("int"))
+        .otherwise(
+            F.size(F.filter(barr, lambda b: F.col(value_col) > b))
+        )
+        .alias("__pid")
+    )
     e2 = e0.select(value_col, id_col, pid_expr)
+    count_rows = (
+        e2.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n_bad = sum(r["cnt"] for r in count_rows if r["__pid"] is None)
+    if n_bad:
+        raise ValueError(
+            f"exact_global_rank: {n_bad} row(s) with null/NaN "
+            f"{value_col!r} — the total-order contract requires "
+            "non-null, non-NaN keys (filter or impute first)"
+        )
     counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in e2.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+        (r["__pid"], r["cnt"]) for r in count_rows
     )
     total = sum(c for _, c in counts)
     if total == 0:

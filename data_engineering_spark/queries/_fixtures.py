@@ -49,6 +49,25 @@ def _write_parquet(path: str, table) -> None:
     os.replace(tmp, path)  # atomic: concurrent writers converge
 
 
+def warn_fixture_write_failed(what: str, exc: Exception) -> None:
+    """Fixture writes are oracle support, never a query failure — the
+    callers swallow the exception so a read-only replay environment
+    still runs the Spark side. But the swallow must be LOUD (ADVICE
+    r7): if the fixture can't be written, the query runs with one set
+    of model parameters while the oracle reads another (or none), and
+    the resulting hash mismatch two stages later masquerades as a
+    query bug. One UserWarning at write time makes it attributable."""
+    import warnings
+
+    warnings.warn(
+        f"oracle fixture write failed ({what}): {exc!r} — a later "
+        "oracle mismatch on the dependent queries is attributable to "
+        "THIS, not to the query",
+        UserWarning,
+        stacklevel=3,
+    )
+
+
 def lsh_planes_fixture() -> str:
     """Rows (band, plane, d, w): hyperplane coefficient for dimension
     `d` (1-based) of plane `plane` (bit weight 2^plane) in `band` —

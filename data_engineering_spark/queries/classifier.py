@@ -200,15 +200,20 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     n = d.count()
     try:
         FX.seed_bpe_fixture()
-    except Exception:
-        pass  # fixture write is oracle support, never a query failure
+    except Exception as e:
+        # fixture write is oracle support, never a query failure — but
+        # it must be LOUD: if the fixture can't be written, the Spark
+        # query trains fresh merges while the oracle's m CTE coalesces
+        # to an empty list, and the resulting hash mismatch would
+        # masquerade as a query bug two stages later (ADVICE r7)
+        FX.warn_fixture_write_failed("seed_bpe_fixture", e)
     pats = FX.read_bpe_fixture(n)
     if pats is None:
         merges = bpe_train(d, num_merges=FX.BPE_NUM_MERGES)
         try:
             FX.write_bpe_fixture(merge_patterns(merges), n)
-        except Exception:
-            pass
+        except Exception as e:
+            FX.warn_fixture_write_failed("write_bpe_fixture", e)
         return merges
     return patterns_to_merges(pats)
 
@@ -221,15 +226,16 @@ def _bpe_oracle_cte() -> str:
     from data_engineering_spark.queries._fixtures import (
         bpe_fixture_path,
         seed_bpe_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         # registration-time pre-seed (0.19 s cold, idempotent): an
         # oracle-first harness must find the fixture — same convention
         # as the PCA/IVF/PQ fixtures
         seed_bpe_fixture()
-    except Exception:
-        pass  # fixture write is oracle support, never a query failure
+    except Exception as e:
+        warn_fixture_write_failed("seed_bpe_fixture", e)
     return f"""
     m AS (
       SELECT COALESCE(list(pat ORDER BY idx), []) AS ms
@@ -411,12 +417,13 @@ def _bpe_fixture_path() -> str:
     from data_engineering_spark.queries._fixtures import (
         bpe_fixture_path,
         seed_bpe_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         seed_bpe_fixture()  # registration-time pre-seed (see above)
-    except Exception:
-        pass
+    except Exception as e:
+        warn_fixture_write_failed("seed_bpe_fixture", e)
     return bpe_fixture_path()
 
 
@@ -431,9 +438,13 @@ def _bpe_token_stream_cte() -> str:
       FROM read_parquet('{{bpe_path}}')
       WHERE corpus_n = (SELECT COUNT(*) FROM documents)),
     mv AS (
-      SELECT replace(pat, '{_S}', '') AS tok, 95 + idx AS tid
+      -- first-occurrence-wins on duplicate token strings, mirroring
+      -- bpe_vocab_ids (two merges can concatenate identically; the
+      -- earlier id is the one the fold actually produces)
+      SELECT replace(pat, '{_S}', '') AS tok, 95 + MIN(idx) AS tid
       FROM read_parquet('{{bpe_path}}')
-      WHERE corpus_n = (SELECT COUNT(*) FROM documents)),
+      WHERE corpus_n = (SELECT COUNT(*) FROM documents)
+      GROUP BY 1),
     itok AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []

@@ -128,8 +128,8 @@ def _ivf_centroids_spark(spark: SparkSession, e: DataFrame) -> DataFrame:
     cents = FX.ivf_train_centroids(x)
     try:
         FX.write_ivf_fixture(cents, n)
-    except Exception:
-        pass  # fixture write is oracle support, never a query failure
+    except Exception as e:
+        FX.warn_fixture_write_failed("write_ivf_fixture", e)
     return spark.createDataFrame(
         [(i, [float(v) for v in cents[i]]) for i in range(len(cents))],
         "cluster int, centroid array<double>",
@@ -146,8 +146,8 @@ def _pq_codebooks_spark(spark: SparkSession, e: DataFrame) -> DataFrame:
     cb = FX.pq_train_sample(x)
     try:
         FX.write_pq_fixture(cb, n)
-    except Exception:
-        pass
+    except Exception as e:
+        FX.warn_fixture_write_failed("write_pq_fixture", e)
     return codebook_frame(spark, cb)
 
 
@@ -184,12 +184,13 @@ def _pq_oracle() -> str:
         PQ_K_CODES,
         pq_fixture_path,
         seed_pq_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         seed_pq_fixture()
-    except Exception:
-        pass
+    except Exception as e:
+        warn_fixture_write_failed("seed_pq_fixture", e)
     common = _PQ_ORACLE_COMMON.format(
         k=PQ_K_CODES, path=pq_fixture_path(), nq=_TOPK_QUERIES
     )
@@ -232,13 +233,14 @@ def _ivf_pq_oracle() -> str:
         pq_fixture_path,
         seed_ivf_fixture,
         seed_pq_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         seed_ivf_fixture()
         seed_pq_fixture()
-    except Exception:
-        pass
+    except Exception as e:
+        warn_fixture_write_failed("seed_ivf/pq_fixture", e)
     ivf_common = _IVF_ORACLE_COMMON.format(
         path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
     )
@@ -307,12 +309,14 @@ def _ivf_oracle() -> str:
     from data_engineering_spark.queries._fixtures import (
         ivf_fixture_path,
         seed_ivf_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         seed_ivf_fixture()
-    except Exception:
-        pass  # no testdata here: the query-time write covers it
+    except Exception as e:
+        # no testdata here: the query-time write covers it
+        warn_fixture_write_failed("seed_ivf_fixture", e)
     common = _IVF_ORACLE_COMMON.format(
         path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
     )
@@ -343,12 +347,13 @@ def _ivf_sq8_oracle() -> str:
     from data_engineering_spark.queries._fixtures import (
         ivf_fixture_path,
         seed_ivf_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         seed_ivf_fixture()
-    except Exception:
-        pass
+    except Exception as e:
+        warn_fixture_write_failed("seed_ivf_fixture", e)
     common = _IVF_ORACLE_COMMON.format(
         path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
     )
@@ -730,12 +735,14 @@ def _pca_oracle() -> str:
     from data_engineering_spark.queries._fixtures import (
         pca_fixture_path,
         seed_pca_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         seed_pca_fixture()
-    except Exception:
-        pass  # no testdata in this environment: query-time write covers it
+    except Exception as e:
+        # no testdata in this environment: query-time write covers it
+        warn_fixture_write_failed("seed_pca_fixture", e)
     path = pca_fixture_path()
     return f"""
     WITH mw AS (
@@ -781,7 +788,8 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         pca_model_rows,
         round9_model,
         write_pca_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     emb = load_table(spark, sf_dir, "embeddings")
     raw = pca_fit(emb, "embedding", k=8)
@@ -798,8 +806,8 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_pca_fixture(
             pca_model_rows(mean, comps, raw.n_rows), raw.n_rows
         )
-    except Exception:
-        pass  # fixture write is oracle support, never a query failure
+    except Exception as e:
+        warn_fixture_write_failed("write_pca_fixture", e)
     return pca_project(emb, "embedding", model).select(
         "vec_id",
         "label",
@@ -862,13 +870,14 @@ def _ivf_pq_refine_oracle() -> str:
         pq_fixture_path,
         seed_ivf_fixture,
         seed_pq_fixture,
-    )
+        warn_fixture_write_failed,
+)
 
     try:
         seed_ivf_fixture()
         seed_pq_fixture()
-    except Exception:
-        pass
+    except Exception as e:
+        warn_fixture_write_failed("seed_ivf/pq_fixture", e)
     ivf_common = _IVF_ORACLE_COMMON.format(
         path=ivf_fixture_path(), nq=_TOPK_QUERIES, nprobe=8
     )

@@ -224,6 +224,8 @@ def test_bpe_train_matches_naive_reference(spark):
 
 
 def test_bpe_train_vocab_bound(spark):
+    """The driver-collect bound stays LOUD when the frequency floor is
+    not allowed to escalate (max_floor=1 pins the r6-era behavior)."""
     import pytest
 
     from data_engineering_spark.operators.bpe import bpe_train
@@ -232,7 +234,48 @@ def test_bpe_train_vocab_bound(spark):
         [(1, "a b c d e f g h")], "doc_id long, text string"
     )
     with pytest.raises(ValueError, match="max_vocab_rows"):
-        bpe_train(d, max_vocab_rows=3)
+        bpe_train(d, max_vocab_rows=3, max_floor=1)
+
+
+def test_bpe_train_degrades_to_frequency_floor(spark):
+    """VERDICT r7 #2: an over-vocab corpus trains on the frequent tail
+    (auto-doubling min-frequency floor) instead of refusing — and the
+    floor-filtered training equals bpe_merge_loop over the explicitly
+    filtered vocabulary."""
+    from data_engineering_spark.operators.bpe import (
+        bpe_merge_loop,
+        bpe_train,
+    )
+
+    # 6 hapax words + 3 frequent words: vocab=9 > max_vocab_rows=4,
+    # floor escalates to 2, leaving the 3 frequent words (fits)
+    text = "u1 u2 u3 u4 u5 u6 " + "abab cdcd abab cdcd efef efef"
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = bpe_train(d, num_merges=5, max_vocab_rows=4)
+    want = bpe_merge_loop(
+        [("abab", 2), ("cdcd", 2), ("efef", 2)], 5
+    )
+    assert got == want
+
+
+def test_bpe_train_min_freq_equals_filtered_twin(spark):
+    """Explicit min_freq on the benchmark corpus == the merge loop over
+    the DuckDB word count filtered at the same floor (the fixture-twin
+    contract survives the pre-filter)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.bpe import (
+        bpe_merge_loop,
+        bpe_train,
+    )
+    from data_engineering_spark.queries import _fixtures as FX
+
+    sf = "/root/testdata/sf0.001"
+    vocab, _n = FX._bpe_word_freqs_duckdb(sf)
+    twin = bpe_merge_loop(
+        [(w, f) for w, f in vocab if f >= 2], 25
+    )
+    d = load_table(spark, sf, "documents")
+    assert bpe_train(d, num_merges=25, min_freq=2) == twin
 
 
 # -- perplexity filtering ----------------------------------------------
@@ -559,3 +602,30 @@ def test_bpe_encode_property_random_merges(spark):
             assert got[w] == (ref, len(ref)), (w, merges, got[w], ref)
 
     check()
+
+
+def test_bpe_vocab_ids_dedupe_duplicate_token_strings(spark):
+    """ADVICE r7: two merges concatenating to the same string (('ab','c')
+    and ('a','bc') -> 'abc') must not duplicate the vocabulary key —
+    first occurrence wins, later ids are holes — or the encode join
+    would fan out (doc_id, wpos, tpos) rows."""
+    from data_engineering_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab_ids,
+    )
+
+    merges = [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]
+    vocab = bpe_vocab_ids(merges)
+    toks = [t for t, _ in vocab]
+    assert len(toks) == len(set(toks))
+    by_tok = dict(vocab)
+    assert by_tok["abc"] == 95 + 2  # ('ab','c') came first
+    assert 95 + 3 not in {i for _, i in vocab}  # hole at the dup id
+
+    d = spark.createDataFrame(
+        [(1, "abc abc")], "doc_id long, text string"
+    )
+    rows = bpe_encode_ids(d, merges).collect()
+    # fold: ab -> abc; one token per word, NO join fan-out
+    assert len(rows) == 2
+    assert {r["token_id"] for r in rows} == {95 + 2}

@@ -70,3 +70,39 @@ def test_empty_frame(spark):
     ranked, total = exact_global_rank(df, "value", "event_id")
     assert total == 0 and ranked.count() == 0
     assert exact_ntile(df, 10, "value", "event_id").count() == 0
+
+
+def test_null_value_key_raises(spark):
+    """ADVICE r7: null keys would silently land in range 0 and sort
+    NULLS FIRST (Spark) vs NULLS LAST (DuckDB) — the contract is
+    enforced, not assumed."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (None, 2), (3.0, 3)], "value double, event_id long"
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        exact_global_rank(df, "value", "event_id")
+    with pytest.raises(ValueError, match="null/NaN"):
+        exact_ntile(df, 4, "value", "event_id")
+
+
+def test_nan_value_key_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (float("nan"), 2)], "value double, event_id long"
+    )
+    with pytest.raises(ValueError, match="null/NaN"):
+        exact_global_rank(df, "value", "event_id")
+
+
+def test_non_float_value_col_accepted(spark):
+    """isnan() only types on float/double — an integer key column must
+    still work (null check only)."""
+    df = spark.createDataFrame(
+        [(10, 1), (20, 2), (10, 3)], "value long, event_id long"
+    )
+    ranked, total = exact_global_rank(df, "value", "event_id")
+    got = {r["event_id"]: r["__rank"] for r in ranked.collect()}
+    assert total == 3 and got == {1: 1, 3: 2, 2: 3}
