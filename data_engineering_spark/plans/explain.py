@@ -86,3 +86,54 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
 
     walk(df._jdf.queryExecution().optimizedPlan())
     return out
+
+
+def unbounded_global_sorts(df: DataFrame) -> list[str]:
+    """Global Sort nodes in the optimized logical plan that MATERIALIZE
+    a total order of unbounded input — the sibling scale-killer of the
+    unpartitioned window (VERDICT r7 #6).
+
+    A global sort under a Limit is fine: the physical planner rewrites
+    ``Limit(Sort)`` (and ``Limit(Project(Sort))``) to
+    TakeOrderedAndProject — per-task top-k heaps merged on the driver,
+    no total sort ever runs.  A sort over a provably row-bounded
+    subtree (Limit below, grouping-less Aggregate, literal relation —
+    same rules as `unpartitioned_windows`) is driver-sized whatever
+    the corpus.  Everything else is a full range-exchange + total sort
+    whose only effect, in a pipeline, is burning a shuffle to impose
+    an order the next operator doesn't preserve anyway.  Returns the
+    offending nodes' simpleStrings (empty list = scale-safe).
+    """
+    out: list[str] = []
+
+    def walk(node, under_limit: bool) -> bool:
+        name = node.getClass().getSimpleName()
+        # Limit(Sort) / Limit(Project(Sort)) become
+        # TakeOrderedAndProject (SpecialLimits strategy) — propagate
+        # the limit context through exactly the shapes it matches
+        child_under = name in ("GlobalLimit", "LocalLimit") or (
+            under_limit and name == "Project"
+        )
+        kids = node.children()
+        n = kids.length()
+        child_bounded = [
+            walk(kids.apply(i), child_under) for i in range(n)
+        ]
+        bounded = bool(child_bounded) and all(child_bounded)
+        if name in ("GlobalLimit", "LocalLimit"):
+            bounded = True
+        elif name == "Aggregate" and node.groupingExpressions().isEmpty():
+            bounded = True
+        elif name in ("LocalRelation", "OneRowRelation"):
+            bounded = True
+        elif (
+            name == "Sort"
+            and getattr(node, "global")()
+            and not bounded
+            and not under_limit
+        ):
+            out.append(node.simpleString(120))
+        return bounded
+
+    walk(df._jdf.queryExecution().optimizedPlan(), False)
+    return out

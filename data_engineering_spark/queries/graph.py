@@ -161,4 +161,4 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("vertex").alias("event_type"),
         F.col("rank").cast("double").alias("rank"),
-    ).orderBy("event_type")
+    )

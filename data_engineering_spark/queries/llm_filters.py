@@ -566,9 +566,7 @@ def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         5,
         tiebreaker="doc_id",
     )
-    return capped.orderBy(
-        "source", "lang", F.col("n_chars").desc(), "doc_id"
-    )
+    return capped
 
 
 @query(
@@ -1068,6 +1066,4 @@ def q_doc_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     demands = d.groupBy("source").agg(
         F.sum("n_chars").cast("long").alias("demand")
     )
-    return water_fill(demands, "source", "demand", budget=100_000).orderBy(
-        "source"
-    )
+    return water_fill(demands, "source", "demand", budget=100_000)

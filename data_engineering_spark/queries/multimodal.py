@@ -351,9 +351,7 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = dhash_images(
         base.select("doc_id", payload.alias("payload")), id_col="doc_id"
     )
-    return dhash_neardup_pairs(hashes, max_hamming=2).orderBy(
-        "id_a", "id_b"
-    )
+    return dhash_neardup_pairs(hashes, max_hamming=2)
 
 
 @query("q_multimodal_audio_features")

@@ -130,4 +130,4 @@ def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weighted_quantile(
         li, "l_extendedprice", "__w", ["l_returnflag"], q=0.5
-    ).orderBy("l_returnflag")
+    )

@@ -63,7 +63,6 @@ def q_semi_reduced_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("urgent_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("order_year", "order_month")
     )
 
 
@@ -116,7 +115,6 @@ def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_value"
             ),
         )
-        .orderBy("user_id")
     )
 
 
@@ -154,7 +152,6 @@ def q_events_hybrid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value", 6)).cast("double").alias("total_value"),
             F.countDistinct("c_custkey").alias("n_users"),
         )
-        .orderBy("c_mktsegment")
     )
 
 

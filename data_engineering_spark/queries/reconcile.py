@@ -160,4 +160,4 @@ def q_orders_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     new = o.filter(F.col("o_orderkey") % 11 != 4)
-    return table_changes(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+    return table_changes(old, new, ["o_orderkey"])

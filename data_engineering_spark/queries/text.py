@@ -157,7 +157,6 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dup_windows").cast("double") / F.col("n_windows")
             ).alias("dup_frac"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -216,7 +215,7 @@ def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(

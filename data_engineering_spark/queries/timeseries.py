@@ -235,4 +235,4 @@ def q_orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_key",
         F.unix_millis(F.col("pt").cast("timestamp")).alias("pt_ms"),
         F.unix_millis(F.col("w_start").cast("timestamp")).alias("w_start_ms"),
-    ).orderBy("point_key", "window_key")
+    )

@@ -12,6 +12,7 @@ or consciously re-budgeted in this file.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bench import HEADLINE
 from data_engineering_spark.plans.explain import plan_string
@@ -230,3 +231,56 @@ def test_extra_exchange_budget(spark, name):
     )
     for node in PYTHON_NODES:
         assert node not in plan, f"{name}: Python node {node} in plan"
+
+
+# Global-sort ban (VERDICT r7 #6): a global orderBy materialized
+# without a limit is the sibling scale-killer of the unpartitioned
+# window — a full range exchange + total sort whose only effect in a
+# pipeline is imposing an order the next operator (or the driver's
+# own row-sorting compare) doesn't need. Limit(Sort) is exempt by
+# construction (plans as TakeOrderedAndProject), as are sorts over
+# provably bounded subtrees. r8 removed all 13 cosmetic final sorts
+# the walker found, so the whitelist starts EMPTY; additions need a
+# size argument, same contract as the window gate.
+UNBOUNDED_SORT_OK: set[str] = set()
+
+
+def test_no_unbounded_global_sorts_anywhere(spark):
+    from data_engineering_spark.plans.explain import (
+        unbounded_global_sorts,
+    )
+
+    spark.catalog.clearCache()
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name in UNBOUNDED_SORT_OK:
+            continue
+        hits = unbounded_global_sorts(QUERIES[name](spark, SF))
+        if hits:
+            offenders[name] = hits[0][:120]
+    assert not offenders, (
+        "global sort over unbounded input without a limit crept "
+        f"into: {offenders} — drop the sort (the driver compare "
+        "sorts rows itself), push a limit, or whitelist WITH a size "
+        "argument"
+    )
+
+
+def test_unbounded_sort_walker_semantics(spark):
+    """The walker's three verdicts on hand-built plans: bare global
+    sort = flagged; sort under limit = TakeOrdered, exempt; sort over
+    a grouping-less aggregate = bounded, exempt."""
+    from data_engineering_spark.plans.explain import (
+        unbounded_global_sorts,
+    )
+
+    df = spark.range(100).toDF("id")
+    assert unbounded_global_sorts(df.orderBy("id"))
+    assert not unbounded_global_sorts(df.orderBy("id").limit(5))
+    assert not unbounded_global_sorts(
+        df.orderBy("id").limit(5).select((F.col("id") + 1).alias("x"))
+    )
+    one = df.groupBy().count()
+    assert not unbounded_global_sorts(one.orderBy("count"))
+    # sortWithinPartitions is local, never flagged
+    assert not unbounded_global_sorts(df.sortWithinPartitions("id"))
