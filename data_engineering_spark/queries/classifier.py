@@ -158,8 +158,11 @@ def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental exemption (same as dsir_log_weights);
     tests/test_classifier_bpe.py verifies the scores against a pure
     python model, and q_doc_lm_bigram_stats oracles the ENTIRE
-    integer path (tokenize → buckets → LM counts → lookups → sums) —
-    only this query's final log/exp remains outside the oracle."""
+    integer path (tokenize → buckets → LM counts → lookups → sums).
+    The remaining log/exp tail is float-twinned at 1e-9 relative
+    tolerance over the full testdata corpus by
+    tests/test_error_bounds.py::test_lm_perplexity_matches_float_twin
+    — nothing about this query is unchecked, only unhashable."""
     from data_engineering_spark.operators.lm import (
         lm_perplexity,
         train_bigram_lm,

@@ -228,7 +228,11 @@ def q_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB dashboard path:
     approx_count_distinct (HLL++) and approx_percentile (t-digest-ish)
     per event type. No SQL oracle — DuckDB's sketches differ by design;
-    pytest bounds the error against exact values.
+    tests/test_error_bounds.py::test_approx_aggregates_within_sketch_bounds
+    runs THIS registered entry against exact answers (HLL at 5x its
+    configured rsd, each percentile between the (p ± 1/accuracy)·n
+    order statistics), so the driver's gray row is a checked property,
+    not an unchecked exemption.
 
     Quantiles are emitted as three scalar double columns (not one
     array column): the driver canonicalizes result frames by sorting
