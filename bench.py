@@ -82,6 +82,12 @@ HEADLINE = [
     # next to q_embedding_pq_topk so the refine lookup's added cost is
     # a visible delta round-over-round
     "q_embedding_ivfpq_refine_topk",
+    # round-8 serving/build split (VERDICT r7 #3): the same two query
+    # shapes served from the PREBUILT parquet index artifact — the
+    # steady-state production numbers; the *_topk twins above keep
+    # paying the full rebuild so the pair quantifies build cost
+    "q_embedding_pq_serving",
+    "q_embedding_ivfpq_refine_serving",
 ]
 
 

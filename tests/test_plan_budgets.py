@@ -57,6 +57,13 @@ EXCHANGE_BUDGET = {
     # joins of the refine lookup and the final exact-rank window (the
     # ADC corpus pass itself is exchange-free Arrow batches)
     "q_embedding_ivfpq_refine_topk": 10,
+    # round-8 serving split: the ADC window over the prebuilt-index
+    # scan (the encode pipeline is GONE from the plan — that is the
+    # point)
+    "q_embedding_pq_serving": 2,
+    # probe-pruned index scan + candidate window + refine broadcast
+    # joins + final exact-rank window
+    "q_embedding_ivfpq_refine_serving": 8,
     # two hashed-ngram count pipelines (raw + target) + broadcast
     # scoring join; the textual count repeats shared subtrees
     "q_doc_dsir_select": 48,
@@ -89,6 +96,9 @@ PYTHON_OK = {
     # banding sign-GEMM + bucket-local scoring are Arrow-batched by
     # design (see operators/similarity._lsh_banded/_score_buckets)
     "q_embedding_incremental_neardup",
+    # same Arrow-batched ADC scorers, served from the prebuilt index
+    "q_embedding_pq_serving",
+    "q_embedding_ivfpq_refine_serving",
 }
 
 
