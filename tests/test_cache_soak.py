@@ -1,0 +1,98 @@
+"""Session-lifetime cache soak (VERDICT r7 #7).
+
+The r6 ADVICE leak class: an operator that persists intermediates and
+releases them on the happy path can still accumulate blocks across
+REPEATED calls in one long-lived session (the star path leaked its
+band/docset caches until minhash.py:507's unpersist). This regression
+runs the full star-backend curation funnel several times in one
+session and asserts storage returns to baseline — the property a
+streaming/foreachBatch deployment depends on, where "per call" means
+"per micro-batch, forever".
+"""
+
+from __future__ import annotations
+
+import time
+
+from data_engineering_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+N_CALLS = 4
+
+
+def _blocks(spark) -> int:
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _settle(spark, target: int, tries: int = 40) -> int:
+    """localCheckpoint blocks are freed by the ContextCleaner when the
+    JVM GCs the RDD (weak references) — after the python frames are
+    gone, nudge GC and poll until the count settles or tries run out."""
+    import gc
+
+    n = _blocks(spark)
+    for _ in range(tries):
+        if n <= target:
+            return n
+        # python first: py4j holds JVM references for every DataFrame
+        # the test loop created — the JVM can't collect (and the
+        # ContextCleaner can't release) checkpoint RDDs that python
+        # still pins
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+        n = _blocks(spark)
+    return n
+
+
+def test_star_curation_soak_storage_returns_to_baseline(spark):
+    spark.catalog.clearCache()
+    baseline = _settle(spark, 0)
+
+    per_call = []
+    for _ in range(N_CALLS):
+        QUERIES["q_corpus_curated_star"](spark, SF).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        per_call.append(_blocks(spark))
+
+    # steady state, not monotone growth: whatever residual one call
+    # leaves (GC-pinned checkpoint labels), call N must not stack N of
+    # them (the r6 leak added band+docset blocks EVERY call)
+    assert per_call[-1] <= per_call[0] + 2, (
+        f"storage grows per call: {per_call}"
+    )
+
+    # and after the frames are dead, storage must come back down to
+    # the pre-soak baseline (nothing session-pinned)
+    spark.catalog.clearCache()
+    final = _settle(spark, baseline)
+    assert final <= baseline + 1, (
+        f"soak left {final - baseline} blocks pinned "
+        f"(baseline {baseline}, per-call {per_call})"
+    )
+
+
+def test_cdc_pipeline_soak_storage_returns_to_baseline(spark):
+    """Same property for the CDC ingest path (the other heavyweight
+    repeated-call surface: one process_batch per micro-batch). Reuses
+    bench.bench_cdc_ingest — the REAL two-batch create+merge pipeline
+    over proper Debezium envelopes — as the unit of repetition."""
+    from bench import bench_cdc_ingest
+
+    spark.catalog.clearCache()
+    baseline = _settle(spark, 0)
+
+    per_call = []
+    for _ in range(N_CALLS):
+        bench_cdc_ingest(spark, SF)
+        per_call.append(_blocks(spark))
+
+    assert per_call[-1] <= per_call[0] + 2, (
+        f"storage grows per call: {per_call}"
+    )
+    spark.catalog.clearCache()
+    final = _settle(spark, baseline)
+    assert final <= baseline + 1, (
+        f"CDC soak left blocks pinned: {final} vs baseline {baseline}"
+    )
