@@ -8,6 +8,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     classifier,
     collections,
     curation,
+    decontaminate,
     diagnostics,
     events_analytics,
     events_cdc,
