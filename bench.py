@@ -88,6 +88,9 @@ HEADLINE = [
     # paying the full rebuild so the pair quantifies build cost
     "q_embedding_pq_serving",
     "q_embedding_ivfpq_refine_serving",
+    # round-8: eval-set decontamination (one corpus scan + broadcast
+    # gram probe) — benched so the new operator family stays visible
+    "q_doc_decontamination_stats",
 ]
 
 

@@ -57,6 +57,10 @@ EXCHANGE_BUDGET = {
     # joins of the refine lookup and the final exact-rank window (the
     # ADC corpus pass itself is exchange-free Arrow batches)
     "q_embedding_ivfpq_refine_topk": 10,
+    # round-8 decontamination: eval-slice gram aggregation (bounded,
+    # broadcasts) + the corpus-side per-doc agg; the broadcast join
+    # itself counts as exchanges in the textual plan
+    "q_doc_decontamination_stats": 6,
     # round-8 serving split: the ADC window over the prebuilt-index
     # scan (the encode pipeline is GONE from the plan — that is the
     # point)
