@@ -65,7 +65,7 @@ def q_doc_decontamination_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Per-document eval-set contamination accounting (the GPT-3-style
-    n-gram overlap check): distinct {n}-gram count, how many appear in
+    n-gram overlap check): distinct n-gram (n=6) count, how many appear in
     the benchmark slice, and the flag. One corpus scan + a broadcast
     of the bounded eval gram set — the 100 TB shape is identical
     (operators/decontaminate.py module docstring)."""
@@ -87,7 +87,7 @@ def q_doc_decontamination_stats(
     """,
 )
 def q_doc_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cleaned training corpus: documents sharing any {n}-gram with
+    """The cleaned training corpus: documents sharing any 6-gram with
     the benchmark slice dropped (which removes the slice itself plus
     its exact/near duplicates — exactly the memorization channel the
     step exists to close)."""
