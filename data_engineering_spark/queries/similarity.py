@@ -928,7 +928,9 @@ def _ivf_pq_refine_oracle() -> str:
     """
 
 
-def _ivfpq_encoded_fixture(spark: SparkSession, e: DataFrame) -> DataFrame:
+def _ivfpq_encoded_fixture(
+    spark: SparkSession, e: DataFrame, sf_dir: str
+) -> DataFrame:
     """The prebuilt IVF-PQ index artifact: the encoded corpus
     (neighbor_id, __codes, __cluster) persisted as parquet under the
     fixture dir, keyed by corpus row count and partitioned by
@@ -942,14 +944,24 @@ def _ivfpq_encoded_fixture(spark: SparkSession, e: DataFrame) -> DataFrame:
     measure ONLY the query path, while the *_topk twins keep paying
     the end-to-end build for honesty. Falls back to the in-session
     frame (with the attributability warning) if the fixture dir is
-    read-only."""
+    read-only.
+
+    Keyed by BOTH the corpus row count and the source path: unlike the
+    parquet model fixtures (which the Spark query overwrites on every
+    run, so a corpus_n collision self-heals within a run), this
+    artifact is built once and reused — and the row count alone is NOT
+    unique across corpora (sf0.001 and sf0.01 both carry 500
+    embeddings; keying on n alone served sf0.01's codes to sf0.001's
+    oracle — caught by tests/test_oracle_parity.py)."""
     import os
+    import re
     import shutil
 
     from data_engineering_spark.queries import _fixtures as FX
 
     n = e.count()
-    path = os.path.join(FX.FIXTURE_DIR, f"ivfpq_index_n{n}")
+    slug = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    path = os.path.join(FX.FIXTURE_DIR, f"ivfpq_index_{slug}_n{n}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         from data_engineering_spark.operators.pq import (
@@ -1002,7 +1014,7 @@ def q_embedding_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
     cb = _pq_codebooks_spark(spark, e)
-    encoded = _ivfpq_encoded_fixture(spark, e).select(
+    encoded = _ivfpq_encoded_fixture(spark, e, sf_dir).select(
         "neighbor_id", "__codes"
     )
     return pq_topk(encoded, cb, q, k=_K)
@@ -1026,7 +1038,7 @@ def q_embedding_ivfpq_refine_serving(
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
     cents = _ivf_centroids_spark(spark, e)
     cb = _pq_codebooks_spark(spark, e)
-    encoded = _ivfpq_encoded_fixture(spark, e)
+    encoded = _ivfpq_encoded_fixture(spark, e, sf_dir)
     return ivf_pq_topk(
         cents, cb, encoded, q, k=_K, n_probe=8,
         refine=e, refine_factor=4,

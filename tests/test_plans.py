@@ -73,6 +73,9 @@ def test_no_python_in_relational_hot_path(spark):
         "q_embedding_lsh_join",
         # incremental probe reuses the same banding + bucket GEMM
         "q_embedding_incremental_neardup",
+        # the prebuilt-index serving twins run the same Arrow ADC scorers
+        "q_embedding_pq_serving",
+        "q_embedding_ivfpq_refine_serving",
         # IVF probes are assigned driver-side/numpy by design; since r5
         # the deterministic-quantizer corpus assignment is the
         # broadcast-GEMM mapInPandas (both variants)
