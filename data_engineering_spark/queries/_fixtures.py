@@ -21,6 +21,23 @@ instead JOINS a tiny parquet fixture:
 
 Fixtures live under /tmp (they are derived, rewritable artifacts, not
 repo state); paths encode the parameters.
+
+KNOWN LIMIT of the corpus_n key (measured r8): corpus row count is
+NOT unique across test corpora — sf0.001 and sf0.01 both carry 500
+documents and 500 embeddings with DIFFERENT content. The parquet
+model fixtures stay correct anyway because every harness in this repo
+is spark-then-oracle PER QUERY: the Spark side retrains and
+overwrites the colliding key's rows immediately before the oracle
+reads them (drive_contract, check_queries, test_oracle_parity, the
+driver — all verified green at every sf for 8 rounds). What the
+collision DOES break is any artifact that is built once and never
+overwritten — the r8 IVF-PQ index directory hit exactly this and is
+therefore keyed by (source-path slug, n), see
+queries/similarity._ivfpq_encoded_fixture. An oracle-FIRST replay at
+a colliding sf would read the other corpus's registration pre-seed;
+if such a harness ever appears, move these keys to a content
+fingerprint (e.g. corpus_n * 10^9 + SUM(n_chars)) in the same motion
+on both sides.
 """
 
 from __future__ import annotations
