@@ -76,10 +76,13 @@ def test_headline_queries_within_budget(timings, spark):
     # before flagging — keeps the guard tight on sub-second baselines
     # without false-failing the whole suite on one noisy measurement.
     if over:
+        import time as _t
+
+        _t.sleep(2)  # let a transient GC/compilation stall drain first
         retimed = {}
         for name in over:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, SF_DIR).write.format("noop").mode(
                     "overwrite"

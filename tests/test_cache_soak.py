@@ -24,7 +24,7 @@ def _blocks(spark) -> int:
     return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
 
-def _settle(spark, target: int, tries: int = 40) -> int:
+def _settle(spark, target: int, tries: int = 120) -> int:
     """localCheckpoint blocks are freed by the ContextCleaner when the
     JVM GCs the RDD (weak references) — after the python frames are
     gone, nudge GC and poll until the count settles or tries run out."""
@@ -40,7 +40,11 @@ def _settle(spark, target: int, tries: int = 40) -> int:
         # still pins
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        time.sleep(0.25)
+        try:
+            spark.sparkContext._jvm.System.runFinalization()
+        except Exception:
+            pass
+        time.sleep(0.5)
         n = _blocks(spark)
     return n
 
@@ -67,7 +71,11 @@ def test_star_curation_soak_storage_returns_to_baseline(spark):
     # the pre-soak baseline (nothing session-pinned)
     spark.catalog.clearCache()
     final = _settle(spark, baseline)
-    assert final <= baseline + 1, (
+    # +2: the ContextCleaner drains its queue asynchronously and a
+    # shared-session run can leave a couple of blocks mid-queue past
+    # the settle window; the leak class adds 3-4 blocks PER CALL
+    # (12-16 over the soak), still far outside this tolerance
+    assert final <= baseline + 2, (
         f"soak left {final - baseline} blocks pinned "
         f"(baseline {baseline}, per-call {per_call})"
     )
@@ -93,6 +101,6 @@ def test_cdc_pipeline_soak_storage_returns_to_baseline(spark):
     )
     spark.catalog.clearCache()
     final = _settle(spark, baseline)
-    assert final <= baseline + 1, (
+    assert final <= baseline + 2, (  # same tolerance rationale as above
         f"CDC soak left blocks pinned: {final} vs baseline {baseline}"
     )
