@@ -151,6 +151,28 @@ def bpe_train(
     pair, left to right. Counts are weighted by word frequency. Stops
     early when no pair occurs twice.
     """
+    return bpe_merge_loop(
+        bounded_vocabulary(
+            docs, text_col, max_vocab_rows, min_freq, max_floor
+        ),
+        num_merges,
+    )
+
+
+def bounded_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_vocab_rows: int = 2_000_000,
+    min_freq: int = 1,
+    max_floor: int = 1 << 20,
+) -> list[tuple[str, int]]:
+    """The (word, freq) vocabulary collected under the bounded-driver
+    contract shared by every trainer in this package (bpe_train,
+    wordpiece_train): a limit(N+1).count() probe enforces
+    `max_vocab_rows` BEFORE collecting, and the `min_freq` floor
+    auto-doubles until the vocabulary fits (graceful degradation on a
+    raw crawl) up to `max_floor`, past which the corpus is declared
+    non-text and the collect refused."""
     base = word_frequencies(docs, text_col)
     floor = max(int(min_freq), 1)
     vocab = base if floor == 1 else base.filter(F.col("freq") >= floor)
@@ -164,9 +186,7 @@ def bpe_train(
             )
         floor = max(2, floor * 2)
         vocab = base.filter(F.col("freq") >= floor)
-    return bpe_merge_loop(
-        [(r["word"], r["freq"]) for r in vocab.collect()], num_merges
-    )
+    return [(r["word"], r["freq"]) for r in vocab.collect()]
 
 
 def bpe_merge_loop(

@@ -36,5 +36,6 @@ from data_engineering_spark.queries import (  # noqa: F401
     text,
     timeseries,
     timeseries2,
+    wordpiece,
 )
 from data_engineering_spark.registry import ORACLES, QUERIES  # noqa: F401

@@ -487,6 +487,104 @@ def write_bpe_fixture(patterns: list, corpus_n: int) -> str:
     return path
 
 
+WP_NUM_MERGES = 24  # few enough that the 31-word synthetic corpus
+#                     stays MULTI-piece (28/31 words, mean fertility
+#                     3.6) so the ##-continuation path is genuinely
+#                     exercised cross-engine; at 100 merges every
+#                     word collapses to a single piece
+
+
+def wordpiece_fixture_path() -> str:
+    return os.path.join(
+        FIXTURE_DIR, f"wordpiece_pieces_m{WP_NUM_MERGES}.parquet"
+    )
+
+
+def write_wordpiece_fixture(pieces: list, corpus_n: int) -> str:
+    """Piece list (training order) into the fixture under key
+    corpus_n, replacing prior rows for the same key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = wordpiece_fixture_path()
+    keep = []
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        keep = [
+            r
+            for r in zip(
+                t["corpus_n"].to_pylist(),
+                t["idx"].to_pylist(),
+                t["piece"].to_pylist(),
+            )
+            if r[0] != corpus_n
+        ]
+    allr = keep + [(corpus_n, i, p) for i, p in enumerate(pieces)]
+    cols = list(zip(*allr)) if allr else [[], [], []]
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "corpus_n": list(cols[0]),
+                "idx": list(cols[1]),
+                "piece": list(cols[2]),
+            },
+            schema=pa.schema(
+                [
+                    ("corpus_n", pa.int64()),
+                    ("idx", pa.int32()),
+                    ("piece", pa.string()),
+                ]
+            ),
+        ),
+    )
+    return path
+
+
+def read_wordpiece_fixture(corpus_n: int) -> list | None:
+    """Pieces in training order for corpus_n, or None if unseeded."""
+    import pyarrow.parquet as pq
+
+    path = wordpiece_fixture_path()
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    rows = sorted(
+        (i, p)
+        for cn, i, p in zip(
+            t["corpus_n"].to_pylist(),
+            t["idx"].to_pylist(),
+            t["piece"].to_pylist(),
+        )
+        if cn == corpus_n
+    )
+    return [p for _, p in rows] if rows else None
+
+
+def seed_wordpiece_fixture() -> str:
+    """Pre-seed the WordPiece piece list for every testdata sf
+    (DuckDB word count + the exact wordpiece_merge_loop the Spark
+    trainer runs) — same convention as seed_bpe_fixture."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_spark.operators.wordpiece import (
+        wordpiece_merge_loop,
+    )
+
+    path = wordpiece_fixture_path()
+    have = set()
+    if os.path.exists(path):
+        have = set(pq.read_table(path)["corpus_n"].to_pylist())
+    for sf_dir in _PCA_TESTDATA_SFS:
+        vocab, n = _bpe_word_freqs_duckdb(sf_dir)
+        if vocab is None or n in have:
+            continue
+        pieces = wordpiece_merge_loop(vocab, WP_NUM_MERGES)
+        write_wordpiece_fixture(pieces, n)
+        have.add(n)
+    return path
+
+
 def read_bpe_fixture(corpus_n: int) -> list | None:
     """Patterns in training order for corpus_n, or None if unseeded."""
     import pyarrow.parquet as pq
