@@ -91,6 +91,14 @@ HEADLINE = [
     # round-8: eval-set decontamination (one corpus scan + broadcast
     # gram probe) — benched so the new operator family stays visible
     "q_doc_decontamination_stats",
+    # round-8: WordPiece greedy encode over distinct words (one corpus
+    # (doc, word) shuffle + the JVM maximal-munch fold) — benched next
+    # to q_doc_bpe-family entries so the second tokenizer stays visible
+    "q_doc_wordpiece_encode",
+    # round-8: hybrid lexical+vector retrieval fused with RRF — one
+    # tokenize/count pass + a broadcast-query cosine scan; fusion is
+    # metadata-sized
+    "q_doc_hybrid_rrf",
 ]
 
 

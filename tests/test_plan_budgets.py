@@ -61,6 +61,13 @@ EXCHANGE_BUDGET = {
     # broadcasts) + the corpus-side per-doc agg; the broadcast join
     # itself counts as exchanges in the textual plan
     "q_doc_decontamination_stats": 6,
+    # round-8 WordPiece encode: (doc, word) count shuffle + the
+    # distinct-word aggregate feeding the greedy fold + the word join
+    # back + per-doc agg + the left join to the doc spine; the occ
+    # subtree feeds two consumers so the textual count repeats it
+    # (runtime dedups via ReusedExchange, same as q_doc_bpe_encode);
+    # pure JVM
+    "q_doc_wordpiece_encode": 10,
     # round-8 serving split: the ADC window over the prebuilt-index
     # scan (the encode pipeline is GONE from the plan — that is the
     # point)
@@ -87,6 +94,12 @@ EXCHANGE_BUDGET = {
     # weight join + doc-sum + the left join back to the id spine;
     # pure JVM end to end
     "q_doc_quality_classifier": 6,
+    # round-8 hybrid RRF: lexical tf shuffle + query-term join +
+    # (query, doc) agg + per-query windows on both legs + the fusion
+    # full-outer join and window; the tokenize subtree feeds tf AND
+    # qterms so the textual count repeats it; fusion itself is over
+    # <= 2 * leg_k rows per query
+    "q_doc_hybrid_rrf": 20,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
@@ -133,6 +146,9 @@ def test_budget_covers_every_headline_query():
 # round-4 session additions: not in the bench HEADLINE (kept stable for
 # round-over-round comparability) but plan-guarded all the same
 EXTRA_BUDGET = {
+    # round-8 WordPiece piece frequencies: word-count shuffle + the
+    # piece agg (the TakeOrdered head adds none); pure JVM
+    "q_doc_wordpiece_piece_freq": 4,
     "q_lineitem_weighted_median": 4,
     # 4 since the duplicates-only count-join rewrite: count aggregate +
     # the join's two sides + the query's own output agg (AQE broadcasts
