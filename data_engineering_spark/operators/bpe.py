@@ -84,9 +84,14 @@ def bpe_pair_counts(
         ).alias("__ps"),
     )
     # a pair repeated inside one word ("abab" → "ab" twice) counts every
-    # occurrence toward `total` but its word only once toward `n_words`
+    # occurrence toward `total` but its word only once toward `n_words`.
+    # explode_OUTER so no `size(__ps) > 0` filter is inferred — when
+    # `vocab` is an aggregate keyed by the word, such a filter pushes
+    # below it and re-evaluates the pair transform per corpus
+    # occurrence (the bpe_encode_ids / wordpiece_piece_freq hazard);
+    # __ps is never empty here (length >= 2 filter above).
     return (
-        pairs.select("__w", "__f", F.explode("__ps").alias("pair"))
+        pairs.select("__w", "__f", F.explode_outer("__ps").alias("pair"))
         .groupBy("pair")
         .agg(
             F.count_distinct(F.col("__w")).cast("long").alias("n_words"),
@@ -463,10 +468,20 @@ def bpe_encode_ids(
         F.col(id_col),
         F.posexplode(tokens(text_col)).alias("wpos", "word"),
     )
+    # posexplode_OUTER, deliberately: a plain generate makes the
+    # optimizer infer `size(bpe_tokens) > 0`, and because bpe_tokens
+    # is a function of the grouping column alone PushDownPredicates
+    # sinks that filter BELOW the distinct — re-running the whole
+    # segmentation fold once per CORPUS OCCURRENCE instead of once
+    # per distinct word (measured 7.6 s vs 1.9 s steady at sf0.1; the
+    # same hazard wordpiece_piece_freq documents). No filter is
+    # inferred for outer generates, and bpe_tokens is never empty
+    # (>= 1 token, <unk> at worst), so the outer variant is identical.
     enc = bpe_encode_words(
         tokw.select("word").distinct(), merges
     ).select(
-        "word", F.posexplode("bpe_tokens").alias("tpos", "__tok")
+        "word",
+        F.posexplode_outer("bpe_tokens").alias("tpos", "__tok"),
     )
     vocab_df = spark.createDataFrame(
         bpe_vocab_ids(merges), "__tok string, __tid int"
