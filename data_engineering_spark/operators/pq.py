@@ -185,11 +185,20 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple = (),
 ) -> DataFrame:
     """Encode the corpus: (neighbor_id long, __codes array<int>).
     One scan; each Arrow batch does m (batch x k_codes) GEMM-backed
     argmin assignments. Persist the result partitioned however the
     serving layer shards (e.g. by IVF cluster for a combined index).
+
+    `carry`: ((column, ddl_type), ...) — extra input columns passed
+    through the Arrow batches untouched and appended to the output
+    schema. This is how a combined IVF-PQ build keeps the coarse
+    cluster id WITH the codes in the same scan: at 10^9 vectors a
+    "join the codes back to the assignments" alternative is a full
+    corpus shuffle that exists only to reunite columns this scan
+    already had.
     """
     import numpy as np
     import pandas as pd
@@ -198,9 +207,11 @@ def pq_encode(
     m, _, dsub = cb.shape
     bc = vectors.sparkSession.sparkContext.broadcast(cb)
 
+    carry_names = [c for c, _ in carry]
     src = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("__v"),
+        *[F.col(c) for c in carry_names],
     )
 
     def encode(batches):
@@ -216,14 +227,18 @@ def pq_encode(
                 # argmin ||x-c||^2 = argmin (|c|^2 - 2<x,c>)
                 d = cn2[sub][None, :] - 2 * Xs @ t[sub].T
                 codes[:, sub] = d.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "__codes": list(codes),
-                }
-            )
+            out = {
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "__codes": list(codes),
+            }
+            for c in carry_names:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(encode, "neighbor_id long, __codes array<int>")
+    schema = "neighbor_id long, __codes array<int>" + "".join(
+        f", {c} {t}" for c, t in carry
+    )
+    return src.mapInPandas(encode, schema)
 
 
 def pq_topk(
@@ -384,17 +399,19 @@ def build_ivf_pq_index(
         if codebooks is not None
         else pq_train(vectors, vec_col, m, k_codes, seed, sample_fraction)
     )
-    enc = pq_encode(
+    # the coarse cluster rides through the encode scan (`carry`) —
+    # joining the codes back to the assignments would be a corpus
+    # shuffle that exists only to reunite columns one scan already had
+    encoded = pq_encode(
         assigned.select(
             F.col("neighbor_id").alias("__vid"),
             F.col("__cv").alias("__vec"),
+            "__cluster",
         ),
         cb,
         id_col="__vid",
         vec_col="__vec",
-    )
-    encoded = enc.join(
-        assigned.select("neighbor_id", "__cluster"), "neighbor_id"
+        carry=(("__cluster", "int"),),
     )
     return cents, cb, encoded
 
