@@ -47,7 +47,12 @@ def rrf_fuse(
     (rounded at 1e-9 for presentation only; distinct rank pairs stay
     distinct — the minimum score gap at topk<=20, k_rrf=60 is 8.7e-7).
     The fused rank orders by the ROUNDED score then doc id, so both
-    engines rank literally the same keys."""
+    engines rank literally the same keys.
+
+    Precondition: each input holds at most ONE row per
+    (query_col, doc_col) — the contract every ranker upstream
+    (row_number top-N) satisfies by construction. Duplicate keys
+    would fan out through the full-outer join."""
     a = ranked_a.select(
         F.col(query_col),
         F.col(doc_col),

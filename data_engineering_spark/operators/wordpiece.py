@@ -206,7 +206,21 @@ def _candidate_arrays(pieces: list[str]):
     """(starts, conts) sorted by (length DESC, piece ASC): starts are
     the bare start-form pieces, conts the continuation pieces with
     the ## marker STRIPPED (the fold prefixes the marker back when it
-    emits the token)."""
+    emits the token).
+
+    Every piece must carry at least one content character: an empty
+    start piece ("") or bare marker ("##") would prefix-match any
+    remainder while consuming NOTHING, and the bounded fold would then
+    end with silently truncated tokens instead of an error. Training
+    cannot produce one (base symbols are single chars, merges only
+    concatenate), but the encode API accepts arbitrary piece lists —
+    so the contract is enforced loudly here."""
+    bad = [p for p in pieces if p in ("", "##")]
+    if bad:
+        raise ValueError(
+            f"pieces without content characters: {bad!r} — every "
+            "piece must consume at least one character per match"
+        )
     starts = sorted(
         (p for p in pieces if not p.startswith("##")),
         key=lambda s: (-len(s), s),

@@ -480,7 +480,26 @@ def test_tiled_release_cache_same_results_and_no_leak(spark):
         for r in lsh_bucketed_similarity_join(emb, 0.4, **kw).collect()
     }
     spark.catalog.clearCache()
-    blocks_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # earlier tests' localCheckpoint blocks are freed ASYNCHRONOUSLY
+    # by the ContextCleaner once their python refs are gone — settle
+    # toward an empty store instead of asserting the shared session is
+    # instantaneously clean (the 12cfc08 deflake contract), and assert
+    # the LEAK as a delta against whatever baseline remains
+    import gc
+    import time as _t
+
+    blocks_before = len(
+        spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    )
+    for _ in range(60):
+        if blocks_before == 0:
+            break
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _t.sleep(0.5)
+        blocks_before = len(
+            spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
     released = {
         tuple(r)
         for r in lsh_bucketed_similarity_join(
@@ -490,11 +509,10 @@ def test_tiled_release_cache_same_results_and_no_leak(spark):
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert kept == released and kept
     # exactly the output-sized localCheckpoint of the result may
-    # remain (eager_checkpoint's contract); the banding persist — the
-    # big one, id + vector per band row — must be gone
-    assert blocks_before == 0
-    # 2 entries would mean banding persist + checkpoint both survived
-    assert len(infos) <= 1, "banding persist leaked"
+    # remain beyond the baseline (eager_checkpoint's contract); the
+    # banding persist — the big one, id + vector per band row — must
+    # be gone (2 extra entries = persist + checkpoint both survived)
+    assert len(infos) <= blocks_before + 1, "banding persist leaked"
 
 
 def test_incremental_tiled_equals_untiled(spark):

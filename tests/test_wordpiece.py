@@ -259,6 +259,19 @@ def test_no_python_in_encode_plan(spark):
     assert "ArrowEval" not in plan
 
 
+def test_contentless_pieces_rejected():
+    """An empty start piece or a bare '##' marker would match without
+    consuming characters — the fold must refuse them loudly instead of
+    silently truncating tokens."""
+    from data_engineering_spark.operators.wordpiece import (
+        _candidate_arrays,
+    )
+
+    for bad in (["a", ""], ["a", "##"], ["", "##"]):
+        with pytest.raises(ValueError, match="content"):
+            _candidate_arrays(bad)
+
+
 @pytest.mark.parametrize("nm", [0, 1])
 def test_tiny_merge_counts(nm):
     """num_merges=0 yields just the base alphabet; 1 yields one merge
