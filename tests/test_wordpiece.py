@@ -259,6 +259,95 @@ def test_no_python_in_encode_plan(spark):
     assert "ArrowEval" not in plan
 
 
+def test_trainer_property_random_vocabularies():
+    """Incremental trainer == from-scratch recount on random
+    vocabularies (heavy ties, repeated substrings, freq-1 hapaxes) —
+    the same model-based contract as the fixed-corpus twin, driven by
+    hypothesis. Pure python, no Spark."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def naive(word_freqs, num_merges):
+        words = [
+            ([w[0]] + ["##" + c for c in w[1:]], f)
+            for w, f in word_freqs
+        ]
+        merged = []
+        for _ in range(num_merges):
+            sym: Counter = Counter()
+            pairs: Counter = Counter()
+            for s, f in words:
+                for x in s:
+                    sym[x] += f
+                for pr, c in Counter(zip(s[:-1], s[1:])).items():
+                    pairs[pr] += c * f
+            best = None
+            for pr, c in pairs.items():
+                if c < 2:
+                    continue
+                if best is None:
+                    best = pr
+                    continue
+                lhs = c * sym[best[0]] * sym[best[1]]
+                rhs = pairs[best] * sym[pr[0]] * sym[pr[1]]
+                if lhs > rhs or (
+                    lhs == rhs
+                    and (
+                        c > pairs[best]
+                        or (c == pairs[best] and pr < best)
+                    )
+                ):
+                    best = pr
+            if best is None:
+                break
+            merged.append(best)
+            out_words = []
+            for s, f in words:
+                out, i = [], 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == best[0]
+                        and s[i + 1] == best[1]
+                    ):
+                        out.append(best[0] + best[1][2:])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                out_words.append((out, f))
+            words = out_words
+        return [a + b[2:] for a, b in merged]
+
+    words_st = st.lists(
+        st.tuples(
+            st.text(alphabet="abcXY", min_size=1, max_size=7),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+
+    @given(words_st, st.integers(min_value=0, max_value=10))
+    @settings(max_examples=120, deadline=None)
+    def check(wf, nm):
+        got = wordpiece_merge_loop(wf, nm)
+        base = sorted({w[0] for w, _ in wf}) + sorted(
+            {"##" + c for w, _ in wf for c in w[1:]}
+        )
+        want, seen = [], set()
+        for p in base + naive(wf, nm):
+            if p not in seen:
+                seen.add(p)
+                want.append(p)
+        assert got == want
+
+    check()
+
+
 def test_contentless_pieces_rejected():
     """An empty start piece or a bare '##' marker would match without
     consuming characters — the fold must refuse them loudly instead of
