@@ -102,7 +102,7 @@ HEADLINE = [
 ]
 
 
-def bench_cdc_ingest(spark, sf_dir: str) -> float:
+def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, dict]:
     """End-to-end CDC pipeline throughput — the reference's core job.
 
     The events table is wrapped into Debezium envelopes (JVM-side
@@ -113,7 +113,22 @@ def bench_cdc_ingest(spark, sf_dir: str) -> float:
     the reference's central operator. The payload carries a Debezium
     `created_at` timestamp, so the inferred spec partitions the table
     by month and batch 2 runs the partition-pruned rewrite.
-    Returns wall seconds for draining the whole table.
+
+    Returns (wall seconds for draining the whole table, per-phase
+    breakdown). The breakdown exists because this is the ONLY headline
+    entry dominated by tempdir parquet COW writes, so host filesystem
+    contention lands on it selectively (r6-r8 driver readings inflated
+    while isolated A/Bs showed no code regression). Phases:
+      - envelope_force: compute-only cost of building both envelope
+        frames (noop sink — no filesystem in the path); untimed in the
+        total, pure diagnostic.
+      - batch1_create / batch2_merge: the two timed pipeline halves
+        (their sum IS the returned total).
+      - fs_probe_sec: wall time to rewrite batch-1's lake table
+        directory file-for-file (pure driver-local filesystem
+        copy, zero Spark) — when the host's disk is the bottleneck
+        this inflates with the total; when the code regressed it
+        stays flat.
     """
     import json
     import shutil
@@ -172,12 +187,29 @@ def bench_cdc_ingest(spark, sf_dir: str) -> float:
     batch2 = envelope(e.filter(F.col("event_id") % 3 == 0))
     lake = tempfile.mkdtemp(prefix="bench-cdc-")
     engine = CdcEngine(spark, LakeConfig(root=lake))
+    phases: dict[str, float] = {}
+    t0 = time.perf_counter()
+    batch1.write.format("noop").mode("overwrite").save()
+    batch2.write.format("noop").mode("overwrite").save()
+    phases["envelope_force"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     engine.process_batch(batch1)  # create path
+    t1 = time.perf_counter()
+    phases["batch1_create"] = round(t1 - t0, 3)
     engine.process_batch(batch2)  # partition-pruned keyed MERGE
-    dt = time.perf_counter() - t0
+    t2 = time.perf_counter()
+    phases["batch2_merge"] = round(t2 - t1, 3)
+    dt = t2 - t0
+    # pure-filesystem probe: copy the lake's parquet files byte-for-byte
+    # with no Spark in the loop. Inflates with host disk contention,
+    # flat on code regressions — the attribution signal.
+    t0 = time.perf_counter()
+    probe = f"{lake}-fsprobe"
+    shutil.copytree(lake, probe)
+    phases["fs_probe_sec"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(probe, ignore_errors=True)
     shutil.rmtree(lake, ignore_errors=True)
-    return round(dt, 3)
+    return round(dt, 3), phases
 
 
 def bench_bucketed_join(spark, sf_dir: str) -> float:
@@ -274,10 +306,14 @@ def main() -> None:
     # better of two runs is the steady-state number a pipeline sees.
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    # entries with a documented noisy driver history (VERDICT r8 #8)
+    # always take a third sample so drift-vs-regression arguments are
+    # settled by data, not re-runs
+    noisy = {"q_corpus_curated_star"}
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
-        for _ in range(2):
+        for _ in range(3 if name in noisy else 2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -318,11 +354,17 @@ def main() -> None:
         except Exception:
             pass
     bench_cdc_ingest(spark, warm_dir)  # warm the CDC pipeline shapes too
-    # best-of-2, same as the queries: a single timed run is exposed to
-    # multi-second JIT/GC stalls that have nothing to do with the plan
-    cdc_runs = [
-        bench_cdc_ingest(spark, sf_dir), bench_cdc_ingest(spark, sf_dir)
-    ]
+    # best-of-3 (VERDICT r8 #1/#8: three consecutive rounds of inflated
+    # driver readings on this one entry), with a per-phase breakdown per
+    # sample so an inflated reading is attributable from the artifact
+    # alone: code regressions move batch1/batch2 uniformly; host disk
+    # contention moves fs_probe_sec with them.
+    cdc_runs: list[float] = []
+    cdc_phases: list[dict] = []
+    for _ in range(3):
+        dt, ph = bench_cdc_ingest(spark, sf_dir)
+        cdc_runs.append(dt)
+        cdc_phases.append(ph)
     timings["cdc_ingest_pipeline"] = min(cdc_runs)
     samples["cdc_ingest_pipeline"] = cdc_runs
     # VERDICT r4 #7: the bucketed fact-fact join, benched (plan is
@@ -342,6 +384,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "phases": {"cdc_ingest_pipeline": cdc_phases},
                 "sf": sf_val,
             }
         )

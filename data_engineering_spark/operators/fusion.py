@@ -51,17 +51,29 @@ def rrf_fuse(
 
     Precondition: each input holds at most ONE row per
     (query_col, doc_col) — the contract every ranker upstream
-    (row_number top-N) satisfies by construction. Duplicate keys
-    would fan out through the full-outer join."""
-    a = ranked_a.select(
-        F.col(query_col),
-        F.col(doc_col),
-        F.col(rank_col).cast("int").alias("__ra"),
+    (row_number top-N) satisfies by construction. Enforced here:
+    each leg keeps its BEST (lowest) rank per key via min-agg, so a
+    caller that violates the contract gets the fusion a correct
+    ranker would have produced instead of silent fan-out through
+    the full-outer join. Inputs are already top-N sized, so the
+    extra aggregation is metadata-scale."""
+    a = (
+        ranked_a.select(
+            F.col(query_col),
+            F.col(doc_col),
+            F.col(rank_col).cast("int").alias("__ra"),
+        )
+        .groupBy(query_col, doc_col)
+        .agg(F.min("__ra").alias("__ra"))
     )
-    b = ranked_b.select(
-        F.col(query_col),
-        F.col(doc_col),
-        F.col(rank_col).cast("int").alias("__rb"),
+    b = (
+        ranked_b.select(
+            F.col(query_col),
+            F.col(doc_col),
+            F.col(rank_col).cast("int").alias("__rb"),
+        )
+        .groupBy(query_col, doc_col)
+        .agg(F.min("__rb").alias("__rb"))
     )
     both = a.join(b, [query_col, doc_col], "full_outer")
     score = F.round(

@@ -208,6 +208,14 @@ def pq_encode(
     bc = vectors.sparkSession.sparkContext.broadcast(cb)
 
     carry_names = [c for c, _ in carry]
+    reserved = {"neighbor_id", "__codes", "__v"}
+    bad = [c for c in carry_names if c in reserved]
+    if bad or len(set(carry_names)) != len(carry_names):
+        raise ValueError(
+            "pq_encode carry columns collide with the fixed output "
+            f"schema {sorted(reserved)} or repeat: {carry_names!r}. "
+            "Rename the carried column before encoding."
+        )
     src = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("__v"),

@@ -150,7 +150,14 @@ def q_doc_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_top_pairs(d, k=50)
 
 
-@query("q_doc_lm_perplexity")  # rows-only: log/exp are out of oracle policy
+@query(
+    "q_doc_lm_perplexity",  # rows-only: log/exp out of oracle policy
+    rows_oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bigrams,
+           CAST(1.0 AS DOUBLE) AS nll, CAST(1.0 AS DOUBLE) AS ppl
+    FROM documents
+    """,
+)
 def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filter (operators/lm.py): a hashed bigram
     LM trained on the English slice scores every document; low

@@ -223,7 +223,21 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_events_approx_aggregates")
+@query(
+    "q_events_approx_aggregates",
+    # rows-only: HLL++ / percentile_approx register layouts are
+    # engine-specific by design; the twin reproduces the exact group
+    # structure (one row per event type) with exact-aggregate stand-ins
+    rows_oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+           CAST(median(value) AS DOUBLE) AS value_p50,
+           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS value_p95,
+           CAST(quantile_cont(value, 0.99) AS DOUBLE) AS value_p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
 def q_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB dashboard path:
     approx_count_distinct (HLL++) and approx_percentile (t-digest-ish)

@@ -354,7 +354,19 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_neardup_pairs(hashes, max_hamming=2)
 
 
-@query("q_multimodal_audio_features")
+@query(
+    "q_multimodal_audio_features",
+    # rows-only: an FFT has no SQL twin — but the ROW SET does: one row
+    # per doc whose printable-ASCII payload holds >= 1 full FFT frame
+    # (256 samples), the exact filter the Spark side applies
+    rows_oracle="""
+    SELECT doc_id, CAST(1 AS INTEGER) AS n_fft_frames,
+           CAST(1.0 AS DOUBLE) AS centroid_hz,
+           CAST([] AS DOUBLE[]) AS band_db
+    FROM documents
+    WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) >= 256
+    """,
+)
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral front-end over the synthetic WAV payloads (same
     byte-exact JVM payload build as q_multimodal_wav): framed Hann

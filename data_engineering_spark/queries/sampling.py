@@ -222,7 +222,16 @@ def q_doc_debiased(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_copies", "sample_weight")
 
 
-@query("q_doc_dsir_select")
+@query(
+    "q_doc_dsir_select",
+    # rows-only: log()/Gumbel tail outside the hash policy; the row
+    # structure is exact — Gumbel top-k keeps exactly min(k, n) docs
+    rows_oracle="""
+    SELECT doc_id, CAST(0.0 AS DOUBLE) AS log_w_r,
+           CAST(0.0 AS DOUBLE) AS gumbel_key_r
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
+)
 def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR corpus selection (Xie et al. 2023): hashed unigram+bigram
     importance weights toward a target domain (source='src1' as the

@@ -70,7 +70,23 @@ def q_embedding_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_similarity_join(e, _SIM_THRESHOLD)
 
 
-@query("q_embedding_centroids")
+@query(
+    "q_embedding_centroids",
+    # rows-only by the documented float-quantization limit (see
+    # docstring); the twin reproduces the exact (label, dim) grid and
+    # exact n_vectors, with DuckDB's own float avg standing in for the
+    # unhashable mean
+    rows_oracle="""
+    WITH d AS (
+      SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings)
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           CAST(AVG(v) AS DOUBLE) AS mean_v,
+           COUNT(*) AS n_vectors
+    FROM d GROUP BY 1, 2
+    """,
+)
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components: posexplode to (label, dim, value)
     rows → one hash aggregation — the MapReduce shape for vector

@@ -29,10 +29,26 @@ from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# rows+schema-only DuckDB twins for the handful of queries whose VALUES
+# are outside the cross-engine hash policy (transcendentals, FFTs,
+# engine-specific sketches): the twin reproduces the exact ROW SET
+# STRUCTURE (count + column names + type classes) so the contract
+# harness can still verify the query's shape end-to-end. Value-level
+# verification for these lives in pytest (error-bound / known-input
+# tests, cited per query).
+ROWS_ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: str | None = None):
-    """Decorator registering a query and its DuckDB oracle SQL."""
+def query(
+    name: str, oracle: str | None = None, rows_oracle: str | None = None
+):
+    """Decorator registering a query and its DuckDB oracle SQL.
+
+    `oracle`: full value-hash twin (the strong gate). `rows_oracle`:
+    rows+schema-only twin for documented no-hash queries — mutually
+    exclusive with `oracle`."""
+    if oracle is not None and rows_oracle is not None:
+        raise ValueError(f"{name}: oracle and rows_oracle are exclusive")
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,6 +60,8 @@ def query(name: str, oracle: str | None = None):
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
+        if rows_oracle is not None:
+            ROWS_ORACLES[name] = rows_oracle
         return wrapped
 
     return deco

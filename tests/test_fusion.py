@@ -99,6 +99,30 @@ def test_rrf_matches_python_model_random(spark):
             assert got[(q, i + 1)] == (d, -neg_s)
 
 
+def test_rrf_duplicate_keys_keep_best_rank(spark):
+    """A ranker violating the one-row-per-(query,doc) contract must
+    not fan out through the full-outer join: each leg keeps its best
+    (lowest) rank per key, so the fusion equals what a correct ranker
+    would have produced."""
+    a = spark.createDataFrame(
+        [(1, 10, 3), (1, 10, 1), (1, 11, 2)],
+        ["query_id", "doc_id", "rank"],
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 2), (1, 11, 5)],
+        ["query_id", "doc_id", "rank"],
+    )
+    rows = rrf_fuse(a, b, topk=10).collect()
+    # no fan-out: one output row per (query, doc)
+    keys = [(r["query_id"], r["doc_id"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 2
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[10]["a_rank"] == 1 and by_doc[10]["b_rank"] is None
+    assert by_doc[11]["a_rank"] == 2 and by_doc[11]["b_rank"] == 2
+    assert by_doc[10]["rrf_r"] == round(1 / 61, 9)
+    assert by_doc[11]["rrf_r"] == round(1 / 62 + 1 / 62, 9)
+
+
 def test_coordination_rank_hand_checked(spark):
     tf = spark.createDataFrame(
         [

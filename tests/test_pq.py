@@ -138,6 +138,23 @@ def test_pq_topk_rejects_unbounded_query_side(spark):
         pq_topk(enc, cb, e, k=3, max_query_rows=10)
 
 
+def test_pq_encode_rejects_colliding_carry(spark):
+    """carry names that collide with the fixed output schema (or
+    repeat) raise a clear ValueError instead of failing obscurely
+    inside mapInPandas with a duplicate-column batch."""
+    import pytest as _pytest
+
+    e = load_table(spark, SF, "embeddings")
+    cb = pq_train(e, m=4, k_codes=8)
+    for bad in (
+        (("neighbor_id", "long"),),
+        (("__codes", "array<int>"),),
+        (("c", "int"), ("c", "int")),
+    ):
+        with _pytest.raises(ValueError, match="carry"):
+            pq_encode(e, cb, carry=bad)
+
+
 def test_ivf_pq_refine_recall(spark):
     """The exact re-rank stage (r6 verdict item 6): over-fetch
     k·refine_factor ADC candidates, re-score their TRUE vectors, keep

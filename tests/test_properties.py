@@ -488,31 +488,34 @@ def test_tiled_release_cache_same_results_and_no_leak(spark):
     import gc
     import time as _t
 
-    blocks_before = len(
-        spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    )
+    def _ids():
+        return {
+            int(i.id())
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    baseline_ids = _ids()
     for _ in range(60):
-        if blocks_before == 0:
+        if not baseline_ids:
             break
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         _t.sleep(0.5)
-        blocks_before = len(
-            spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        )
+        baseline_ids = _ids()
     released = {
         tuple(r)
         for r in lsh_bucketed_similarity_join(
             emb, 0.4, release_cache=True, **kw
         ).collect()
     }
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert kept == released and kept
-    # exactly the output-sized localCheckpoint of the result may
-    # remain beyond the baseline (eager_checkpoint's contract); the
-    # banding persist — the big one, id + vector per band row — must
-    # be gone (2 extra entries = persist + checkpoint both survived)
-    assert len(infos) <= blocks_before + 1, "banding persist leaked"
+    # Compare by RDD id, not count: a baseline block freed between the
+    # two measurements must not mask a genuinely-leaked new block.
+    # Exactly one NEW id may remain — the output-sized localCheckpoint
+    # of the result (eager_checkpoint's contract); the banding persist
+    # (the big one, id + vector per band row) must be gone.
+    new_ids = _ids() - baseline_ids
+    assert len(new_ids) <= 1, f"banding persist leaked: {new_ids}"
 
 
 def test_incremental_tiled_equals_untiled(spark):
