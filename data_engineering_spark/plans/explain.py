@@ -76,12 +76,63 @@ def unpartitioned_windows(df: DataFrame) -> list[str]:
             bounded = True
         elif name == "Aggregate" and node.groupingExpressions().isEmpty():
             bounded = True
-        elif name in ("LocalRelation", "OneRowRelation"):
+        elif name in ("LocalRelation", "OneRowRelation", "LogicalRDD"):
             # literal/in-memory relations are driver-sized by
-            # construction (createDataFrame of collected metadata)
+            # construction (createDataFrame of collected metadata —
+            # Spark's Python createDataFrame plans as LogicalRDD when
+            # the conversion takes the RDD path; data any larger would
+            # have OOMed the driver before reaching the plan)
             bounded = True
         elif name == "Window" and node.partitionSpec().isEmpty() and not bounded:
             out.append(node.simpleString(120))
+        return bounded
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def unbounded_cartesian_joins(df: DataFrame) -> list[str]:
+    """Join nodes in the optimized logical plan that can only plan as
+    CartesianProduct or BroadcastNestedLoopJoin over UNBOUNDED inputs —
+    the third scale-killer class in this gate family (VERDICT r8 #6).
+
+    A join is hash-partitionable (SortMergeJoin / ShuffledHashJoin /
+    BroadcastHashJoin) iff its condition carries at least one equality
+    predicate; without one, Spark must either broadcast a whole side
+    into a nested loop or materialize the full cross product. That is
+    fine exactly when SOME side is provably row-bounded (the
+    broadcast-of-scalar pattern: crossJoin against a grouping-less
+    aggregate or a literal relation — driver-sized whatever the
+    corpus). An equality-free join where NEITHER side is bounded is
+    O(|L|·|R|) work at scale no matter what the optimizer picks.
+    Boundedness rules match `unpartitioned_windows`. Returns the
+    offending nodes' simpleStrings (empty list = scale-safe).
+    """
+    out: list[str] = []
+
+    def has_equi(expr) -> bool:
+        if expr.getClass().getSimpleName() in ("EqualTo", "EqualNullSafe"):
+            return True
+        kids = expr.children()
+        return any(has_equi(kids.apply(i)) for i in range(kids.length()))
+
+    def walk(node) -> bool:
+        kids = node.children()
+        n = kids.length()
+        child_bounded = [walk(kids.apply(i)) for i in range(n)]
+        bounded = bool(child_bounded) and all(child_bounded)
+        name = node.getClass().getSimpleName()
+        if name in ("GlobalLimit", "LocalLimit"):
+            bounded = True
+        elif name == "Aggregate" and node.groupingExpressions().isEmpty():
+            bounded = True
+        elif name in ("LocalRelation", "OneRowRelation", "LogicalRDD"):
+            bounded = True
+        elif name == "Join":
+            cond = node.condition()
+            equi = (not cond.isEmpty()) and has_equi(cond.get())
+            if not equi and not any(child_bounded):
+                out.append(node.simpleString(120))
         return bounded
 
     walk(df._jdf.queryExecution().optimizedPlan())
@@ -124,7 +175,7 @@ def unbounded_global_sorts(df: DataFrame) -> list[str]:
             bounded = True
         elif name == "Aggregate" and node.groupingExpressions().isEmpty():
             bounded = True
-        elif name in ("LocalRelation", "OneRowRelation"):
+        elif name in ("LocalRelation", "OneRowRelation", "LogicalRDD"):
             bounded = True
         elif (
             name == "Sort"

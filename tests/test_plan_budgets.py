@@ -68,6 +68,12 @@ EXCHANGE_BUDGET = {
     # (runtime dedups via ReusedExchange, same as q_doc_bpe_encode);
     # pure JVM
     "q_doc_wordpiece_encode": 10,
+    # round-9 unigram-LM encode: identical plan skeleton to the
+    # WordPiece twin — (doc, word) count shuffle + distinct-word agg
+    # feeding the Viterbi fold + word join back + per-doc agg + doc
+    # spine left join; occ feeds two consumers so the textual count
+    # repeats it; pure JVM
+    "q_doc_unigram_encode": 10,
     # round-8 serving split: the ADC window over the prebuilt-index
     # scan (the encode pipeline is GONE from the plan — that is the
     # point)
@@ -149,6 +155,8 @@ EXTRA_BUDGET = {
     # round-8 WordPiece piece frequencies: word-count shuffle + the
     # piece agg (the TakeOrdered head adds none); pure JVM
     "q_doc_wordpiece_piece_freq": 4,
+    # round-9 unigram-LM piece frequencies: same skeleton
+    "q_doc_unigram_piece_freq": 4,
     "q_lineitem_weighted_median": 4,
     # 4 since the duplicates-only count-join rewrite: count aggregate +
     # the join's two sides + the query's own output agg (AQE broadcasts
@@ -293,6 +301,89 @@ def test_no_unbounded_global_sorts_anywhere(spark):
         f"into: {offenders} — drop the sort (the driver compare "
         "sorts rows itself), push a limit, or whitelist WITH a size "
         "argument"
+    )
+
+
+# Cartesian/nested-loop ban (VERDICT r8 #6): an equality-free join
+# where neither side is row-bounded is O(|L|·|R|) at scale whatever
+# physical strategy the optimizer picks. The r8 audit found the repo
+# clean (crossJoins are broadcast-of-scalar only) — the gate keeps it
+# clean; additions need a size argument, same contract as the window
+# and sort gates.
+# Whitelist WITH size arguments (the gate's contract). Every entry's
+# nested-loop side is bounded by something the PLAN cannot prove but
+# the data model does:
+# - q_cross_join_matrix: region (fixed 5-row dimension) × DISTINCT
+#   o_orderstatus (3 values) — a deliberate small×small cross demo.
+# - q_embedding_centroid_assign / _prototype_prune / _semdedup: the
+#   cross side is the IVF coarse-quantizer centroid fixture — k=16
+#   rows (IVF_CLUSTERS) read from parquet and broadcast; corpus size
+#   never changes k.
+# - q_events_dau_wau_mau / q_events_kmv_rolling_wau: day-grain range
+#   joins — both sides are per-day aggregates, bounded by the
+#   CALENDAR (~366 rows/year/side), not the corpus; the rolling
+#   window makes the output N_days × window, still calendar-sized.
+# - q_events_kmv_set_algebra: (set_a < set_b) over the distinct
+#   event-type universe (5 values) — all-pairs of sketches, not rows.
+CARTESIAN_OK: set[str] = {
+    "q_cross_join_matrix",
+    "q_embedding_centroid_assign",
+    "q_embedding_prototype_prune",
+    "q_embedding_semdedup",
+    "q_events_dau_wau_mau",
+    "q_events_kmv_rolling_wau",
+    "q_events_kmv_set_algebra",
+}
+
+
+def test_no_unbounded_cartesian_joins_anywhere(spark):
+    from data_engineering_spark.plans.explain import (
+        unbounded_cartesian_joins,
+    )
+
+    spark.catalog.clearCache()
+    offenders = {}
+    for name in sorted(QUERIES):
+        if name in CARTESIAN_OK:
+            continue
+        hits = unbounded_cartesian_joins(QUERIES[name](spark, SF))
+        if hits:
+            offenders[name] = hits[0][:120]
+    assert not offenders, (
+        "equality-free join over two unbounded inputs crept into: "
+        f"{offenders} — add an equi predicate, bound one side, or "
+        "whitelist WITH a size argument"
+    )
+
+
+def test_cartesian_whitelist_is_tight():
+    stale = CARTESIAN_OK - set(QUERIES)
+    assert not stale, f"stale whitelist entries: {stale}"
+
+
+def test_cartesian_walker_semantics(spark):
+    """The walker's verdicts on hand-built plans: unbounded crossJoin =
+    flagged; non-equi theta join = flagged; crossJoin against a
+    grouping-less aggregate or a limit = exempt; equi join = exempt
+    (even with extra non-equi conjuncts)."""
+    from data_engineering_spark.plans.explain import (
+        unbounded_cartesian_joins,
+    )
+
+    a = spark.range(100).toDF("x")
+    b = spark.range(100).toDF("y")
+    assert unbounded_cartesian_joins(a.crossJoin(b))
+    assert unbounded_cartesian_joins(a.join(b, F.col("x") < F.col("y")))
+    # broadcast-of-scalar: the audited-legitimate pattern
+    assert not unbounded_cartesian_joins(
+        a.crossJoin(b.groupBy().agg(F.max("y").alias("m")))
+    )
+    assert not unbounded_cartesian_joins(a.crossJoin(b.limit(1)))
+    assert not unbounded_cartesian_joins(
+        a.join(b, F.col("x") == F.col("y"))
+    )
+    assert not unbounded_cartesian_joins(
+        a.join(b, (F.col("x") == F.col("y")) & (F.col("x") > 3))
     )
 
 
