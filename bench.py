@@ -99,6 +99,10 @@ HEADLINE = [
     # tokenize/count pass + a broadcast-query cosine scan; fusion is
     # metadata-sized
     "q_doc_hybrid_rrf",
+    # round-9: unigram-LM (SentencePiece) Viterbi encode — the third
+    # tokenizer family, benched next to the BPE/WordPiece entries so
+    # the integer-Viterbi fold's cost stays visible round-over-round
+    "q_doc_unigram_encode",
 ]
 
 

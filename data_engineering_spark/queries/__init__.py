@@ -37,6 +37,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     text,
     timeseries,
     timeseries2,
+    unigram,
     wordpiece,
 )
 from data_engineering_spark.registry import ORACLES, QUERIES  # noqa: F401

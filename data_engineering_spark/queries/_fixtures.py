@@ -585,6 +585,114 @@ def seed_wordpiece_fixture() -> str:
     return path
 
 
+UG_VOCAB_SIZE = 48  # singles (~24 chars in the synthetic corpus) +
+#                     ~24 multi-char pieces: words stay multi-piece
+#                     (measured fertility 2.29) so the Viterbi DP is
+#                     genuinely exercised cross-engine — the same
+#                     sizing rationale as WP_NUM_MERGES
+UG_MAX_PIECE_LEN = 4
+
+
+def unigram_fixture_path() -> str:
+    return os.path.join(
+        FIXTURE_DIR,
+        f"unigram_scores_v{UG_VOCAB_SIZE}p{UG_MAX_PIECE_LEN}.parquet",
+    )
+
+
+def write_unigram_fixture(
+    piece_scores: list, corpus_n: int
+) -> str:
+    """(piece, integer nano-nat score) rows into the fixture under key
+    corpus_n, replacing prior rows for the same key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = unigram_fixture_path()
+    keep = []
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        keep = [
+            r
+            for r in zip(
+                t["corpus_n"].to_pylist(),
+                t["piece"].to_pylist(),
+                t["score"].to_pylist(),
+            )
+            if r[0] != corpus_n
+        ]
+    allr = keep + [(corpus_n, p, s) for p, s in piece_scores]
+    cols = list(zip(*allr)) if allr else [[], [], []]
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "corpus_n": list(cols[0]),
+                "piece": list(cols[1]),
+                "score": list(cols[2]),
+            },
+            schema=pa.schema(
+                [
+                    ("corpus_n", pa.int64()),
+                    ("piece", pa.string()),
+                    ("score", pa.int64()),
+                ]
+            ),
+        ),
+    )
+    return path
+
+
+def read_unigram_fixture(corpus_n: int) -> list | None:
+    """[(piece, score_int)] sorted by piece for corpus_n, or None."""
+    import pyarrow.parquet as pq
+
+    path = unigram_fixture_path()
+    if not os.path.exists(path):
+        return None
+    rows = sorted(
+        (p, s)
+        for cn, p, s in zip(
+            *[
+                pq.read_table(path)[c].to_pylist()
+                for c in ("corpus_n", "piece", "score")
+            ]
+        )
+        if cn == corpus_n
+    )
+    return rows or None
+
+
+def seed_unigram_fixture() -> str:
+    """Pre-seed the unigram-LM (piece, score) model for every testdata
+    sf (DuckDB word count + the exact unigram_em_loop the Spark
+    trainer runs) — same convention as seed_bpe_fixture."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_spark.operators.unigram import (
+        unigram_em_loop,
+    )
+
+    path = unigram_fixture_path()
+    have = set()
+    if os.path.exists(path):
+        have = set(pq.read_table(path)["corpus_n"].to_pylist())
+    for sf_dir in _PCA_TESTDATA_SFS:
+        vocab, n = _bpe_word_freqs_duckdb(sf_dir)
+        if vocab is None or n in have:
+            continue
+        write_unigram_fixture(
+            unigram_em_loop(
+                vocab,
+                vocab_size=UG_VOCAB_SIZE,
+                max_piece_len=UG_MAX_PIECE_LEN,
+            ),
+            n,
+        )
+        have.add(n)
+    return path
+
+
 def read_bpe_fixture(corpus_n: int) -> list | None:
     """Patterns in training order for corpus_n, or None if unseeded."""
     import pyarrow.parquet as pq

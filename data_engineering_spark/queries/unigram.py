@@ -1,0 +1,228 @@
+"""Unigram-LM (SentencePiece) tokenizer queries
+(operators/unigram.py) — the third tokenizer family next to BPE and
+WordPiece.
+
+The trained model is (piece, score) rows shared through a parquet
+fixture (queries/_fixtures.py, keyed by documents row count,
+pre-seeded from a DuckDB word count + the same pure-python EM loop
+unigram_train runs). Scores are log-probabilities quantized to
+INTEGER nano-nats at training time, so although EM itself is float
+arithmetic (the documented no-hash tail of this family), everything
+downstream of the published model is exact int64: BOTH engines run
+the full Viterbi DP from those integer scores — Spark as one JVM
+`aggregate` fold over distinct words
+(operators/unigram.unigram_encode_words), DuckDB as a recursive CTE
+carrying the (best, back) DP arrays — and per-document score sums are
+exact integer aggregates. Tie-break at every DP cell is the
+struct-lexicographic max of (score, piece_length) in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401 (parity imports)
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.registry import query
+
+_MAXL = 32  # UG_MAX_WORD_LEN — inlined into the oracle SQL
+
+
+def _ug_scores(spark: SparkSession, sf_dir: str) -> list:
+    """The corpus's trained (piece, score) model: fixture if seeded
+    (the normal path — seed_unigram_fixture covers every testdata sf),
+    else train via the Spark counting pass and publish to the fixture
+    so the oracle sees the same parameters."""
+    from data_engineering_spark.operators.unigram import unigram_train
+    from data_engineering_spark.queries import _fixtures as FX
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    try:
+        FX.seed_unigram_fixture()
+    except Exception as e:
+        FX.warn_fixture_write_failed("seed_unigram_fixture", e)
+    scores = FX.read_unigram_fixture(n)
+    if scores is None:
+        scores = unigram_train(
+            d,
+            vocab_size=FX.UG_VOCAB_SIZE,
+            max_piece_len=FX.UG_MAX_PIECE_LEN,
+        )
+        try:
+            FX.write_unigram_fixture(scores, n)
+        except Exception as e:
+            FX.warn_fixture_write_failed("write_unigram_fixture", e)
+    return scores
+
+
+def _ug_oracle_ctes() -> str:
+    """CTEs (fxu, mp, wtok, wocc, woc, wdist, vit, vfin, rec, enc) —
+    the full integer Viterbi segmentation of every distinct corpus
+    word in DuckDB. `vit` fills the DP left to right, one position per
+    recursion step, carrying the (best, back) arrays and the broadcast
+    score map as row columns (subqueries are illegal inside DuckDB
+    lambdas, so the map rides the rows — vocabulary-sized, tiny).
+    `rec` walks the backpointers; a non-printable-ASCII word, one
+    longer than {_MAXL}, or one with an unreachable final position
+    encodes as ['[UNK]'] with a NULL score."""
+    from data_engineering_spark.queries._fixtures import (
+        seed_unigram_fixture,
+        unigram_fixture_path,
+        warn_fixture_write_failed,
+    )
+
+    try:
+        seed_unigram_fixture()
+    except Exception as e:
+        warn_fixture_write_failed("seed_unigram_fixture", e)
+    return f"""
+    fxu AS (
+      SELECT piece, score
+      FROM read_parquet('{unigram_fixture_path()}')
+      WHERE corpus_n = (SELECT COUNT(*) FROM documents)),
+    mp AS (
+      SELECT map(list(piece ORDER BY piece),
+                 list(score ORDER BY piece)) AS mm,
+             MAX(length(piece)) AS maxp
+      FROM fxu),
+    wtok AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents),
+    wocc AS (SELECT doc_id, unnest(t) AS word FROM wtok),
+    woc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM wocc GROUP BY 1, 2),
+    wdist AS (SELECT DISTINCT word FROM woc),
+    vit AS (
+      SELECT word, 0 AS i,
+             [CAST(0 AS BIGINT)] AS best,
+             [CAST(0 AS BIGINT)] AS back,
+             (SELECT mm FROM mp) AS mm,
+             (SELECT maxp FROM mp) AS maxp,
+             (NOT regexp_matches(word, '^[!-~]+$'))
+               OR length(word) > {_MAXL} AS bad
+      FROM wdist
+      UNION ALL
+      SELECT word, i + 1,
+             list_append(best, pk.s), list_append(back, pk.l),
+             mm, maxp, bad
+      FROM (
+        SELECT word, i, best, back, mm, maxp, bad,
+               list_max(list_filter(
+                 list_transform(
+                   range(1, least(i + 1, maxp) + 1),
+                   l -> {{'s': best[i + 2 - l]
+                              + (mm[substr(word, i + 2 - l, l)])[1],
+                         'l': l}}),
+                 c -> c.s IS NOT NULL)) AS pk
+        FROM vit WHERE NOT bad AND i < length(word))),
+    vfin AS (
+      SELECT word, back, bad, best[length(word) + 1] AS sc
+      FROM vit
+      WHERE i = CASE WHEN bad THEN 0 ELSE length(word) END),
+    rec AS (
+      SELECT word,
+             CASE WHEN bad OR sc IS NULL THEN 0
+                  ELSE length(word) END AS pos,
+             []::VARCHAR[] AS toks, back,
+             bad OR sc IS NULL AS unk, sc
+      FROM vfin
+      UNION ALL
+      SELECT word, pos - back[pos + 1],
+             list_prepend(
+               substr(word, pos - back[pos + 1] + 1, back[pos + 1]),
+               toks),
+             back, unk, sc
+      FROM rec WHERE pos > 0),
+    enc AS (
+      SELECT word,
+             CASE WHEN unk THEN ['[UNK]'] ELSE toks END AS tk,
+             CASE WHEN unk THEN 1 ELSE len(toks) END AS n_tok,
+             unk AS is_unk,
+             CASE WHEN unk THEN NULL ELSE sc END AS score
+      FROM rec WHERE pos = 0)"""
+
+
+@query(
+    "q_doc_unigram_encode",
+    oracle=f"""
+    WITH RECURSIVE {{ctes}},
+    per AS (
+      SELECT woc.doc_id,
+             SUM(woc.c) AS n_words,
+             SUM(woc.c * e.n_tok) AS n_ug_tokens,
+             SUM(woc.c * CASE WHEN e.is_unk THEN 1 ELSE 0 END)
+               AS n_unk_words,
+             SUM(woc.c * e.score) AS ssum
+      FROM woc JOIN enc e USING (word) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_ug_tokens, 0) AS BIGINT) AS n_ug_tokens,
+           CAST(COALESCE(p.n_unk_words, 0) AS BIGINT) AS n_unk_words,
+           CAST(COALESCE(p.ssum, 0) AS BIGINT) AS ug_score_sum
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_doc_unigram_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document unigram-LM tokenized length, [UNK] incidence, and
+    exact integer Viterbi score mass under the corpus-trained model —
+    the SentencePiece fertility/likelihood numbers next to the BPE and
+    WordPiece twins. One corpus-sized (doc, word) shuffle; the Viterbi
+    fold runs on distinct words only. Empty docs stay as rows with
+    zero counts."""
+    from data_engineering_spark.operators.unigram import (
+        unigram_doc_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_doc_stats(d, _ug_scores(spark, sf_dir))
+
+
+@query(
+    "q_doc_unigram_piece_freq",
+    oracle=f"""
+    WITH RECURSIVE {{ctes}},
+    wf AS (SELECT word, COUNT(*) AS freq FROM wocc GROUP BY 1),
+    px AS (
+      SELECT wf.word, wf.freq, unnest(e.tk) AS piece
+      FROM wf JOIN enc e USING (word))
+    SELECT piece,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+           CAST(SUM(freq) AS BIGINT) AS total
+    FROM px GROUP BY 1
+    ORDER BY total DESC, piece ASC LIMIT 100
+    """,
+)
+def q_doc_unigram_piece_freq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-100 unigram-LM pieces by corpus occurrence (weighted by
+    word frequency) — which subwords the EM-fitted model actually uses
+    to carry the corpus. Total order (total DESC, piece ASC)."""
+    from data_engineering_spark.operators.unigram import (
+        unigram_piece_freq,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_piece_freq(d, _ug_scores(spark, sf_dir), k=100)
+
+
+def _inline_ctes() -> None:
+    """Replace the {ctes} placeholder in this module's registered
+    oracles with the shared Viterbi CTEs (built once — the builder
+    pre-seeds the fixture as a side effect)."""
+    from data_engineering_spark.registry import ORACLES
+
+    ctes = _ug_oracle_ctes()
+    for name in (
+        "q_doc_unigram_encode",
+        "q_doc_unigram_piece_freq",
+    ):
+        ORACLES[name] = ORACLES[name].format(ctes=ctes)
+
+
+_inline_ctes()
