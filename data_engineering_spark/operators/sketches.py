@@ -278,10 +278,21 @@ def kmv_rolling_distinct(
         .drop("__rn")
     )
     days = sk.select(F.col("__day").alias("day")).distinct()
-    joined = days.join(
-        sk,
-        (F.col("__day") <= F.col("day"))
-        & (F.col("__day") > F.date_sub(F.col("day"), window_days)),
+    # bounded-explode equi-join, not a range join: each day's sketch
+    # fans out to the exactly-window_days grid days it serves (explode
+    # of a constant sequence), then hash-joins the grid on equality —
+    # window_days·|sk| rows instead of a |days|·|sk| nested-loop probe
+    # (the r9 cartesian plan gate bans the latter shape)
+    joined = (
+        sk.select(
+            "__day",
+            "__hv",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("__j"),
+        )
+        .withColumn("day", F.date_add(F.col("__day"), F.col("__j")))
+        .join(days, "day")
     )
     merged = joined.select("day", "__hv").distinct()
     w = Window.partitionBy("day").orderBy(F.asc("__hv"))

@@ -471,6 +471,66 @@ def unigram_doc_stats(
     )
 
 
+def unigram_vocab_ids(
+    piece_scores: list[tuple[str, int]],
+) -> list[tuple[str, int]]:
+    """The deterministic (token, id) vocabulary a trained unigram
+    model induces: id 0 = [UNK], ids 1.. = pieces in piece-string
+    order. Pure function of the model, so both engines derive the
+    identical mapping (the oracle's ROW_NUMBER() OVER (ORDER BY
+    piece))."""
+    return [(UG_UNK, 0)] + [
+        (p, i + 1) for i, (p, _) in enumerate(sorted(piece_scores))
+    ]
+
+
+def unigram_encode_ids(
+    docs: DataFrame,
+    piece_scores: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = UG_MAX_WORD_LEN,
+) -> DataFrame:
+    """(id_col, wpos, tpos, token_id): the Viterbi-tokenized corpus as
+    an integer id stream — the unigram twin of bpe_encode_ids, what a
+    training pipeline feeds the model. (wpos, tpos) = (word position,
+    token position within the word): a deterministic within-document
+    order with no global sequence window.
+
+    Plan: the Viterbi fold runs once per DISTINCT word; the
+    vocabulary-sized id table broadcasts; the corpus pays its
+    (doc, wpos, word) explode + the word join. [UNK] carries id 0 —
+    same never-drop contract as unigram_encode_words."""
+    spark = docs.sparkSession
+    tokw = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("wpos", "word"),
+    )
+    # posexplode_OUTER: same InferFiltersFromGenerate hazard note as
+    # unigram_piece_freq — ug_tokens is never empty ([UNK] at worst)
+    enc = unigram_encode_words(
+        tokw.select("word").distinct(),
+        piece_scores,
+        max_word_len=max_word_len,
+    ).select(
+        "word", F.posexplode_outer("ug_tokens").alias("tpos", "__tok")
+    )
+    vocab_df = spark.createDataFrame(
+        unigram_vocab_ids(piece_scores), "__tok string, __tid int"
+    )
+    word_ids = enc.join(F.broadcast(vocab_df), "__tok", "left").select(
+        "word",
+        "tpos",
+        F.coalesce("__tid", F.lit(0)).alias("token_id"),
+    )
+    return tokw.join(word_ids, "word").select(
+        id_col,
+        F.col("wpos").cast("int"),
+        F.col("tpos").cast("int"),
+        "token_id",
+    )
+
+
 def unigram_piece_freq(
     docs: DataFrame,
     piece_scores: list[tuple[str, int]],

@@ -273,31 +273,38 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement suite: daily / trailing-7-day / trailing-30-day
     distinct active users per day. Exact sliding distincts can't ride a
-    window frame (COUNT(DISTINCT) OVER RANGE isn't a thing), so the
-    day grid joins the DISTINCT (day, user) activity table — already
-    reduced to at most days x users rows — with the three horizons as
-    conditional distincts in ONE aggregation. At 100 TB you precompute
-    per-day KMV sketches instead and MERGE them across the horizon
-    (operators/sketches.kmv_sketch — union of mergeable sketches), at
-    ±2% error; this exact form is the small-scale/oracle twin."""
+    window frame (COUNT(DISTINCT) OVER RANGE isn't a thing). The
+    trailing window is a BOUNDED-EXPLODE EQUI-JOIN, not a range join:
+    each distinct (day, user) activity row fans out to the exactly-30
+    window days it contributes to (explode of a constant 0..29
+    sequence), then hash-joins the day grid on equality — 30·|du| rows
+    of work instead of a |days|·|du| nested-loop probe (the r9
+    cartesian plan gate bans the latter shape), with the three
+    horizons as conditional distincts keyed on the offset in ONE
+    aggregation. At 100 TB you precompute per-day KMV sketches instead
+    and MERGE them across the horizon (operators/sketches.kmv_sketch —
+    union of mergeable sketches), at ±2% error; this exact form is the
+    small-scale/oracle twin."""
     e = load_table(spark, sf_dir, "events")
     du = e.select(
         F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
     ).distinct()
     days = du.select("day").distinct().select(F.col("day").alias("d"))
-    j = days.join(
-        du,
-        (F.col("day") <= F.col("d"))
-        & (F.col("day") > F.date_sub(F.col("d"), 30)),
+    j = (
+        du.select(
+            "day",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("__k"),
+        )
+        .withColumn("d", F.date_add(F.col("day"), F.col("__k")))
+        .join(days, "d")
     )
     return j.groupBy(F.col("d").alias("day")).agg(
         F.count_distinct(
-            F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            F.when(F.col("__k") == 0, F.col("user_id"))
         ).cast("long").alias("dau"),
         F.count_distinct(
-            F.when(
-                F.col("day") > F.date_sub(F.col("d"), 7), F.col("user_id")
-            )
+            F.when(F.col("__k") < 7, F.col("user_id"))
         ).cast("long").alias("wau"),
         F.count_distinct("user_id").cast("long").alias("mau"),
     )

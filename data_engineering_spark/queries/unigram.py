@@ -211,6 +211,45 @@ def q_doc_unigram_piece_freq(
     return unigram_piece_freq(d, _ug_scores(spark, sf_dir), k=100)
 
 
+@query(
+    "q_doc_unigram_token_ids",
+    oracle=f"""
+    WITH RECURSIVE {{ctes}},
+    uid AS (
+      SELECT piece, ROW_NUMBER() OVER (ORDER BY piece) AS tid
+      FROM fxu),
+    iw AS (
+      SELECT doc_id, generate_subscripts(t, 1) - 1 AS wpos,
+             unnest(t) AS word
+      FROM wtok),
+    itk AS (
+      SELECT iw.doc_id, iw.wpos,
+             generate_subscripts(e.tk, 1) - 1 AS tpos,
+             unnest(e.tk) AS tok
+      FROM iw JOIN enc e USING (word))
+    SELECT t.doc_id, CAST(t.wpos AS INT) AS wpos,
+           CAST(t.tpos AS INT) AS tpos,
+           CAST(COALESCE(u.tid, 0) AS INT) AS token_id
+    FROM itk t LEFT JOIN uid u ON u.piece = t.tok
+    """,
+)
+def q_doc_unigram_token_ids(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Viterbi-tokenized corpus as an integer-id stream — the
+    unigram twin of q_doc_bpe_token_ids: ids are a pure function of
+    the fixture-shared model ([UNK]=0, pieces 1.. in piece order),
+    (wpos, tpos) gives a deterministic within-document order without a
+    global sequence window. DuckDB replays the full Viterbi AND the id
+    assignment."""
+    from data_engineering_spark.operators.unigram import (
+        unigram_encode_ids,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_encode_ids(d, _ug_scores(spark, sf_dir))
+
+
 def _inline_ctes() -> None:
     """Replace the {ctes} placeholder in this module's registered
     oracles with the shared Viterbi CTEs (built once — the builder
@@ -221,6 +260,7 @@ def _inline_ctes() -> None:
     for name in (
         "q_doc_unigram_encode",
         "q_doc_unigram_piece_freq",
+        "q_doc_unigram_token_ids",
     ):
         ORACLES[name] = ORACLES[name].format(ctes=ctes)
 

@@ -188,6 +188,13 @@ EXTRA_BUDGET = {
     # token-id stream: (doc,word) explode + distinct-vocab encode +
     # broadcast id join + the word join back
     "q_doc_bpe_token_ids": 6,
+    # unigram twin: same skeleton (Viterbi fold on the distinct side)
+    "q_doc_unigram_token_ids": 6,
+    # round-9 export prep: the shuffle-shard assignment is ONE
+    # shard-keyed exchange (textual 2 = AQE initial+final); FIM is
+    # scan+project, zero exchanges — asserted exactly
+    "q_corpus_shuffle_shards": 2,
+    "q_doc_fim_transform": 0,
     # token-budget mix: the encode pipeline + per-source demand agg +
     # selection window + final agg; the water-fill allocation itself
     # is collected and re-literalized (LocalRelation), so its windows
@@ -319,19 +326,16 @@ def test_no_unbounded_global_sorts_anywhere(spark):
 #   cross side is the IVF coarse-quantizer centroid fixture — k=16
 #   rows (IVF_CLUSTERS) read from parquet and broadcast; corpus size
 #   never changes k.
-# - q_events_dau_wau_mau / q_events_kmv_rolling_wau: day-grain range
-#   joins — both sides are per-day aggregates, bounded by the
-#   CALENDAR (~366 rows/year/side), not the corpus; the rolling
-#   window makes the output N_days × window, still calendar-sized.
 # - q_events_kmv_set_algebra: (set_a < set_b) over the distinct
 #   event-type universe (5 values) — all-pairs of sketches, not rows.
+# (q_events_dau_wau_mau / q_events_kmv_rolling_wau were rewritten off
+# the whitelist: their trailing windows are bounded-explode equi-joins
+# now — window·|rows| fan-out hash-joined on the day, no nested loop.)
 CARTESIAN_OK: set[str] = {
     "q_cross_join_matrix",
     "q_embedding_centroid_assign",
     "q_embedding_prototype_prune",
     "q_embedding_semdedup",
-    "q_events_dau_wau_mau",
-    "q_events_kmv_rolling_wau",
     "q_events_kmv_set_algebra",
 }
 

@@ -204,6 +204,34 @@ def test_doc_stats_arithmetic_and_empty_docs(spark):
     assert got[3] == (1, 1, 0, -3 * NANO)
 
 
+def test_encode_ids_stream(spark):
+    """Token-id stream: ids are sorted-piece order (UNK=0), the
+    stream covers every (word, token) occurrence with 0-based
+    positions, and UNK words emit exactly one id-0 token."""
+    from data_engineering_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_vocab_ids,
+    )
+
+    scores = [("a", -2 * NANO), ("b", -3 * NANO), ("ab", -4 * NANO)]
+    assert unigram_vocab_ids(scores) == [
+        ("[UNK]", 0), ("a", 1), ("ab", 2), ("b", 3),
+    ]
+    df = spark.createDataFrame(
+        [(1, "ab ba zz"), (2, "b")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["doc_id"], r["wpos"], r["tpos"]): r["token_id"]
+        for r in unigram_encode_ids(df, scores).collect()
+    }
+    assert rows == {
+        (1, 0, 0): 2,            # "ab" -> [ab]
+        (1, 1, 0): 3, (1, 1, 1): 1,  # "ba" -> [b, a]
+        (1, 2, 0): 0,            # "zz" -> [UNK]
+        (2, 0, 0): 3,            # "b"
+    }
+
+
 def test_encode_plan_is_jvm_only(spark):
     df = spark.createDataFrame([("ab",)], ["word"])
     plan = (
