@@ -12,6 +12,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     diagnostics,
     events_analytics,
     events_cdc,
+    export_prep,
     fusion,
     graph,
     linkage,
