@@ -80,6 +80,35 @@ def shuffle_shards(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuf1",
+) -> None:
+    """Materialize the shuffled corpus as shard-partitioned parquet:
+    `{out_dir}/shard=K/...` with rows physically ordered by shard_pos
+    inside each shard's files — the directory layout a training reader
+    consumes (one shard per data-loader worker, sequential reads, no
+    runtime shuffle).
+
+    One repartition on the shard key + sortWithinPartitions: each
+    shard sorts independently in its own task (no global sort — the
+    sort gate stays clean), and partitionBy splits the directories.
+    Reproducible end to end: same input + salt => byte-identical shard
+    membership and order (the assignment itself is the hash-oracled
+    q_corpus_shuffle_shards)."""
+    out = shuffle_shards(df, n_shards, id_col=id_col, salt=salt)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
 def fim_transform(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -250,6 +250,67 @@ def q_doc_unigram_token_ids(
     return unigram_encode_ids(d, _ug_scores(spark, sf_dir))
 
 
+@query(
+    "q_doc_unigram_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE {{ctes}},
+    per AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(COALESCE(SUM(woc.c * e.n_tok), 0) AS BIGINT)
+               AS n_ug_tokens
+      FROM documents d
+      LEFT JOIN woc ON woc.doc_id = d.doc_id
+      LEFT JOIN enc e ON e.word = woc.word
+      GROUP BY 1, 2, 3),
+    wl AS (
+      SELECT lang, source, doc_id, n_ug_tokens,
+             COALESCE(SUM(n_ug_tokens) OVER (
+               PARTITION BY lang, source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // 2048 AS pack_id
+      FROM per)
+    SELECT lang, source, CAST(pack_id AS INT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ug_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM wl GROUP BY 1, 2, 3
+    """,
+)
+def q_doc_unigram_pack_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence packing driven by REAL unigram-LM token counts —
+    parity with q_doc_bpe_pack_bins on the third tokenizer: documents
+    packed into 2048-token training bins per (lang, source) shard,
+    greedy running-total assignment (operators/text.pack_chunks) over
+    the Viterbi encode output. Per-shard windows, so no partition
+    grows with corpus-per-language."""
+    from data_engineering_spark.operators.text import pack_chunks
+    from data_engineering_spark.operators.unigram import (
+        unigram_doc_stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = unigram_doc_stats(d, _ug_scores(spark, sf_dir)).select(
+        "doc_id", "n_ug_tokens"
+    )
+    per_doc = d.select("doc_id", "lang", "source").join(
+        counts, "doc_id"
+    )
+    packed = pack_chunks(
+        per_doc,
+        budget_tokens=2048,
+        partition_cols=("lang", "source"),
+        order_cols=("doc_id",),
+        tokens_col="n_ug_tokens",
+    )
+    return packed.groupBy("lang", "source", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_ug_tokens").cast("bigint").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 def _inline_ctes() -> None:
     """Replace the {ctes} placeholder in this module's registered
     oracles with the shared Viterbi CTEs (built once — the builder
@@ -261,6 +322,7 @@ def _inline_ctes() -> None:
         "q_doc_unigram_encode",
         "q_doc_unigram_piece_freq",
         "q_doc_unigram_token_ids",
+        "q_doc_unigram_pack_bins",
     ):
         ORACLES[name] = ORACLES[name].format(ctes=ctes)
 

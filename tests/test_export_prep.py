@@ -101,6 +101,76 @@ def test_fim_rate_bounds_and_zero_rate(spark):
     assert none.filter(F.col("is_fim")).count() == 0
 
 
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """The materialized layout: shard=K directories whose files hold
+    rows physically ordered by shard_pos, with membership identical to
+    the hash-oracled assignment."""
+    from data_engineering_spark.operators.export_prep import (
+        write_training_shards,
+    )
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, 4)
+    expect: dict[int, dict[int, int]] = {}
+    for r in (
+        shuffle_shards(d, 4).select("doc_id", "shard", "shard_pos").collect()
+    ):
+        expect.setdefault(r["shard"], {})[r["shard_pos"]] = r["doc_id"]
+    import os
+
+    dirs = sorted(
+        p for p in os.listdir(out) if p.startswith("shard=")
+    )
+    assert dirs == [f"shard={k}" for k in range(4)]
+    for k in range(4):
+        rows = spark.read.parquet(f"{out}/shard={k}").collect()
+        # membership matches the assignment...
+        assert {r["doc_id"] for r in rows} == set(expect[k].values())
+        # ...and the physical row order inside the shard IS shard_pos
+        assert [r["doc_id"] for r in rows] == [
+            expect[k][p] for p in range(len(rows))
+        ]
+
+
+def test_fim_stream_equals_batch(spark, tmp_path):
+    """FIM is stateless, so the streaming wiring (file source +
+    checkpointed foreachBatch) must reproduce the batch transform
+    exactly, whatever the micro-batch slicing."""
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    # two file drops -> at least two micro-batches
+    d.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        src, mode="overwrite"
+    )
+    d.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(fim_transform(batch_df).collect())
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {
+        r["doc_id"]: (r["is_fim"], r["out_text"])
+        for r in fim_transform(d).collect()
+    }
+    assert {
+        r["doc_id"]: (r["is_fim"], r["out_text"]) for r in got
+    } == batch
+    assert len(got) == len(batch)
+
+
 def test_fim_plan_is_shuffle_free_scan_project(spark):
     from data_engineering_spark.plans.explain import plan_string
 

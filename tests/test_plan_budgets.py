@@ -180,6 +180,8 @@ EXTRA_BUDGET = {
     "q_doc_bpe_encode": 10,
     # encode plan + the (lang,source) pack window + final agg
     "q_doc_bpe_pack_bins": 14,
+    # unigram twin: encode pipeline + per-shard pack window + final agg
+    "q_doc_unigram_pack_bins": 14,
     # round-7 integer cores (the oracled fixed-point halves of the
     # perplexity/DSIR pipelines): feature shuffles for docs + target,
     # two broadcast model joins, doc re-agg, id-spine left join
