@@ -265,6 +265,13 @@ def kmv_rolling_distinct(
     Output: (day, est_distinct, n_kept). Standard error ~ 1/sqrt(k-2):
     ±6%% at k=256. Exact twin for tests/oracles: q_events_dau_wau_mau.
     """
+    if window_days <= 0:
+        # F.sequence(0, window_days-1) would silently produce a
+        # DESCENDING sequence ([0, -1]) — a wrong 2-day window, not an
+        # empty one (ADVICE r9)
+        raise ValueError(f"window_days must be positive: {window_days}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the KMV estimator: {k}")
     day = F.col(day_col) if isinstance(day_col, str) else day_col
     daily = (
         df.select(day.alias("__day"), uniform_hash60(value_col).alias("__hv"))

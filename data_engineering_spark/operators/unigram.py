@@ -152,6 +152,12 @@ def _mstep(exp: dict[str, float]) -> dict[str, float]:
     total = 0.0
     for p in sorted(exp):
         total += exp[p]
+    if total <= 0.0:
+        raise ValueError(
+            "zero total expected mass — the corpus has no segmentable "
+            "words under the current piece inventory (empty corpus, or "
+            "every word exceeds max_piece_len coverage)"
+        )
     floor = total * 1e-12
     return {
         p: math.log(max(exp[p], floor)) - math.log(total) for p in exp
@@ -181,6 +187,11 @@ def unigram_em_loop(
     the final log-probability in integer nano-nats — the exact-
     arithmetic currency of the Viterbi encoder and its SQL oracle."""
     wf = sorted((w, int(f)) for w, f in word_freqs)
+    if not wf:
+        raise ValueError(
+            "empty word_freqs — unigram training needs at least one "
+            "word (did the corpus filter remove everything?)"
+        )
     counts: dict[str, int] = {}
     for w, f in wf:
         n = len(w)
@@ -310,6 +321,14 @@ def unigram_encode_words(
             "empty-string piece in the inventory — every piece must "
             "consume at least one character"
         )
+    seen: set[str] = set()
+    dups = sorted(
+        {p for p, _ in piece_scores if p in seen or seen.add(p)}
+    )
+    if dups:
+        # F.create_map would otherwise fail at runtime with Spark's
+        # opaque DUPLICATED_MAP_KEY (mapKeyDedupPolicy=EXCEPTION)
+        raise ValueError(f"duplicate pieces in the inventory: {dups}")
     max_piece_len = max(len(p) for p, _ in piece_scores)
     map_args: list = []
     for p, s in sorted(piece_scores):

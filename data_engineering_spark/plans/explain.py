@@ -110,11 +110,42 @@ def unbounded_cartesian_joins(df: DataFrame) -> list[str]:
     """
     out: list[str] = []
 
-    def has_equi(expr) -> bool:
-        if expr.getClass().getSimpleName() in ("EqualTo", "EqualNullSafe"):
-            return True
-        kids = expr.children()
-        return any(has_equi(kids.apply(i)) for i in range(kids.length()))
+    def attr_ids(attrs) -> set[int]:
+        return {
+            attrs.apply(i).exprId().id() for i in range(attrs.length())
+        }
+
+    def conjuncts(expr) -> list:
+        if expr.getClass().getSimpleName() == "And":
+            kids = expr.children()
+            return conjuncts(kids.apply(0)) + conjuncts(kids.apply(1))
+        return [expr]
+
+    def has_equi(node) -> bool:
+        """Mirror of Catalyst's ExtractEquiJoinKeys: the condition has
+        a TOP-LEVEL AND conjunct `l_expr = r_expr` where each side's
+        references fall entirely on one join side. An equality buried
+        under OR (x=y OR x<y) or a same-side equality (l.a = l.b) does
+        NOT make the join hash-partitionable (ADVICE r9)."""
+        cond = node.condition()
+        if cond.isEmpty():
+            return False
+        left = attr_ids(node.left().output())
+        right = attr_ids(node.right().output())
+        for c in conjuncts(cond.get()):
+            if c.getClass().getSimpleName() not in (
+                "EqualTo",
+                "EqualNullSafe",
+            ):
+                continue
+            kids = c.children()
+            a = attr_ids(kids.apply(0).references().toSeq())
+            b = attr_ids(kids.apply(1).references().toSeq())
+            if not a or not b:
+                continue  # literal comparand — a filter, not a key
+            if (a <= left and b <= right) or (a <= right and b <= left):
+                return True
+        return False
 
     def walk(node) -> bool:
         kids = node.children()
@@ -129,9 +160,7 @@ def unbounded_cartesian_joins(df: DataFrame) -> list[str]:
         elif name in ("LocalRelation", "OneRowRelation", "LogicalRDD"):
             bounded = True
         elif name == "Join":
-            cond = node.condition()
-            equi = (not cond.isEmpty()) and has_equi(cond.get())
-            if not equi and not any(child_bounded):
+            if not has_equi(node) and not any(child_bounded):
                 out.append(node.simpleString(120))
         return bounded
 

@@ -123,7 +123,10 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lex = coordination_rank(tf, qterms, topk=_LEG_K)
 
-    qvecs = e.filter(F.col("vec_id").isin(*_QIDS))
+    # vec_id unique + isin over len(_QIDS) literals => <= len(_QIDS)
+    # rows; the limit is a no-op that makes the bound plan-visible for
+    # the cartesian gate (same idiom as q_cosine_topk)
+    qvecs = e.filter(F.col("vec_id").isin(*_QIDS)).limit(len(_QIDS))
     vec = cosine_topk(e, qvecs, k=_LEG_K).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),

@@ -222,14 +222,17 @@ def q_doc_debiased(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_copies", "sample_weight")
 
 
+_DSIR_K = 100  # selection size, shared by the query and its rows twin
+
+
 @query(
     "q_doc_dsir_select",
     # rows-only: log()/Gumbel tail outside the hash policy; the row
     # structure is exact — Gumbel top-k keeps exactly min(k, n) docs
-    rows_oracle="""
+    rows_oracle=f"""
     SELECT doc_id, CAST(0.0 AS DOUBLE) AS log_w_r,
            CAST(0.0 AS DOUBLE) AS gumbel_key_r
-    FROM documents ORDER BY doc_id LIMIT 100
+    FROM documents ORDER BY doc_id LIMIT {_DSIR_K}
     """,
 )
 def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +255,7 @@ def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize is cheaper than persisting the corpus feature frame (A/B
     # measured 2.4s vs 3.8s at sf0.1); the subset path wins when the
     # corpus scan dominates — see dsir_log_weights
-    return dsir_select(d, target, k=100).select(
+    return dsir_select(d, target, k=_DSIR_K).select(
         "doc_id",
         F.round("log_w", 6).alias("log_w_r"),
         F.round("gumbel_key", 6).alias("gumbel_key_r"),

@@ -48,7 +48,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for 8 query vectors; broadcast query
     side, one corpus scan, JVM-only arithmetic (zip_with + aggregate)."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    # vec_id is unique, so the filter yields <= _TOPK_QUERIES rows; the
+    # limit is a semantic no-op that makes that bound PLAN-visible, so
+    # the cartesian gate can prove the nested-loop side is bounded
+    # instead of taking it on whitelist faith
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES).limit(_TOPK_QUERIES)
     return cosine_topk(e, q, k=_K)
 
 

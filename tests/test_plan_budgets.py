@@ -391,6 +391,31 @@ def test_cartesian_walker_semantics(spark):
     assert not unbounded_cartesian_joins(
         a.join(b, (F.col("x") == F.col("y")) & (F.col("x") > 3))
     )
+    # r9 ADVICE false negatives, now caught: an equality under OR does
+    # NOT make the join hash-partitionable (ExtractEquiJoinKeys splits
+    # top-level AND conjuncts only) ...
+    assert unbounded_cartesian_joins(
+        a.join(b, (F.col("x") == F.col("y")) | (F.col("x") < F.col("y")))
+    )
+    # ... nor does an inequality wrapping one (self-pair exclusion)
+    assert unbounded_cartesian_joins(
+        a.join(b, F.col("x") != F.col("y"))
+    )
+    # ... nor a same-side equality (both operands from one input)
+    c = spark.range(100).select(
+        F.col("id").alias("p"), (F.col("id") % 2).alias("q")
+    )
+    assert unbounded_cartesian_joins(
+        c.join(b, (F.col("p") == F.col("q")) & (F.col("p") < F.col("y")))
+    )
+    # expression keys still count (x = y + 1 references both sides)
+    assert not unbounded_cartesian_joins(
+        a.join(b, F.col("x") == F.col("y") + 1)
+    )
+    # literal comparand is a filter, not a join key
+    assert unbounded_cartesian_joins(
+        a.join(b, (F.col("x") == 5) & (F.col("y") > F.col("x")))
+    )
 
 
 def test_unbounded_sort_walker_semantics(spark):
