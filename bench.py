@@ -103,6 +103,11 @@ HEADLINE = [
     # tokenizer family, benched next to the BPE/WordPiece entries so
     # the integer-Viterbi fold's cost stays visible round-over-round
     "q_doc_unigram_encode",
+    # round-10: SFT/conversation prep — per-conversation BPE token
+    # counts split by role (the family's heavy path: turn synthesis,
+    # the composite-id token fold, the conv rollup); benched so the
+    # new post-training surface stays visible round-over-round
+    "q_conv_token_counts",
 ]
 
 
@@ -216,6 +221,116 @@ def bench_cdc_ingest(spark, sf_dir: str) -> tuple[float, dict]:
     return round(dt, 3), phases
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+# ---------------------------------------------------------------------------
+# Per-phase attribution probes (VERDICT r9 #1): the three entries whose
+# driver readings drifted with UNCHANGED plans get the cdc treatment —
+# one untimed diagnostic pass each, decomposed into pipeline stages, so
+# a future inflated reading self-attributes from the artifact alone
+# (scan-bound: the feature/shingle stage inflates too; join/serve-bound:
+# only the total moves; host-wide: host_probe_sec moves with everything).
+# ---------------------------------------------------------------------------
+
+
+def phases_dsir(spark, sf_dir: str) -> dict[str, float]:
+    """q_doc_dsir_select stages: the target tokenize+hash scan, the
+    corpus tokenize+hash scan (the two dominant scans), then the full
+    select (adds the distribution aggs, two broadcast scoring joins,
+    Gumbel top-k)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.dsir import hashed_ngram_buckets
+    from data_engineering_spark.queries import QUERIES
+
+    ph: dict[str, float] = {}
+    d = load_table(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    _noop(hashed_ngram_buckets(
+        d.filter(F.col("source") == "src1"), "doc_id", "text", 8192
+    ))
+    ph["target_features"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(hashed_ngram_buckets(d, "doc_id", "text", 8192))
+    ph["corpus_features"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(QUERIES["q_doc_dsir_select"](spark, sf_dir))
+    ph["select_total"] = round(time.perf_counter() - t0, 3)
+    return ph
+
+
+def phases_pq(spark, sf_dir: str) -> dict[str, float]:
+    """q_embedding_pq_topk stages: driver-side codebook training
+    (sample collect + k-means), corpus encode, and the ADC serve scan
+    against a pre-materialized encoded frame."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.pq import pq_encode, pq_topk
+    from data_engineering_spark.queries.similarity import (
+        _K,
+        _TOPK_QUERIES,
+        _pq_codebooks_spark,
+    )
+
+    ph: dict[str, float] = {}
+    e = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    cb = _pq_codebooks_spark(spark, e)
+    ph["codebook_train"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(pq_encode(e, cb))
+    ph["encode"] = round(time.perf_counter() - t0, 3)
+    enc = pq_encode(e, cb).persist()
+    enc.count()
+    q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    t0 = time.perf_counter()
+    _noop(pq_topk(enc, cb, q, k=_K))
+    ph["serve"] = round(time.perf_counter() - t0, 3)
+    enc.unpersist()
+    return ph
+
+
+def phases_star(spark, sf_dir: str) -> dict[str, float]:
+    """q_doc_star_dedup_clusters stages: shingle sets + band rows (the
+    corpus scan, materializes the shared persist), star edges (bucket
+    min-agg + join, reuses the persist), then the full query (adds
+    exact verify + pointer-jumping CC)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.minhash import (
+        _shingle_sets_and_bands,
+        star_edges,
+    )
+    from data_engineering_spark.queries import QUERIES
+
+    ph: dict[str, float] = {}
+    d = load_table(spark, sf_dir, "documents")
+    docsets, bands = _shingle_sets_and_bands(
+        d, "doc_id", "text", 3, 64, 32
+    )
+    t0 = time.perf_counter()
+    _noop(bands)
+    ph["bands"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(star_edges(bands))
+    ph["edges"] = round(time.perf_counter() - t0, 3)
+    docsets.unpersist()
+    t0 = time.perf_counter()
+    _noop(QUERIES["q_doc_star_dedup_clusters"](spark, sf_dir))
+    ph["clusters_total"] = round(time.perf_counter() - t0, 3)
+    return ph
+
+
+PHASE_PROBES = {
+    "q_doc_dsir_select": phases_dsir,
+    "q_embedding_pq_topk": phases_pq,
+    "q_doc_star_dedup_clusters": phases_star,
+}
+
+
 def bench_bucketed_join(spark, sf_dir: str) -> float:
     """The SCALE.md bucketing claim, measured: lineitem ⋈ orders on
     orderkey with BOTH tables bucketed on the key reads co-located
@@ -313,7 +428,14 @@ def main() -> None:
     # entries with a documented noisy driver history (VERDICT r8 #8)
     # always take a third sample so drift-vs-regression arguments are
     # settled by data, not re-runs
-    noisy = {"q_corpus_curated_star"}
+    noisy = {
+        "q_corpus_curated_star",
+        # r9 driver drift with unchanged plans (VERDICT r10 watch list):
+        # three samples each until their bands re-pin
+        "q_doc_dsir_select",
+        "q_embedding_pq_topk",
+        "q_doc_star_dedup_clusters",
+    }
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
@@ -371,6 +493,15 @@ def main() -> None:
         cdc_phases.append(ph)
     timings["cdc_ingest_pipeline"] = min(cdc_runs)
     samples["cdc_ingest_pipeline"] = cdc_runs
+    # untimed per-phase diagnostic passes for the drift-prone entries
+    # (VERDICT r9 #1) — not part of the headline total
+    all_phases: dict[str, object] = {"cdc_ingest_pipeline": cdc_phases}
+    for name, probe in PHASE_PROBES.items():
+        try:
+            all_phases[name] = probe(spark, sf_dir)
+        except Exception as ex:  # a broken probe must not sink the bench
+            all_phases[name] = {"error": repr(ex)[:120]}
+        spark.catalog.clearCache()
     # VERDICT r4 #7: the bucketed fact-fact join, benched (plan is
     # assert-checked Exchange-free inside)
     timings["bucketed_orderkey_join"] = bench_bucketed_join(spark, sf_dir)
@@ -380,6 +511,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # host-contention reading for the whole artifact: the same fixed
+    # CPU workload the bench guard uses (tests/_host_probe) — a loaded
+    # host inflates this alongside every query; a plan regression
+    # doesn't. Nominal idle on this box: ~0.05 s.
+    try:
+        from tests._host_probe import probe_sec
+
+        host_probe = round(probe_sec(), 4)
+    except Exception:
+        host_probe = None
     print(
         json.dumps(
             {
@@ -388,7 +529,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
-                "phases": {"cdc_ingest_pipeline": cdc_phases},
+                "phases": all_phases,
+                "host_probe_sec": host_probe,
                 "sf": sf_val,
             }
         )

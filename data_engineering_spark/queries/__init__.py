@@ -33,6 +33,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     quality_checks,
     sampling,
     scd,
+    sft,
     similarity,
     sketch_algebra,
     text,

@@ -152,11 +152,21 @@ def q_doc_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_doc_lm_perplexity",  # rows-only: log/exp out of oracle policy
+    # the twin reproduces doc_id AND the exact bigram count (tokens-1,
+    # floored at 0 — same whitespace tokenization as the LM path); only
+    # the nll/ppl float tail is a stand-in
     rows_oracle="""
-    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bigrams,
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(GREATEST(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
            CAST(1.0 AS DOUBLE) AS nll, CAST(1.0 AS DOUBLE) AS ppl
-    FROM documents
+    FROM tok
     """,
+    rows_key_cols=["doc_id", "n_bigrams"],
 )
 def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filter (operators/lm.py): a hashed bigram

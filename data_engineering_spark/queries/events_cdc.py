@@ -237,6 +237,10 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
+    # exact: the group grid and the plain row count per group; the
+    # sketch estimates (approx_users) and approx percentiles are the
+    # documented engine-specific part
+    rows_key_cols=["event_type", "n"],
 )
 def q_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates for the 100 TB dashboard path:

@@ -359,13 +359,21 @@ def q_mm_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: an FFT has no SQL twin — but the ROW SET does: one row
     # per doc whose printable-ASCII payload holds >= 1 full FFT frame
     # (256 samples), the exact filter the Spark side applies
+    # exact twin columns: the doc set AND the frame count — frames =
+    # 1 + (n_samples - 256) // 128 (n_fft=256, hop=128, one byte per
+    # sample), replayed in SQL on the same printable-ASCII length
     rows_oracle="""
-    SELECT doc_id, CAST(1 AS INTEGER) AS n_fft_frames,
+    WITH a AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^ -~]', '', 'g')) AS n
+      FROM documents)
+    SELECT doc_id,
+           CAST(1 + (n - 256) // 128 AS INTEGER) AS n_fft_frames,
            CAST(1.0 AS DOUBLE) AS centroid_hz,
            CAST([] AS DOUBLE[]) AS band_db
-    FROM documents
-    WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) >= 256
+    FROM a WHERE n >= 256
     """,
+    rows_key_cols=["doc_id", "n_fft_frames"],
 )
 def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral front-end over the synthetic WAV payloads (same

@@ -234,6 +234,9 @@ _DSIR_K = 100  # selection size, shared by the query and its rows twin
            CAST(0.0 AS DOUBLE) AS gumbel_key_r
     FROM documents ORDER BY doc_id LIMIT {_DSIR_K}
     """,
+    # [] = only the row COUNT is exact: Gumbel top-k MEMBERSHIP depends
+    # on the log/exp tail, so even doc_id is out of twin reach here
+    rows_key_cols=[],
 )
 def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR corpus selection (Xie et al. 2023): hashed unigram+bigram

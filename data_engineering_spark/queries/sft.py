@@ -1,0 +1,246 @@
+"""SFT / conversation data-prep queries (operators/sft.py).
+
+The testdata has no chat corpus, so each query synthesizes one
+deterministically from `documents` (the events_cdc envelope idiom):
+whitespace words sliced into 8-word turns, at most 8 turns, roles
+alternating user/assistant from turn 0. The DuckDB twins replay the
+synthesis AND the downstream operator exactly — every column is
+integer or string arithmetic, so the whole family hash-oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.sft import (
+    SFT_MAX_TURNS,
+    SFT_TURN_WORDS,
+    synthesize_turns,
+)
+from data_engineering_spark.registry import query
+
+_W = SFT_TURN_WORDS
+_T = SFT_MAX_TURNS
+
+# the synthesized turn table, shared by every twin: slice words into
+# W-word turns (≤ T), role = parity. DuckDB list slicing is 1-based
+# inclusive; range(0, n) is empty when a doc has no words.
+_TURNS_CTE = f"""
+    ctok AS (
+      SELECT doc_id AS conv_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE string_split_regex(trim(text), '\\s+') END AS t
+      FROM documents),
+    cti AS (
+      SELECT conv_id, t,
+             unnest(range(0, least((len(t) + {_W} - 1) // {_W}, {_T})))
+               AS i
+      FROM ctok WHERE len(t) > 0),
+    cturns AS (
+      SELECT conv_id, CAST(i AS INT) AS turn_idx,
+             CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role,
+             array_to_string(t[i*{_W}+1 : i*{_W}+{_W}], ' ')
+               AS turn_text
+      FROM cti)
+"""
+
+# one ChatML block: <|im_start|>{role}\n{content}<|im_end|>\n
+_BLOCK_SQL = (
+    "'<|im_start|>' || role || chr(10) || turn_text "
+    "|| '<|im_end|>' || chr(10)"
+)
+
+
+@query(
+    "q_conv_turns",
+    oracle=f"""
+    WITH {_TURNS_CTE}
+    SELECT conv_id, turn_idx, role, turn_text,
+           CAST(len(string_split(turn_text, ' ')) AS INT)
+             AS n_turn_words
+    FROM cturns
+    """,
+)
+def q_conv_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized role-tagged turn table itself — the family's
+    input contract, verified end-to-end (zero-shuffle: tokenize →
+    slice → one explode)."""
+    d = load_table(spark, sf_dir, "documents")
+    return synthesize_turns(d)
+
+
+@query(
+    "q_conv_chat_template",
+    oracle=f"""
+    WITH {_TURNS_CTE},
+    blocks AS (
+      SELECT conv_id, turn_idx, role, {_BLOCK_SQL} AS block
+      FROM cturns)
+    SELECT conv_id,
+           string_agg(block, '' ORDER BY turn_idx) AS chat_text,
+           CAST(COUNT(*) AS INT) AS n_turns,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                AS INT) AS n_assistant_turns,
+           CAST(length(string_agg(block, '' ORDER BY turn_idx))
+                AS INT) AS n_chars
+    FROM blocks GROUP BY conv_id
+    """,
+)
+def q_conv_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML-flattened training strings: one row per conversation
+    with the special-token template applied in turn order — the
+    string an SFT data loader reads. One conv-keyed shuffle."""
+    from data_engineering_spark.operators.sft import (
+        chat_template_flatten,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chat_template_flatten(synthesize_turns(d))
+
+
+@query(
+    "q_conv_loss_mask",
+    oracle=f"""
+    WITH {_TURNS_CTE},
+    blocks AS (
+      SELECT conv_id, turn_idx, role,
+             length('<|im_start|>') + length(role) + 1 AS header_len,
+             length(turn_text) AS content_len,
+             length({_BLOCK_SQL}) AS block_len
+      FROM cturns),
+    off AS (
+      SELECT conv_id, turn_idx, role, header_len, content_len,
+             COALESCE(SUM(block_len) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM blocks)
+    SELECT conv_id, turn_idx,
+           CAST(prefix + header_len AS BIGINT) AS span_start,
+           CAST(prefix + header_len + content_len AS BIGINT)
+             AS span_end,
+           CAST(content_len AS BIGINT) AS n_mask_chars
+    FROM off WHERE role = 'assistant'
+    """,
+)
+def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask spans: the 0-based character span of every ASSISTANT
+    turn's content inside the flattened chat string — the trainer
+    masks everything outside these spans (train-on-assistant-only).
+    Pure integer offset arithmetic, verified against a window-sum
+    replay."""
+    from data_engineering_spark.operators.sft import loss_mask_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return loss_mask_spans(synthesize_turns(d))
+
+
+@query(
+    "q_conv_dedup",
+    oracle=f"""
+    WITH {_TURNS_CTE},
+    norm AS (
+      SELECT conv_id,
+             string_agg(
+               role || ':' ||
+               lower(regexp_replace(trim(turn_text), '\\s+', ' ', 'g')),
+               '' ORDER BY turn_idx) AS k
+      FROM cturns GROUP BY conv_id),
+    grp AS (
+      SELECT k, COUNT(*) AS n_copies, MIN(conv_id) AS canon
+      FROM norm GROUP BY k)
+    SELECT n.conv_id, CAST(g.n_copies AS BIGINT) AS n_copies,
+           n.conv_id = g.canon AS is_canonical
+    FROM norm n JOIN grp g USING (k)
+    """,
+)
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup on the normalized turn sequence
+    (role + lowercased whitespace-collapsed content, in order). Spark
+    groups on a sha2 fingerprint so content never shuffles twice; the
+    twin groups on the raw key string — identical classes up to
+    SHA-256 collision (the operators/dedup.py contract)."""
+    from data_engineering_spark.operators.sft import conversation_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return conversation_dedup(synthesize_turns(d))
+
+
+def _bpe_fold_cte() -> str:
+    """CTEs (m, cw, seg, encw, per_turn): the trained-BPE encode fold
+    (the q_doc_bpe_encode twin, operators/bpe.bpe_segment_expr) run on
+    the synthesized TURN words instead of document words."""
+    from data_engineering_spark.operators.bpe import BPE_SENTINEL as _S
+    from data_engineering_spark.queries._fixtures import (
+        bpe_fixture_path,
+        seed_bpe_fixture,
+        warn_fixture_write_failed,
+    )
+
+    try:
+        seed_bpe_fixture()
+    except Exception as e:
+        warn_fixture_write_failed("seed_bpe_fixture", e)
+    return f"""
+    m AS (
+      SELECT COALESCE(list(pat ORDER BY idx), []) AS ms
+      FROM read_parquet('{bpe_fixture_path()}')
+      WHERE corpus_n = (SELECT COUNT(*) FROM documents)),
+    cw AS (
+      SELECT conv_id, turn_idx, role,
+             unnest(string_split(turn_text, ' ')) AS word
+      FROM cturns),
+    seg AS (
+      SELECT conv_id, turn_idx, role, word,
+             CASE WHEN regexp_matches(word, '^[!-~]+$') THEN
+               list_reduce(
+                 list_prepend(
+                   regexp_replace(word, '(.)', '{_S}\\1{_S}', 'g'),
+                   (SELECT ms FROM m)),
+                 (acc, p) -> replace(acc, p,
+                                     replace(p, '{_S}{_S}', '')))
+             END AS s
+      FROM cw),
+    encw AS (
+      SELECT conv_id, turn_idx, role,
+             CASE WHEN s IS NULL THEN 1
+                  ELSE (length(s) - length(replace(s, '{_S}', ''))) // 2
+             END AS n_tok
+      FROM seg),
+    per_turn AS (
+      SELECT conv_id, turn_idx, role,
+             COUNT(*) AS n_words, SUM(n_tok) AS n_tok
+      FROM encw GROUP BY 1, 2, 3)
+    """
+
+
+@query(
+    "q_conv_token_counts",
+    oracle=f"""
+    WITH {_TURNS_CTE},
+    {_bpe_fold_cte()}
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+                AS BIGINT) AS n_assistant_tokens
+    FROM per_turn GROUP BY conv_id
+    """,
+)
+def q_conv_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation REAL BPE token counts split by role —
+    n_assistant_tokens is the trainable-token budget number. Reuses
+    the trained merge fixture and the bpe_doc_token_counts fold on a
+    composite (conv, turn) id; one (id, word) shuffle, the encode fold
+    runs on distinct words only."""
+    from data_engineering_spark.operators.sft import (
+        conversation_token_counts,
+    )
+    from data_engineering_spark.queries.classifier import _bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    return conversation_token_counts(synthesize_turns(d), merges)

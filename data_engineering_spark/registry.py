@@ -37,18 +37,37 @@ ORACLES: dict[str, str] = {}
 # verification for these lives in pytest (error-bound / known-input
 # tests, cited per query).
 ROWS_ORACLES: dict[str, str] = {}
+# For each rows-only query: the columns whose VALUES the twin
+# reproduces exactly (ids, grids, integer counts — everything but the
+# documented out-of-policy floats). The contract harness value-hashes
+# exactly these columns, so a rows-only query is partially
+# value-verified, not shape-only (VERDICT r9 #4). An empty list is an
+# explicit declaration that only the row COUNT is exact (e.g. Gumbel
+# top-k selection, where membership itself depends on the float tail).
+ROWS_KEY_COLS: dict[str, list[str]] = {}
 
 
 def query(
-    name: str, oracle: str | None = None, rows_oracle: str | None = None
+    name: str,
+    oracle: str | None = None,
+    rows_oracle: str | None = None,
+    rows_key_cols: list[str] | None = None,
 ):
     """Decorator registering a query and its DuckDB oracle SQL.
 
     `oracle`: full value-hash twin (the strong gate). `rows_oracle`:
     rows+schema-only twin for documented no-hash queries — mutually
-    exclusive with `oracle`."""
+    exclusive with `oracle`; requires `rows_key_cols`, the twin's
+    exactly-reproduced columns (may be empty, see ROWS_KEY_COLS)."""
     if oracle is not None and rows_oracle is not None:
         raise ValueError(f"{name}: oracle and rows_oracle are exclusive")
+    if rows_key_cols is not None and rows_oracle is None:
+        raise ValueError(f"{name}: rows_key_cols needs rows_oracle")
+    if rows_oracle is not None and rows_key_cols is None:
+        raise ValueError(
+            f"{name}: rows_oracle requires rows_key_cols — declare "
+            "which columns the twin reproduces exactly ([] if none)"
+        )
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,6 +81,7 @@ def query(
             ORACLES[name] = oracle
         if rows_oracle is not None:
             ROWS_ORACLES[name] = rows_oracle
+            ROWS_KEY_COLS[name] = list(rows_key_cols or [])
         return wrapped
 
     return deco

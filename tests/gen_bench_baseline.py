@@ -47,6 +47,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
         spark.catalog.clearCache()  # same rationale as bench.py
+    # idle-host CPU probe: the guard divides its test-time probe by
+    # this to measure host contention (tests/_host_probe.py). The
+    # ratchet min keeps the fastest (most idle) host's reading.
+    from tests._host_probe import probe_sec
+
+    out["__probe_sec__"] = round(probe_sec(), 4)
     path = os.path.join(os.path.dirname(__file__), "bench_guard_baseline.json")
     prior: dict[str, float] = {}
     if os.path.exists(path):

@@ -106,6 +106,13 @@ EXCHANGE_BUDGET = {
     # qterms so the textual count repeats it; fusion itself is over
     # <= 2 * leg_k rows per query
     "q_doc_hybrid_rrf": 20,
+    # round-10 SFT token counts: the composite (conv, turn) word
+    # shuffle + distinct-word agg feeding the BPE fold + the word join
+    # back + per-turn agg + role join + conv rollup; the occ subtree
+    # feeds two consumers so the textual count repeats it (the
+    # q_doc_bpe_encode pattern); turn synthesis itself is
+    # exchange-free; pure JVM
+    "q_conv_token_counts": 14,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")

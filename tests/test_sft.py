@@ -1,0 +1,216 @@
+"""SFT / conversation data-prep operator tests (operators/sft.py).
+
+The oracle matrix verifies the registered queries end-to-end against
+DuckDB; these tests pin the operator semantics on hand-built inputs —
+exact turn slicing, the ChatML template string byte-for-byte, the
+loss-mask invariant (slicing the flattened string by the emitted spans
+reproduces exactly the assistant contents), dedup normalization, and
+the token-count rollup against an independent python fold.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.sft import (
+    CHAT_BOT,
+    CHAT_EOT,
+    CHAT_NL,
+    chat_template_flatten,
+    conversation_dedup,
+    conversation_token_counts,
+    loss_mask_spans,
+    synthesize_turns,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 10 words -> turns of 4: [4, 4, 2] with turn_words=4
+        (1, "a b c d e f g h i j"),
+        (2, "one two"),  # single 2-word turn
+        (3, "   "),  # no words -> no conversation
+        (4, ""),  # empty -> no conversation
+        # 30 words, turn_words=4, max_turns=3 -> truncated to 12 words
+        (5, " ".join(f"w{i}" for i in range(30))),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_synthesize_turns_slicing(spark, docs):
+    out = synthesize_turns(docs, turn_words=4, max_turns=3)
+    rows = {
+        (r.conv_id, r.turn_idx): r for r in out.collect()
+    }
+    assert rows[(1, 0)].turn_text == "a b c d"
+    assert rows[(1, 0)].role == "user"
+    assert rows[(1, 1)].turn_text == "e f g h"
+    assert rows[(1, 1)].role == "assistant"
+    assert rows[(1, 2)].turn_text == "i j"
+    assert rows[(1, 2)].n_turn_words == 2
+    assert rows[(2, 0)].turn_text == "one two"
+    # doc 3/4: no words, no rows
+    assert not any(cid in (3, 4) for cid, _ in rows)
+    # doc 5: truncated at max_turns
+    assert max(i for cid, i in rows if cid == 5) == 2
+    assert rows[(5, 2)].turn_text == "w8 w9 w10 w11"
+
+
+def test_synthesize_turns_validation(docs):
+    with pytest.raises(ValueError):
+        synthesize_turns(docs, turn_words=0)
+    with pytest.raises(ValueError):
+        synthesize_turns(docs, max_turns=0)
+
+
+def test_chat_template_exact_string(spark, docs):
+    out = chat_template_flatten(
+        synthesize_turns(docs, turn_words=4, max_turns=3)
+    )
+    got = {r.conv_id: r for r in out.collect()}
+    expect1 = (
+        f"{CHAT_BOT}user{CHAT_NL}a b c d{CHAT_EOT}"
+        f"{CHAT_BOT}assistant{CHAT_NL}e f g h{CHAT_EOT}"
+        f"{CHAT_BOT}user{CHAT_NL}i j{CHAT_EOT}"
+    )
+    assert got[1].chat_text == expect1
+    assert got[1].n_turns == 3
+    assert got[1].n_assistant_turns == 1
+    assert got[1].n_chars == len(expect1)
+    assert got[2].n_turns == 1
+    assert got[2].n_assistant_turns == 0
+
+
+def test_loss_mask_spans_slice_invariant(spark, docs):
+    """The defining property: chat_text[start:end] == the assistant
+    turn's content, for every emitted span."""
+    turns = synthesize_turns(docs, turn_words=4, max_turns=3)
+    chat = {
+        r.conv_id: r.chat_text
+        for r in chat_template_flatten(turns).collect()
+    }
+    texts = {
+        (r.conv_id, r.turn_idx): r.turn_text for r in turns.collect()
+    }
+    spans = loss_mask_spans(turns).collect()
+    assert spans, "fixture must produce at least one assistant turn"
+    for r in spans:
+        assert (
+            chat[r.conv_id][r.span_start : r.span_end]
+            == texts[(r.conv_id, r.turn_idx)]
+        )
+        assert r.n_mask_chars == r.span_end - r.span_start
+
+
+def test_loss_mask_role_selection(spark, docs):
+    turns = synthesize_turns(docs, turn_words=4, max_turns=3)
+    got = {
+        (r.conv_id, r.turn_idx)
+        for r in loss_mask_spans(turns).collect()
+    }
+    assert got == {(1, 1), (5, 1)}  # odd turn indexes = assistant
+    got_user = {
+        (r.conv_id, r.turn_idx)
+        for r in loss_mask_spans(turns, mask_role="user").collect()
+    }
+    assert (1, 0) in got_user and (2, 0) in got_user
+
+
+def test_conversation_dedup_normalization(spark):
+    rows = [
+        (10, 0, "user", "Hello There"),
+        (10, 1, "assistant", "general kenobi"),
+        (11, 0, "user", "hello   there"),  # case+spacing variant
+        (11, 1, "assistant", "GENERAL KENOBI"),
+        (12, 0, "user", "hello there"),
+        (12, 1, "assistant", "something else"),
+    ]
+    turns = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "turn_text"]
+    )
+    got = {r.conv_id: r for r in conversation_dedup(turns).collect()}
+    assert got[10].n_copies == 2 and got[10].is_canonical
+    assert got[11].n_copies == 2 and not got[11].is_canonical
+    assert got[12].n_copies == 1 and got[12].is_canonical
+
+
+def test_conversation_dedup_role_matters(spark):
+    """Same contents under different roles are NOT copies."""
+    rows = [
+        (1, 0, "user", "x"),
+        (1, 1, "assistant", "y"),
+        (2, 0, "assistant", "x"),
+        (2, 1, "user", "y"),
+    ]
+    turns = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "turn_text"]
+    )
+    got = {r.conv_id: r for r in conversation_dedup(turns).collect()}
+    assert got[1].n_copies == 1 and got[2].n_copies == 1
+
+
+def _py_bpe_count(word: str, merges) -> int:
+    """Reference token count: merges applied sequentially, each pass
+    replacing non-overlapping pairs left to right (the Sennrich
+    apply_bpe semantics the JVM sentinel fold implements). Fixture
+    words are printable ASCII, so the UNK branch never fires."""
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+def test_conversation_token_counts_python_twin(spark, docs):
+    """Rollup equals an independent python BPE fold per turn."""
+    merges = [("a", "b"), ("c", "d"), ("w", "1")]
+    turns = synthesize_turns(docs, turn_words=4, max_turns=3)
+    got = {
+        r.conv_id: r
+        for r in conversation_token_counts(
+            turns, merges, max_turns=3
+        ).collect()
+    }
+    expect: dict[int, dict[str, int]] = {}
+    for t in turns.collect():
+        e = expect.setdefault(
+            t.conv_id,
+            {"n_turns": 0, "n_words": 0, "n_tokens": 0, "n_asst": 0},
+        )
+        words = t.turn_text.split(" ")
+        n_tok = sum(_py_bpe_count(w, merges) for w in words)
+        e["n_turns"] += 1
+        e["n_words"] += len(words)
+        e["n_tokens"] += n_tok
+        if t.role == "assistant":
+            e["n_asst"] += n_tok
+    assert set(got) == set(expect)
+    for cid, e in expect.items():
+        assert got[cid].n_turns == e["n_turns"], cid
+        assert got[cid].n_words == e["n_words"], cid
+        assert got[cid].n_tokens == e["n_tokens"], cid
+        assert got[cid].n_assistant_tokens == e["n_asst"], cid
+
+
+def test_conversation_token_counts_validation(spark, docs):
+    with pytest.raises(ValueError):
+        conversation_token_counts(
+            synthesize_turns(docs), [], max_turns=0
+        )
+
+
+def test_turns_plan_is_shuffle_free(spark, docs):
+    from data_engineering_spark.plans.explain import plan_string
+
+    assert "Exchange" not in plan_string(
+        synthesize_turns(docs, turn_words=4, max_turns=3)
+    )

@@ -15,7 +15,7 @@ import os
 import duckdb
 from pyspark.sql import SparkSession
 
-from tools.drive_contract_lib import h, normalize
+from tools.drive_contract_lib import h, keyhash, normalize, type_classes
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -34,14 +34,36 @@ con = duckdb.connect()
 for t in TPCH_TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF, t)}'")
 
+from data_engineering_spark.registry import ROWS_KEY_COLS, ROWS_ORACLES
+
 names = sys.argv[1:] or sorted(os_)
 bad = []
 for name in names:
     try:
-        a = normalize(qs[name](spark, SF).toPandas())
+        raw = qs[name](spark, SF).toPandas()
         if name not in os_:
-            print(f"{name}: no oracle — spark rows {len(a)}")
+            if name in ROWS_ORACLES:
+                b = con.execute(ROWS_ORACLES[name]).fetchdf()
+                keys = ROWS_KEY_COLS.get(name, [])
+                cols = sorted(raw.columns) == sorted(b.columns)
+                rows = len(raw) == len(b)
+                types = type_classes(raw) == type_classes(b)
+                kh = (
+                    keyhash(raw, keys) == keyhash(b, keys)
+                    if keys else None
+                )
+                ok = cols and rows and types and kh is not False
+                print(
+                    f"{name}: {'MATCH_ROWS' if ok else 'MISMATCH_ROWS'}"
+                    f" (cols={cols} rows={rows}/{len(raw)}:{len(b)} "
+                    f"types={types} keyhash={kh} keys={keys})"
+                )
+                if not ok:
+                    bad.append(name)
+            else:
+                print(f"{name}: no oracle — spark rows {len(raw)}")
             continue
+        a = normalize(raw)
         b = normalize(con.execute(os_[name]).fetchdf())
         cols = list(a.columns) == list(b.columns)
         rows = len(a) == len(b)

@@ -105,13 +105,25 @@ for name in sorted(os_):
 # rows+schema-only twins (VERDICT r8 #3): queries whose VALUES are
 # documented out-of-policy (transcendental tails, FFTs, HLL sketches)
 # still get a non-gray verdict — count + column names + dtype classes
-# against a DuckDB twin that reproduces the exact row structure.
+# PLUS a value hash of the twin's exactly-reproduced columns
+# (registry.ROWS_KEY_COLS, VERDICT r9 #4) against a DuckDB twin that
+# reproduces the exact row structure. int and float are SEPARATE
+# classes: a bigint→double drift is a schema bug, not noise.
+from data_engineering_spark.registry import ROWS_KEY_COLS
+
 def _type_classes(df):
     return [
-        {"i": "num", "u": "num", "f": "num", "b": "bool", "M": "time"}
+        {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "time"}
         .get(df[c].dtype.kind, "obj")
         for c in sorted(df.columns)
     ]
+
+def _keyhash(df, cols):
+    sub = df[sorted(cols)].copy()
+    for c in sub.columns:
+        if sub[c].dtype == object:
+            sub[c] = sub[c].map(repr)
+    return h(normalize(sub))
 
 for name in sorted(set(qs) & set(ROWS_ORACLES) - set(os_)):
     try:
@@ -120,10 +132,15 @@ for name in sorted(set(qs) & set(ROWS_ORACLES) - set(os_)):
         cols_ok = sorted(raw.columns) == sorted(b.columns)
         rows_ok = len(raw) == len(b)
         types_ok = _type_classes(raw) == _type_classes(b)
-        ok = cols_ok and rows_ok and types_ok
+        keys = ROWS_KEY_COLS.get(name, [])
+        keyhash_ok = (
+            _keyhash(raw, keys) == _keyhash(b, keys) if keys else None
+        )
+        ok = cols_ok and rows_ok and types_ok and keyhash_ok is not False
         matrix[name] = {
             "rows": len(raw), "oracle_rows": len(b),
             "cols_match": cols_ok, "types_match": types_ok,
+            "key_cols": keys, "keyhash_match": keyhash_ok,
             "verdict": "MATCH_ROWS" if ok else "MISMATCH_ROWS",
         }
     except Exception as ex:

@@ -33,3 +33,24 @@ def h(df):
     return hashlib.sha256(
         df.round(9).to_csv(index=False).encode()
     ).hexdigest()
+
+
+def keyhash(df, cols):
+    """Value hash of a rows-only query's exactly-reproduced columns
+    (registry.ROWS_KEY_COLS): object cells go through repr so
+    list-typed columns stay sortable/hashable."""
+    sub = df[sorted(cols)].copy()
+    for c in sub.columns:
+        if sub[c].dtype == object:
+            sub[c] = sub[c].map(repr)
+    return h(normalize(sub))
+
+
+def type_classes(df):
+    """Per-column dtype classes, sorted by column name. int and float
+    are SEPARATE classes — a bigint→double drift is a schema bug."""
+    return [
+        {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "time"}
+        .get(df[c].dtype.kind, "obj")
+        for c in sorted(df.columns)
+    ]
