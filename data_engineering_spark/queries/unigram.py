@@ -328,3 +328,137 @@ def _inline_ctes() -> None:
 
 
 _inline_ctes()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-family comparison (VERDICT r9 #7): the table a
+# training-data owner reads when choosing a tokenizer.
+# ---------------------------------------------------------------------------
+
+
+def _compare_oracle() -> str:
+    """One row per family (bpe / wordpiece / unigram): corpus word
+    occurrences, tokenized length, [UNK] occurrences, fertility and
+    UNK rate. Each family's fold CTEs are scoped inside a derived
+    table (their names collide across builders); n_words must agree
+    across the three rows — a built-in cross-check."""
+    from data_engineering_spark.operators.bpe import BPE_SENTINEL as _S
+    from data_engineering_spark.queries.classifier import (
+        _bpe_oracle_cte,
+    )
+    from data_engineering_spark.queries.wordpiece import (
+        _wp_oracle_ctes,
+    )
+
+    return f"""
+    WITH fam AS (
+      SELECT 'bpe' AS family, COUNT(*) AS n_words,
+             SUM(CASE WHEN s IS NULL THEN 1
+                 ELSE (length(s) - length(replace(s, '{_S}', ''))) // 2
+                 END) AS n_tokens,
+             SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS n_unk_words
+      FROM (WITH {_bpe_oracle_cte()} SELECT s FROM seg)
+      UNION ALL
+      SELECT 'wordpiece', SUM(c), SUM(c * n_tok),
+             SUM(c * CASE WHEN is_unk THEN 1 ELSE 0 END)
+      FROM (WITH RECURSIVE {_wp_oracle_ctes()}
+            SELECT woc.c, e.n_tok, e.is_unk
+            FROM woc JOIN enc e USING (word))
+      UNION ALL
+      SELECT 'unigram', SUM(c), SUM(c * n_tok),
+             SUM(c * CASE WHEN is_unk THEN 1 ELSE 0 END)
+      FROM (WITH RECURSIVE {_ug_oracle_ctes()}
+            SELECT woc.c, e.n_tok, e.is_unk
+            FROM woc JOIN enc e USING (word)))
+    SELECT family, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_unk_words AS BIGINT) AS n_unk_words,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE ROUND(CAST(n_tokens AS DOUBLE) / n_words, 6)
+           END AS fertility_r,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE ROUND(CAST(n_unk_words AS DOUBLE) / n_words, 6)
+           END AS unk_rate_r
+    FROM fam
+    """
+
+
+@query("q_doc_tokenizer_compare", oracle=_compare_oracle())
+def q_doc_tokenizer_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus fertility / tokens-per-word / UNK rate for all three
+    trained tokenizer families in ONE corpus scan: one (word, count)
+    aggregation, then the three encode folds run on the DISTINCT-word
+    vocabulary only (Heaps-bounded however large the corpus) and join
+    back by word. n_words is identical across the three rows by
+    construction — a visible cross-check. The two rates are single
+    IEEE divisions of exact integers, rounded at 1e-6 (policy-safe)."""
+    from data_engineering_spark.operators.bpe import bpe_encode_words
+    from data_engineering_spark.operators.text import tokens
+    from data_engineering_spark.operators.unigram import (
+        unigram_encode_words,
+    )
+    from data_engineering_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+    )
+    from data_engineering_spark.queries.classifier import _bpe_merges
+    from data_engineering_spark.queries.wordpiece import _wp_pieces
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = wc.select("word")
+
+    bpe = bpe_encode_words(vocab, _bpe_merges(spark, sf_dir)).select(
+        "word",
+        F.col("n_bpe_tokens").alias("n_tok"),
+        (~F.col("word").rlike("^[!-~]+$")).alias("is_unk"),
+    )
+    wp = wordpiece_encode_words(
+        vocab, _wp_pieces(spark, sf_dir)
+    ).select("word", F.col("n_wp_tokens").alias("n_tok"), "is_unk")
+    ug = unigram_encode_words(
+        vocab, _ug_scores(spark, sf_dir)
+    ).select("word", F.col("n_ug_tokens").alias("n_tok"), "is_unk")
+
+    def fam(name: str, enc: DataFrame) -> DataFrame:
+        j = wc.join(enc, "word")
+        return j.agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(
+                F.when(F.col("is_unk"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unk_words"),
+        ).select(
+            F.lit(name).alias("family"),
+            "n_words",
+            "n_tokens",
+            "n_unk_words",
+        )
+
+    out = (
+        fam("bpe", bpe)
+        .unionByName(fam("wordpiece", wp))
+        .unionByName(fam("unigram", ug))
+    )
+    rate = lambda num: F.when(  # noqa: E731
+        F.col("n_words") == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(num.cast("double") / F.col("n_words"), 6)
+    )
+    return out.select(
+        "family",
+        "n_words",
+        "n_tokens",
+        "n_unk_words",
+        rate(F.col("n_tokens")).alias("fertility_r"),
+        rate(F.col("n_unk_words")).alias("unk_rate_r"),
+    )
