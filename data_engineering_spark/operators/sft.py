@@ -225,6 +225,13 @@ def conversation_dedup(
     256-bit key), then ONE key-keyed aggregation joined back
     (agg+join, not a window, so AQE skew handling applies to viral
     duplicate clusters — the operators/dedup.py rationale)."""
+    from pyspark import StorageLevel
+
+    # keyed feeds two consumers (group stats + the join back); each
+    # recomputation re-pays the conv-assembly shuffle, so the
+    # fixed-width (conv_id, 64-char key) frame persists — the dsir
+    # raw_counts / LSH band-rows rationale. Turns join on the \x1f
+    # unit separator so ('ab','c') never collides with ('a','bc').
     st = _sorted_turns(turns, conv_col, idx_col, role_col, text_col)
     norm = F.transform(
         F.col("ts"),
@@ -238,8 +245,8 @@ def conversation_dedup(
     )
     keyed = st.select(
         "conv_id",
-        F.sha2(F.array_join(norm, ""), 256).alias("__key"),
-    )
+        F.sha2(F.array_join(norm, "\x1f"), 256).alias("__key"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     grp = keyed.groupBy("__key").agg(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("conv_id").alias("__canon"),
@@ -253,6 +260,76 @@ def conversation_dedup(
                 "is_canonical"
             ),
         )
+    )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "turn_text",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """(conv_id, prompt_text, chosen_text, rejected_text,
+    n_prompt_chars, n_chosen_words, n_rejected_words): DPO/RLHF-style
+    preference-pair construction (Rafailov et al. 2023 — public) from
+    a turn table.
+
+    prompt = the ChatML rendering of every turn BEFORE the LAST
+    `response_role` turn, plus the open response header
+    (``<|im_start|>assistant\\n``) — the generation prompt a preference
+    trainer scores both completions under. chosen = that last response
+    turn's content. rejected = a deterministic synthetic degradation
+    (the chosen content with word order reversed) — the testdata has
+    no competing model outputs, so the pair STRUCTURE is what this
+    operator ships; swap `rejected` for a real second completion
+    column when one exists. Conversations with no response turn drop.
+
+    Same single conv-keyed aggregation as the flatten; everything else
+    is JVM array/string expressions."""
+    st = _sorted_turns(turns, conv_col, idx_col, role_col, text_col)
+    resp_idx = F.array_max(
+        F.transform(
+            F.filter(F.col("ts"), lambda t: t["role"] == response_role),
+            lambda t: t["i"],
+        )
+    )
+    with_last = st.withColumn("__li", resp_idx).filter(
+        F.col("__li").isNotNull()
+    )
+    prompt = F.concat(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.col("ts"), lambda t: t["i"] < F.col("__li")
+                ),
+                lambda t: _block(t["role"], t["text"]),
+            ),
+            "",
+        ),
+        F.lit(CHAT_BOT),
+        F.lit(response_role),
+        F.lit(CHAT_NL),
+    )
+    chosen = F.element_at(
+        F.transform(
+            F.filter(
+                F.col("ts"), lambda t: t["i"] == F.col("__li")
+            ),
+            lambda t: t["text"],
+        ),
+        1,
+    )
+    rejected = F.array_join(F.reverse(F.split(chosen, " ")), " ")
+    return with_last.select(
+        "conv_id",
+        prompt.alias("prompt_text"),
+        chosen.alias("chosen_text"),
+        rejected.alias("rejected_text"),
+        F.length(prompt).cast("long").alias("n_prompt_chars"),
+        F.size(F.split(chosen, " ")).alias("n_chosen_words"),
+        F.size(F.split(rejected, " ")).alias("n_rejected_words"),
     )
 
 

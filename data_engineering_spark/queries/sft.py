@@ -147,7 +147,7 @@ def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_agg(
                role || ':' ||
                lower(regexp_replace(trim(turn_text), '\\s+', ' ', 'g')),
-               '' ORDER BY turn_idx) AS k
+               chr(31) ORDER BY turn_idx) AS k
       FROM cturns GROUP BY conv_id),
     grp AS (
       SELECT k, COUNT(*) AS n_copies, MIN(conv_id) AS canon
@@ -167,6 +167,55 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return conversation_dedup(synthesize_turns(d))
+
+
+@query(
+    "q_conv_preference_pairs",
+    oracle=f"""
+    WITH {_TURNS_CTE},
+    la AS (
+      SELECT conv_id, MAX(turn_idx) AS li
+      FROM cturns WHERE role = 'assistant' GROUP BY 1),
+    pb AS (
+      SELECT c.conv_id,
+             string_agg({_BLOCK_SQL}, '' ORDER BY c.turn_idx) AS ctx
+      FROM cturns c JOIN la USING (conv_id)
+      WHERE c.turn_idx < la.li GROUP BY 1),
+    ch AS (
+      SELECT t.conv_id, t.turn_text AS chosen
+      FROM cturns t JOIN la
+        ON t.conv_id = la.conv_id AND t.turn_idx = la.li),
+    pairs AS (
+      SELECT la.conv_id,
+             pb.ctx || '<|im_start|>assistant' || chr(10)
+               AS prompt_text,
+             ch.chosen AS chosen_text,
+             array_to_string(
+               list_reverse(string_split(ch.chosen, ' ')), ' ')
+               AS rejected_text
+      FROM la JOIN pb USING (conv_id) JOIN ch USING (conv_id))
+    SELECT conv_id, prompt_text, chosen_text, rejected_text,
+           CAST(length(prompt_text) AS BIGINT) AS n_prompt_chars,
+           CAST(len(string_split(chosen_text, ' ')) AS INT)
+             AS n_chosen_words,
+           CAST(len(string_split(rejected_text, ' ')) AS INT)
+             AS n_rejected_words
+    FROM pairs
+    """,
+)
+def q_conv_preference_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DPO-style preference pairs: the generation prompt (every turn
+    before the LAST assistant turn + the open assistant header), the
+    chosen completion, and a deterministic synthetic rejected twin
+    (word order reversed — the pair STRUCTURE is what ships; a real
+    second completion slots into the same column). Conversations with
+    no assistant turn drop."""
+    from data_engineering_spark.operators.sft import preference_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return preference_pairs(synthesize_turns(d))
 
 
 def _bpe_fold_cte() -> str:
@@ -244,3 +293,71 @@ def q_conv_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges = _bpe_merges(spark, sf_dir)
     return conversation_token_counts(synthesize_turns(d), merges)
+
+
+@query(
+    "q_conv_packed_examples",
+    oracle=f"""
+    WITH {_TURNS_CTE},
+    {_bpe_fold_cte()},
+    conv AS (
+      SELECT conv_id, SUM(n_tok) AS n_tokens,
+             SUM(CASE WHEN role = 'assistant' THEN n_tok ELSE 0 END)
+               AS n_asst
+      FROM per_turn GROUP BY 1),
+    per AS (
+      SELECT d.lang, d.source, c.conv_id, c.n_tokens, c.n_asst
+      FROM conv c JOIN documents d ON d.doc_id = c.conv_id),
+    wl AS (
+      SELECT lang, source, conv_id, n_tokens, n_asst,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, source ORDER BY conv_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // 2048 AS pack_id
+      FROM per)
+    SELECT lang, source, CAST(pack_id AS INT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_convs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(SUM(n_asst) AS BIGINT) AS trainable_tokens,
+           MIN(conv_id) AS first_conv
+    FROM wl GROUP BY 1, 2, 3
+    """,
+)
+def q_conv_packed_examples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversations packed into 2048-token SFT training bins per
+    (lang, source) shard — greedy running-total assignment
+    (operators/text.pack_chunks) over the REAL per-conversation BPE
+    counts, carrying the trainable (assistant) token mass per bin:
+    the two numbers an SFT batch builder allocates by. Per-shard
+    windows, so no partition grows with corpus-per-language."""
+    from data_engineering_spark.operators.sft import (
+        conversation_token_counts,
+    )
+    from data_engineering_spark.operators.text import pack_chunks
+    from data_engineering_spark.queries.classifier import _bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = conversation_token_counts(
+        synthesize_turns(d), _bpe_merges(spark, sf_dir)
+    ).select("conv_id", "n_tokens", "n_assistant_tokens")
+    per_conv = (
+        d.select(F.col("doc_id").alias("conv_id"), "lang", "source")
+        .join(counts, "conv_id")
+    )
+    packed = pack_chunks(
+        per_conv,
+        budget_tokens=2048,
+        partition_cols=("lang", "source"),
+        order_cols=("conv_id",),
+        tokens_col="n_tokens",
+    )
+    return packed.groupBy("lang", "source", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.sum("n_assistant_tokens")
+        .cast("long")
+        .alias("trainable_tokens"),
+        F.min("conv_id").alias("first_conv"),
+    )

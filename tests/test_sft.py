@@ -214,3 +214,74 @@ def test_turns_plan_is_shuffle_free(spark, docs):
     assert "Exchange" not in plan_string(
         synthesize_turns(docs, turn_words=4, max_turns=3)
     )
+
+
+def test_preference_pairs_semantics(spark, docs):
+    from data_engineering_spark.operators.sft import preference_pairs
+
+    turns = synthesize_turns(docs, turn_words=4, max_turns=3)
+    got = {r.conv_id: r for r in preference_pairs(turns).collect()}
+    # doc 2 has a single user turn -> no assistant turn -> dropped
+    assert 2 not in got
+    # doc 1: turns u/a/u, last assistant = turn 1; prompt = turn 0's
+    # block + the open assistant header
+    p1 = got[1]
+    assert p1.prompt_text == (
+        f"{CHAT_BOT}user{CHAT_NL}a b c d{CHAT_EOT}"
+        f"{CHAT_BOT}assistant{CHAT_NL}"
+    )
+    assert p1.chosen_text == "e f g h"
+    assert p1.rejected_text == "h g f e"
+    assert p1.n_prompt_chars == len(p1.prompt_text)
+    assert p1.n_chosen_words == 4 and p1.n_rejected_words == 4
+    # rejected is a permutation of chosen (same multiset of words)
+    for r in got.values():
+        assert sorted(r.chosen_text.split(" ")) == sorted(
+            r.rejected_text.split(" ")
+        )
+
+
+def test_chat_flatten_stream_equals_batch(spark, tmp_path):
+    """Each conversation derives from ONE document row, so the
+    synthesize → flatten composition never splits a conversation
+    across micro-batches: the streaming wiring (file source +
+    checkpointed foreachBatch) must reproduce the batch transform
+    exactly, whatever the slicing — chat templates can be built
+    exactly-once on a streaming ingest."""
+    from data_engineering_spark.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    d.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        src, mode="overwrite"
+    )
+    d.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            chat_template_flatten(synthesize_turns(batch_df)).collect()
+        )
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {
+        r["conv_id"]: (r["chat_text"], r["n_turns"])
+        for r in chat_template_flatten(synthesize_turns(d)).collect()
+    }
+    assert {
+        r["conv_id"]: (r["chat_text"], r["n_turns"]) for r in got
+    } == batch
+    assert len(got) == len(batch)
