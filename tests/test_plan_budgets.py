@@ -37,7 +37,11 @@ EXCHANGE_BUDGET = {
     # recomputations of the signature stage; isolated A/B in the
     # r6 commit log)
     "q_doc_minhash_neardup": 16,
-    "q_cosine_topk": 4,
+    # 4 -> 6 in r10: the broadcast query side carries a plan-visible
+    # limit (the cartesian-gate boundedness proof) — a GlobalLimit
+    # single-partition exchange of <= 8 rows, constant whatever the
+    # corpus; the corpus-side plan is unchanged
+    "q_cosine_topk": 6,
     "q_embedding_similarity_join": 2,
     "q_events_tumbling_window": 4,
     "q07_nation_trade_flows": 12,
@@ -105,7 +109,9 @@ EXCHANGE_BUDGET = {
     # full-outer join and window; the tokenize subtree feeds tf AND
     # qterms so the textual count repeats it; fusion itself is over
     # <= 2 * leg_k rows per query
-    "q_doc_hybrid_rrf": 20,
+    # 20 -> 22 in r10: the vector leg's query side carries the same
+    # plan-visible limit as q_cosine_topk (<= 4 rows, constant)
+    "q_doc_hybrid_rrf": 22,
     # round-10 SFT token counts: the composite (conv, turn) word
     # shuffle + distinct-word agg feeding the BPE fold + the word join
     # back + per-turn agg + role join + conv rollup; the occ subtree
