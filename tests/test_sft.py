@@ -241,6 +241,114 @@ def test_preference_pairs_semantics(spark, docs):
         )
 
 
+# ---- property tests (random turn tables, not just the synthesizer) --
+
+
+def _conversations_strategy():
+    """st: list of conversations, each a list of (role, text) turns —
+    arbitrary roles/content within a printable+accents alphabet that
+    stresses the normalization (case, inner runs of whitespace)."""
+    from hypothesis import strategies as st
+
+    turn = st.tuples(
+        st.sampled_from(["user", "assistant", "system"]),
+        st.text(alphabet="ab YZ.:é", max_size=8),
+    )
+    return st.lists(
+        st.lists(turn, min_size=1, max_size=6), min_size=1, max_size=5
+    )
+
+
+def _turns_df(spark, convs):
+    rows = [
+        (cid, idx, role, text)
+        for cid, turns in enumerate(convs)
+        for idx, (role, text) in enumerate(turns)
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, turn_text string"
+    )
+
+
+def test_prop_loss_mask_slice_invariant(spark):
+    """For ANY turn table: every emitted span slices the flattened
+    string back to exactly that turn's content, spans are disjoint and
+    ordered, and exactly the mask_role turns are emitted."""
+    from hypothesis import given, settings
+
+    @given(_conversations_strategy())
+    @settings(max_examples=5, deadline=None)
+    def check(convs):
+        turns = _turns_df(spark, convs)
+        chat = {
+            r.conv_id: r.chat_text
+            for r in chat_template_flatten(turns).collect()
+        }
+        spans: dict[int, list] = {}
+        for r in loss_mask_spans(turns).collect():
+            spans.setdefault(r.conv_id, []).append(r)
+        for cid, turns_list in enumerate(convs):
+            want = [
+                (i, t) for i, (role, t) in enumerate(turns_list)
+                if role == "assistant"
+            ]
+            got = sorted(
+                spans.get(cid, []), key=lambda r: r.turn_idx
+            )
+            assert [(r.turn_idx) for r in got] == [i for i, _ in want]
+            prev_end = -1
+            for r, (_, text) in zip(got, want):
+                assert chat[cid][r.span_start : r.span_end] == text
+                assert r.span_start > prev_end
+                prev_end = r.span_end
+
+    check()
+
+
+def test_prop_dedup_matches_python_model(spark):
+    """conversation_dedup equals the obvious python model (normalized
+    (role, content) sequence classes; canonical = min conv_id) on ANY
+    turn table, and is invariant to input row order."""
+    import re
+
+    from hypothesis import given, settings
+
+    @given(_conversations_strategy())
+    @settings(max_examples=5, deadline=None)
+    def check(convs):
+        def key(turns_list):
+            return tuple(
+                (role, re.sub(r"\s+", " ", text.strip()).lower())
+                for role, text in turns_list
+            )
+
+        classes: dict[tuple, list[int]] = {}
+        for cid, t in enumerate(convs):
+            classes.setdefault(key(t), []).append(cid)
+        want = {}
+        for members in classes.values():
+            canon = min(members)
+            for cid in members:
+                want[cid] = (len(members), cid == canon)
+
+        turns = _turns_df(spark, convs)
+        got = {
+            r.conv_id: (r.n_copies, r.is_canonical)
+            for r in conversation_dedup(turns).collect()
+        }
+        assert got == want
+        # input row order must not matter (collect_list is
+        # partition-order-dependent; array_sort restores determinism)
+        shuffled = turns.orderBy(F.desc("turn_idx"), F.asc("conv_id"))
+        got2 = {
+            r.conv_id: (r.n_copies, r.is_canonical)
+            for r in conversation_dedup(shuffled).collect()
+        }
+        assert got2 == want
+
+    check()
+
+
 def test_chat_flatten_stream_equals_batch(spark, tmp_path):
     """Each conversation derives from ONE document row, so the
     synthesize → flatten composition never splits a conversation
