@@ -333,7 +333,7 @@ def preference_pairs(
     )
 
 
-def conversation_token_counts(
+def turn_token_counts(
     turns: DataFrame,
     merges: list[tuple[str, str]],
     conv_col: str = "conv_id",
@@ -342,17 +342,16 @@ def conversation_token_counts(
     text_col: str = "turn_text",
     max_turns: int = SFT_MAX_TURNS,
 ) -> DataFrame:
-    """(conv_id, n_turns, n_words, n_tokens, n_assistant_tokens): real
-    BPE token counts per conversation under the trained merge list,
-    split by role — n_assistant_tokens is the TRAINABLE token count
-    (the number an SFT budget actually allocates; user turns are
-    masked, see loss_mask_spans).
+    """(conv_id, turn_idx, role, n_words, n_bpe_tokens): real BPE
+    token counts per TURN under the trained merge list — the
+    per-turn granularity that conversation rollups, context-window
+    splitting, and per-turn budget math all share.
 
-    Reuses the bpe_doc_token_counts fold verbatim on a composite
-    (conv, turn) id: the encode fold still runs once per DISTINCT word
-    (Heaps-bounded), the corpus pays the same one (id, word) shuffle,
-    and the rollup re-aggregates by conversation with role from the
-    turn index's parity-free role column join."""
+    Runs bpe_doc_token_counts on a composite id (conv * (max_turns+1)
+    + turn): the encode fold still runs once per DISTINCT word
+    (Heaps-bounded), the corpus pays one (id, word) shuffle, and the
+    decomposition joins the role back on (conv, turn). Requires
+    turn_idx <= max_turns (the composite stride)."""
     from data_engineering_spark.operators.bpe import (
         bpe_doc_token_counts,
     )
@@ -373,7 +372,7 @@ def conversation_token_counts(
     per_turn = bpe_doc_token_counts(
         composite, merges, id_col="__tid", text_col="turn_text"
     )
-    back = per_turn.select(
+    return per_turn.select(
         F.floor(F.col("__tid") / width).cast("long").alias("conv_id"),
         F.pmod("__tid", F.lit(width)).cast("long").alias("turn_idx"),
         "n_words",
@@ -381,6 +380,76 @@ def conversation_token_counts(
     ).join(
         t.select("conv_id", "turn_idx", "role"),
         ["conv_id", "turn_idx"],
+    )
+
+
+def context_windows(
+    turns: DataFrame,
+    merges: list[tuple[str, str]],
+    budget_tokens: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "turn_text",
+    max_turns: int = SFT_MAX_TURNS,
+) -> DataFrame:
+    """(conv_id, turn_idx, role, n_bpe_tokens, window_id): split each
+    conversation at TURN boundaries into consecutive windows whose
+    token totals fit `budget_tokens` — the context-limit preparation
+    for long conversations (turns are never split; a single over-budget
+    turn occupies its own window, the documented pack_chunks overflow
+    rule).
+
+    Greedy running-total assignment per conversation via the shared
+    pack_chunks machinery (window partitioned BY CONVERSATION — no
+    partition grows with the corpus)."""
+    from data_engineering_spark.operators.text import pack_chunks
+
+    if budget_tokens <= 0:
+        raise ValueError(
+            f"budget_tokens must be positive: {budget_tokens}"
+        )
+    per_turn = turn_token_counts(
+        turns, merges, conv_col, idx_col, role_col, text_col, max_turns
+    )
+    packed = pack_chunks(
+        per_turn,
+        budget_tokens=budget_tokens,
+        partition_cols=("conv_id",),
+        order_cols=("turn_idx",),
+        tokens_col="n_bpe_tokens",
+    )
+    return packed.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("pack_id").cast("int").alias("window_id"),
+    )
+
+
+def conversation_token_counts(
+    turns: DataFrame,
+    merges: list[tuple[str, str]],
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "turn_text",
+    max_turns: int = SFT_MAX_TURNS,
+) -> DataFrame:
+    """(conv_id, n_turns, n_words, n_tokens, n_assistant_tokens): real
+    BPE token counts per conversation under the trained merge list,
+    split by role — n_assistant_tokens is the TRAINABLE token count
+    (the number an SFT budget actually allocates; user turns are
+    masked, see loss_mask_spans).
+
+    Reuses the bpe_doc_token_counts fold verbatim on a composite
+    (conv, turn) id: the encode fold still runs once per DISTINCT word
+    (Heaps-bounded), the corpus pays the same one (id, word) shuffle,
+    and the rollup re-aggregates by conversation with role from the
+    turn index's parity-free role column join."""
+    back = turn_token_counts(
+        turns, merges, conv_col, idx_col, role_col, text_col, max_turns
     )
     return back.groupBy("conv_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),

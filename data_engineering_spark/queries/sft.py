@@ -218,6 +218,56 @@ def q_conv_preference_pairs(
     return preference_pairs(synthesize_turns(d))
 
 
+_CTX_BUDGET = 48  # context-window token budget (synthesized convs
+# run ~18 BPE tokens/turn, so windows hold ~2 turns and real splitting
+# happens at every sf)
+
+
+def _ctx_oracle() -> str:
+    return f"""
+    WITH {_TURNS_CTE},
+    {{fold}},
+    wl AS (
+      SELECT conv_id, turn_idx, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {_CTX_BUDGET} AS window_id
+      FROM per_turn)
+    SELECT conv_id, CAST(window_id AS INT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CAST(SUM(n_tok) AS BIGINT) AS window_tokens,
+           CAST(MIN(turn_idx) AS INT) AS first_turn
+    FROM wl GROUP BY 1, 2
+    """
+
+
+@query("q_conv_context_windows", oracle="__deferred__")
+def q_conv_context_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Long conversations split at TURN boundaries into consecutive
+    {budget}-token context windows (turns never split) — the
+    context-limit preparation step before template flattening. Greedy
+    running-total assignment per conversation over REAL per-turn BPE
+    counts; the window partitions by conversation, so nothing grows
+    with the corpus."""
+    from data_engineering_spark.operators.sft import context_windows
+    from data_engineering_spark.queries.classifier import _bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    cw = context_windows(
+        synthesize_turns(d),
+        _bpe_merges(spark, sf_dir),
+        budget_tokens=_CTX_BUDGET,
+    )
+    return cw.groupBy("conv_id", "window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_bpe_tokens").cast("long").alias("window_tokens"),
+        F.min("turn_idx").cast("int").alias("first_turn"),
+    )
+
+
 def _bpe_fold_cte() -> str:
     """CTEs (m, cw, seg, encw, per_turn): the trained-BPE encode fold
     (the q_doc_bpe_encode twin, operators/bpe.bpe_segment_expr) run on
@@ -361,3 +411,17 @@ def q_conv_packed_examples(
         .alias("trainable_tokens"),
         F.min("conv_id").alias("first_conv"),
     )
+
+
+def _inline_ctx_oracle() -> None:
+    """Patch the deferred context-windows oracle (the fold CTEs are
+    built by _bpe_fold_cte, defined above; the registration decorator
+    runs before it exists in module order)."""
+    from data_engineering_spark.registry import ORACLES
+
+    ORACLES["q_conv_context_windows"] = _ctx_oracle().format(
+        fold=_bpe_fold_cte()
+    )
+
+
+_inline_ctx_oracle()

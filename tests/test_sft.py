@@ -241,6 +241,49 @@ def test_preference_pairs_semantics(spark, docs):
         )
 
 
+def test_context_windows_semantics(spark):
+    """Turn-boundary splitting: windows are consecutive runs of whole
+    turns; a window only exceeds the budget when a SINGLE turn does
+    (the documented pack_chunks overflow rule)."""
+    from data_engineering_spark.operators.sft import context_windows
+
+    merges: list = []  # no merges -> n_bpe_tokens == word length... no:
+    # with an empty merge list every char is one token, so token count
+    # per turn == number of characters in its words; use that to build
+    # exact expectations
+    rows = [
+        # conv 1: per-turn tokens 4, 4, 4, 4 with budget 8 -> windows
+        # [0,1], [2,3]
+        (1, 0, "user", "ab cd"),
+        (1, 1, "assistant", "ef gh"),
+        (1, 2, "user", "ij kl"),
+        (1, 3, "assistant", "mn op"),
+        # conv 2: one over-budget turn (10 tokens) occupies its own
+        # window between two small ones
+        (2, 0, "user", "ab"),
+        (2, 1, "assistant", "abcdefghij"),
+        (2, 2, "user", "cd"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, turn_text string"
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r.window_id
+        for r in context_windows(
+            turns, merges, budget_tokens=8, max_turns=4
+        ).collect()
+    }
+    assert got == {
+        (1, 0): 0, (1, 1): 0, (1, 2): 1, (1, 3): 1,
+        (2, 0): 0, (2, 1): 0, (2, 2): 1,
+    }
+    # conv 2 window 0 holds 2+10=12 tokens: the over-budget turn rides
+    # with the small turn before it (floor(cum_prior/budget) rule),
+    # and the NEXT turn starts a fresh window — turns never split
+    with pytest.raises(ValueError):
+        context_windows(turns, merges, budget_tokens=0)
+
+
 # ---- property tests (random turn tables, not just the synthesizer) --
 
 
