@@ -213,6 +213,7 @@ def conversation_dedup(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "turn_text",
+    release_cache: bool = False,
 ) -> DataFrame:
     """(conv_id, n_copies, is_canonical): conversation-level exact
     dedup keyed on the NORMALIZED turn sequence — role plus
@@ -224,7 +225,13 @@ def conversation_dedup(
     normalized sequence (content never shuffles again — only the
     256-bit key), then ONE key-keyed aggregation joined back
     (agg+join, not a window, so AQE skew handling applies to viral
-    duplicate clusters — the operators/dedup.py rationale)."""
+    duplicate clusters — the operators/dedup.py rationale).
+
+    ``release_cache=True``: eagerly materialize the (conv-sized,
+    three-column) result and unpersist the internal key cache before
+    returning — for long-lived sessions that must not accumulate
+    cached blocks per call (same contract as minhash/similarity
+    release_cache; VERDICT r10 nit #3)."""
     from pyspark import StorageLevel
 
     # keyed feeds two consumers (group stats + the join back); each
@@ -251,7 +258,7 @@ def conversation_dedup(
         F.count(F.lit(1)).alias("n_copies"),
         F.min("conv_id").alias("__canon"),
     )
-    return (
+    result = (
         keyed.join(grp, "__key")
         .select(
             "conv_id",
@@ -261,6 +268,15 @@ def conversation_dedup(
             ),
         )
     )
+    if not release_cache:
+        return result
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    out = eager_checkpoint(result)
+    keyed.unpersist()
+    return out
 
 
 def preference_pairs(
@@ -351,29 +367,61 @@ def turn_token_counts(
     + turn): the encode fold still runs once per DISTINCT word
     (Heaps-bounded), the corpus pays one (id, word) shuffle, and the
     decomposition joins the role back on (conv, turn). Requires
-    turn_idx <= max_turns (the composite stride)."""
+    turn_idx <= max_turns (the composite stride): a schema check
+    rejects non-numeric id columns at plan time, and a row-level
+    assert_true guard fails the job loudly if any turn_idx falls
+    outside [0, width) — a silent violation would fold token counts
+    into the WRONG conversation (ADVICE r10)."""
+    from pyspark.sql.types import NumericType
+
     from data_engineering_spark.operators.bpe import (
         bpe_doc_token_counts,
     )
 
     if max_turns <= 0:
         raise ValueError(f"max_turns must be positive: {max_turns}")
+    for c in (conv_col, idx_col):
+        dt = turns.schema[c].dataType
+        if not isinstance(dt, NumericType):
+            raise TypeError(
+                f"turn_token_counts: column {c!r} must be numeric "
+                f"(composite-id arithmetic), got {dt.simpleString()}"
+            )
     width = max_turns + 1  # composite stride: turn_idx < width
     t = turns.select(
-        F.col(conv_col).alias("conv_id"),
+        F.col(conv_col).cast("long").alias("conv_id"),
         F.col(idx_col).cast("long").alias("turn_idx"),
         F.col(role_col).alias("role"),
         F.col(text_col).alias("turn_text"),
     )
+    # assert_true returns NULL when the predicate holds and throws
+    # otherwise; gating the composite id on its nullity forces the
+    # check into the same projection with zero extra jobs.
+    in_range = (F.col("turn_idx") >= 0) & (F.col("turn_idx") < width)
+    guard = F.assert_true(
+        in_range,
+        F.concat(
+            F.lit(
+                f"turn_token_counts: turn_idx out of [0, {width}) "
+                "(raise max_turns): "
+            ),
+            F.col("turn_idx").cast("string"),
+        ),
+    )
     composite = t.select(
-        (F.col("conv_id") * width + F.col("turn_idx")).alias("__tid"),
+        F.when(
+            guard.isNull(),
+            F.col("conv_id") * width + F.col("turn_idx"),
+        ).alias("__tid"),
         "turn_text",
     )
     per_turn = bpe_doc_token_counts(
         composite, merges, id_col="__tid", text_col="turn_text"
     )
+    # `div` is integral division on longs — exact at 64-bit id scale,
+    # where floor(double / width) would lose precision (ADVICE r10).
     return per_turn.select(
-        F.floor(F.col("__tid") / width).cast("long").alias("conv_id"),
+        F.expr(f"__tid div {width}").cast("long").alias("conv_id"),
         F.pmod("__tid", F.lit(width)).cast("long").alias("turn_idx"),
         "n_words",
         "n_bpe_tokens",
@@ -394,11 +442,14 @@ def context_windows(
     max_turns: int = SFT_MAX_TURNS,
 ) -> DataFrame:
     """(conv_id, turn_idx, role, n_bpe_tokens, window_id): split each
-    conversation at TURN boundaries into consecutive windows whose
-    token totals fit `budget_tokens` — the context-limit preparation
-    for long conversations (turns are never split; a single over-budget
-    turn occupies its own window, the documented pack_chunks overflow
-    rule).
+    conversation at TURN boundaries into consecutive windows sized by
+    `budget_tokens` — the context-limit preparation for long
+    conversations. Turns are never split; assignment is the
+    closed-form pack_chunks rule window_id = floor(cumulative_tokens
+    / budget), so an over-budget turn may SHARE a window with the
+    small turns that preceded it and a window's total may exceed the
+    budget by up to one turn (the documented pack_chunks overflow
+    semantics — there is no hard per-window ceiling).
 
     Greedy running-total assignment per conversation via the shared
     pack_chunks machinery (window partitioned BY CONVERSATION — no

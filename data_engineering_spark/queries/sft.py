@@ -186,14 +186,18 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cturns t JOIN la
         ON t.conv_id = la.conv_id AND t.turn_idx = la.li),
     pairs AS (
+      -- pb LEFT JOIN + COALESCE: when the last assistant turn is turn
+      -- 0 there is no prompt prefix and pb has no group; the Spark
+      -- operator keeps the conversation with a header-only prompt, so
+      -- the twin must too (ADVICE r10)
       SELECT la.conv_id,
-             pb.ctx || '<|im_start|>assistant' || chr(10)
-               AS prompt_text,
+             COALESCE(pb.ctx, '') || '<|im_start|>assistant'
+               || chr(10) AS prompt_text,
              ch.chosen AS chosen_text,
              array_to_string(
                list_reverse(string_split(ch.chosen, ' ')), ' ')
                AS rejected_text
-      FROM la JOIN pb USING (conv_id) JOIN ch USING (conv_id))
+      FROM la LEFT JOIN pb USING (conv_id) JOIN ch USING (conv_id))
     SELECT conv_id, prompt_text, chosen_text, rejected_text,
            CAST(length(prompt_text) AS BIGINT) AS n_prompt_chars,
            CAST(len(string_split(chosen_text, ' ')) AS INT)

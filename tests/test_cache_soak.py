@@ -81,6 +81,67 @@ def test_star_curation_soak_storage_returns_to_baseline(spark):
     )
 
 
+def test_conversation_dedup_soak_storage_returns_to_baseline(spark):
+    """conversation_dedup(release_cache=True) must not pin its key
+    cache across repeated calls (VERDICT r10 nit #3 — previously the
+    internal persist was never released and this path was outside
+    soak coverage)."""
+    from data_engineering_spark.operators.sft import (
+        conversation_dedup,
+        synthesize_turns,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spark.catalog.clearCache()
+    baseline = _settle(spark, 0)
+
+    per_call = []
+    for _ in range(N_CALLS):
+        conversation_dedup(
+            synthesize_turns(docs), release_cache=True
+        ).write.format("noop").mode("overwrite").save()
+        per_call.append(_blocks(spark))
+
+    assert per_call[-1] <= per_call[0] + 2, (
+        f"storage grows per call: {per_call}"
+    )
+    spark.catalog.clearCache()
+    final = _settle(spark, baseline)
+    assert final <= baseline + 2, (
+        f"dedup soak left blocks pinned: {final} vs {baseline}"
+    )
+
+
+def test_dsir_soak_storage_returns_to_baseline(spark):
+    """Same property for dsir_select(release_cache=True) — the other
+    unbounded-cache path named by VERDICT r10 nit #3 (raw_counts
+    persisted MEMORY_AND_DISK, never unpersisted)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en").limit(20)
+    spark.catalog.clearCache()
+    baseline = _settle(spark, 0)
+
+    per_call = []
+    for _ in range(N_CALLS):
+        dsir_select(
+            docs, target, k=10, num_buckets=512, release_cache=True
+        ).write.format("noop").mode("overwrite").save()
+        per_call.append(_blocks(spark))
+
+    assert per_call[-1] <= per_call[0] + 2, (
+        f"storage grows per call: {per_call}"
+    )
+    spark.catalog.clearCache()
+    final = _settle(spark, baseline)
+    assert final <= baseline + 2, (
+        f"dsir soak left blocks pinned: {final} vs {baseline}"
+    )
+
+
 def test_cdc_pipeline_soak_storage_returns_to_baseline(spark):
     """Same property for the CDC ingest path (the other heavyweight
     repeated-call surface: one process_batch per micro-batch). Reuses

@@ -34,24 +34,9 @@ assert len(rows) > 0
 import os as _os
 SF = _os.environ.get("DRIVE_SF", "/root/testdata/sf0.01")
 
-def normalize(df):
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]")
-        elif s.dtype == object and s.map(
-            lambda v: v is None or isinstance(v, (dt.date, dt.datetime))
-        ).all() and s.notna().any():
-            df[c] = pd.to_datetime(s).astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-
-def h(df):
-    return hashlib.sha256(df.round(9).to_csv(index=False).encode()).hexdigest()
+# normalize/h/keyhash/type_classes live in tools/drive_contract_lib
+# (check_queries.py shares them) — one copy of the compare semantics.
+from tools.drive_contract_lib import h, keyhash, normalize, type_classes
 
 qs, os_ = E.queries(), E.oracle_sql()
 from data_engineering_spark.registry import ROWS_ORACLES
@@ -111,30 +96,16 @@ for name in sorted(os_):
 # classes: a bigint→double drift is a schema bug, not noise.
 from data_engineering_spark.registry import ROWS_KEY_COLS
 
-def _type_classes(df):
-    return [
-        {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "time"}
-        .get(df[c].dtype.kind, "obj")
-        for c in sorted(df.columns)
-    ]
-
-def _keyhash(df, cols):
-    sub = df[sorted(cols)].copy()
-    for c in sub.columns:
-        if sub[c].dtype == object:
-            sub[c] = sub[c].map(repr)
-    return h(normalize(sub))
-
 for name in sorted(set(qs) & set(ROWS_ORACLES) - set(os_)):
     try:
         raw, fix_warns = run_spark_pdf(name)
         b = con.execute(ROWS_ORACLES[name]).fetchdf()
         cols_ok = sorted(raw.columns) == sorted(b.columns)
         rows_ok = len(raw) == len(b)
-        types_ok = _type_classes(raw) == _type_classes(b)
+        types_ok = type_classes(raw) == type_classes(b)
         keys = ROWS_KEY_COLS.get(name, [])
         keyhash_ok = (
-            _keyhash(raw, keys) == _keyhash(b, keys) if keys else None
+            keyhash(raw, keys) == keyhash(b, keys) if keys else None
         )
         ok = cols_ok and rows_ok and types_ok and keyhash_ok is not False
         matrix[name] = {
