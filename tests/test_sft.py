@@ -208,6 +208,49 @@ def test_conversation_token_counts_validation(spark, docs):
         )
 
 
+def test_turn_idx_out_of_stride_fails_loudly(spark):
+    """ADVICE r10: a turn_idx >= the composite stride must raise, not
+    silently fold token counts into the wrong conversation."""
+    from data_engineering_spark.operators.sft import turn_token_counts
+
+    turns = spark.createDataFrame(
+        [(1, 0, "user", "aa bb"), (1, 5, "assistant", "cc dd")],
+        "conv_id long, turn_idx long, role string, turn_text string",
+    )
+    with pytest.raises(Exception, match="turn_idx out of"):
+        turn_token_counts(turns, [], max_turns=3).collect()
+
+
+def test_non_numeric_conv_id_rejected_at_plan_time(spark):
+    """ADVICE r10: a string conv_id would silently null the composite
+    id and drop rows — reject it from the schema before any job."""
+    from data_engineering_spark.operators.sft import turn_token_counts
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "aa bb")],
+        "conv_id string, turn_idx long, role string, turn_text string",
+    )
+    with pytest.raises(TypeError, match="must be numeric"):
+        turn_token_counts(turns, [], max_turns=3)
+
+
+def test_composite_decode_exact_at_64bit_ids(spark):
+    """ADVICE r10: floor(double/width) loses integer precision near
+    2^53; the `div` decode must stay exact for large conv ids."""
+    from data_engineering_spark.operators.sft import turn_token_counts
+
+    big = (1 << 53) + 1111  # not representable after *9 in a double
+    turns = spark.createDataFrame(
+        [(big, 0, "user", "aa"), (big, 1, "assistant", "bb cc")],
+        "conv_id long, turn_idx long, role string, turn_text string",
+    )
+    rows = {
+        (r.conv_id, r.turn_idx): r.n_words
+        for r in turn_token_counts(turns, [], max_turns=3).collect()
+    }
+    assert rows == {(big, 0): 1, (big, 1): 2}
+
+
 def test_turns_plan_is_shuffle_free(spark, docs):
     from data_engineering_spark.plans.explain import plan_string
 
