@@ -121,10 +121,10 @@ def lm_perplexity(
     )
 
 
-def _bigram_keyed(docs, lm, id_col, text_col, num_buckets, bucket_hash):
-    """(keyed, joint, ctx): the per-doc bigram bucket stream and the
-    LM's two keyed views — the shared front half of lm_perplexity and
-    lm_bigram_stats."""
+def _bigram_stream(docs, id_col, text_col, num_buckets, bucket_hash):
+    """(doc, b12, b1): the per-document bigram bucket stream — joint
+    bucket of "w1 w2" and context bucket of the LEFT word, in the
+    shared LM bucket space."""
     from pyspark.sql import Window
 
     from data_engineering_spark.operators.dsir import _bucket
@@ -138,18 +138,99 @@ def _bigram_keyed(docs, lm, id_col, text_col, num_buckets, bucket_hash):
     pairs = tok.select("doc", "w", nxt.alias("w2")).filter(
         F.col("w2").isNotNull()
     )
-    keyed = pairs.select(
+    return pairs.select(
         "doc",
         _bucket(
             F.concat_ws(" ", "w", "w2"), num_buckets, bucket_hash
         ).alias("b12"),
         _bucket(F.col("w"), num_buckets, bucket_hash).alias("b1"),
     )
+
+
+def _bigram_keyed(docs, lm, id_col, text_col, num_buckets, bucket_hash):
+    """(keyed, joint, ctx): the per-doc bigram bucket stream and the
+    LM's two keyed views — the shared front half of lm_perplexity and
+    lm_bigram_stats."""
+    keyed = _bigram_stream(
+        docs, id_col, text_col, num_buckets, bucket_hash
+    )
     joint = lm.select(
         F.col("bucket").alias("b12"), F.col("c").alias("c12")
     )
     ctx = lm.select(F.col("bucket").alias("b1"), F.col("c").alias("c1"))
     return keyed, joint, ctx
+
+
+def lm_nll_nano(
+    docs: DataFrame,
+    lm_q: DataFrame,
+    q1_floor: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 8192,
+    bucket_hash: str = "md5",
+) -> DataFrame:
+    """(id, n_bigrams, nll_nano): per-document negative log-likelihood
+    in integer NANO-NATS under a pre-quantized bigram LM — the
+    hash-oracle-able form of lm_perplexity (VERDICT r10 #3a).
+
+    `lm_q` is the quantized LM (bucket, q12, q1) with q12 =
+    round(ln(c+1)·1e9) and q1 = round(ln(c+B)·1e9) computed ONCE in
+    pure python (queries/_fixtures.seed_lm_logq_fixture — the
+    operators/unigram.py Viterbi-score convention), so per-document
+    nll_nano = Σ(q1 − q12) is an exact int64 sum both engines replay
+    bit-identically. `q1_floor` = round(ln(B)·1e9) covers context
+    buckets absent from the LM; absent joint buckets contribute
+    ln(0+1) = 0 exactly. Unscorable documents (0- or 1-token text)
+    report n_bigrams = 0 with nll_nano = 0 — visible via the count,
+    and the all-int64 column dodges the nullable-int → float dtype
+    wobble in pandas-side compares.
+
+    Plan: identical to lm_perplexity — one token scan, two broadcast
+    joins against the ≤num_buckets-row quantized LM, one groupBy(doc).
+    Float math: none. ppl = exp(nll_nano/1e9/n_bigrams) is derivable
+    downstream when a float is wanted."""
+    from data_engineering_spark.operators.dsir import (
+        check_bucket_bound,
+    )
+
+    check_bucket_bound(num_buckets)
+    keyed = _bigram_stream(
+        docs, id_col, text_col, num_buckets, bucket_hash
+    )
+    joint = lm_q.select(
+        F.col("bucket").alias("b12"), F.col("q12").alias("__q12")
+    )
+    ctx = lm_q.select(
+        F.col("bucket").alias("b1"), F.col("q1").alias("__q1")
+    )
+    per_doc = (
+        keyed.join(F.broadcast(joint), "b12", "left")
+        .join(F.broadcast(ctx), "b1", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.coalesce(F.col("__q1"), F.lit(q1_floor))
+                - F.coalesce(F.col("__q12"), F.lit(0))
+            )
+            .cast("long")
+            .alias("nll_nano"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("nll_nano", F.lit(0))
+            .cast("long")
+            .alias("nll_nano"),
+        )
+    )
 
 
 def lm_bigram_stats(

@@ -37,6 +37,7 @@ from data_engineering_spark.queries import (  # noqa: F401
     similarity,
     sketch_algebra,
     text,
+    training_mix,
     timeseries,
     timeseries2,
     unigram,

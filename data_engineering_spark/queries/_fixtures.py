@@ -735,3 +735,163 @@ def seed_bpe_fixture() -> str:
         write_bpe_fixture(merge_patterns(merges), n)
         have.add(n)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quantized log-probs — the nano-nat tables that upgrade
+# q_doc_lm_perplexity from rows-only to a full hash oracle (VERDICT
+# r10 #3a).  The LM's integer counts are already engine-reproducible
+# (md5 buckets, proven by q_doc_lm_bigram_stats); the only
+# non-portable step was ln().  Exactly as operators/unigram.py does
+# for Viterbi scores, the logs are computed ONCE in pure python and
+# quantized to integer nano-nats: per-bucket
+#     q12 = round(ln(c + 1)·1e9)      (joint numerator)
+#     q1  = round(ln(c + B)·1e9)      (context denominator)
+# so per-document nll_nano = Σ(q1 − q12) is an exact int64 both
+# engines replay bit-identically.  Keyed by documents row count, same
+# convention as the PCA/IVF/BPE fixtures.
+# ---------------------------------------------------------------------------
+
+LM_NUM_BUCKETS = 8192  # matches queries/classifier._LMB
+
+
+def lm_nano(x: float) -> int:
+    """Nano-nat quantization: round-half-up at 1e-9 (the UG_SCORE_SCALE
+    rule from operators/unigram.py)."""
+    import math
+
+    return int(math.floor(math.log(x) * 1e9 + 0.5))
+
+
+def lm_q1_floor(num_buckets: int = LM_NUM_BUCKETS) -> int:
+    """q1 for a context bucket absent from the LM: ln(0 + B) nano-nats
+    — a python-computed literal both engines embed (missing joint
+    buckets need no constant: ln(0 + 1) = 0 exactly)."""
+    return lm_nano(float(num_buckets))
+
+
+def lm_logq_fixture_path() -> str:
+    return os.path.join(
+        FIXTURE_DIR, f"lm_logq_b{LM_NUM_BUCKETS}.parquet"
+    )
+
+
+def _lm_bucket_counts_duckdb(sf_dir: str):
+    """((bucket, c) rows over the ENGLISH slice, documents row count)
+    via DuckDB — the tokenize/md5 twin of train_bigram_lm(bucket_hash=
+    'md5') that q_doc_lm_bigram_stats' oracle already proves equal."""
+    import duckdb
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(doc):
+        return None, 0
+    con = duckdb.connect()
+    n = con.execute(f"SELECT COUNT(*) FROM '{doc}'").fetchone()[0]
+    rows = con.execute(
+        f"""
+        WITH ltok AS (
+          SELECT lang,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE string_split_regex(trim(text), '\\s+')
+                 END AS t
+          FROM '{doc}'),
+        tfeat AS (
+          SELECT unnest(t) AS f FROM ltok WHERE lang = 'en'
+          UNION ALL
+          SELECT unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS f
+          FROM ltok WHERE lang = 'en')
+        SELECT ('0x' || substr(md5(f), 1, 15))::BIGINT
+                 % {LM_NUM_BUCKETS} AS bucket,
+               COUNT(*) AS c
+        FROM tfeat GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    return [(int(b), int(c)) for b, c in rows], int(n)
+
+
+def write_lm_logq_fixture(rows: list, corpus_n: int) -> str:
+    """Merge (bucket, q12, q1) rows into the fixture under key
+    corpus_n, replacing prior rows for the same key."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = lm_logq_fixture_path()
+    keep = []
+    if os.path.exists(path):
+        t = pq.read_table(path)
+        keep = [
+            r
+            for r in zip(
+                t["corpus_n"].to_pylist(),
+                t["bucket"].to_pylist(),
+                t["q12"].to_pylist(),
+                t["q1"].to_pylist(),
+            )
+            if r[0] != corpus_n
+        ]
+    allr = keep + [(corpus_n, b, q12, q1) for b, q12, q1 in rows]
+    cols = list(zip(*allr)) if allr else [[], [], [], []]
+    _write_parquet(
+        path,
+        pa.table(
+            {
+                "corpus_n": list(cols[0]),
+                "bucket": list(cols[1]),
+                "q12": list(cols[2]),
+                "q1": list(cols[3]),
+            },
+            schema=pa.schema(
+                [
+                    ("corpus_n", pa.int64()),
+                    ("bucket", pa.int64()),
+                    ("q12", pa.int64()),
+                    ("q1", pa.int64()),
+                ]
+            ),
+        ),
+    )
+    return path
+
+
+def read_lm_logq_fixture(corpus_n: int):
+    """[(bucket, q12, q1)] for one corpus key, or None if unseeded."""
+    import pyarrow.parquet as pq
+
+    path = lm_logq_fixture_path()
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    rows = sorted(
+        (b, q12, q1)
+        for cn, b, q12, q1 in zip(
+            t["corpus_n"].to_pylist(),
+            t["bucket"].to_pylist(),
+            t["q12"].to_pylist(),
+            t["q1"].to_pylist(),
+        )
+        if cn == corpus_n
+    )
+    return rows if rows else None
+
+
+def seed_lm_logq_fixture() -> str:
+    """Pre-seed the quantized-log LM for every testdata sf (DuckDB
+    bucket counts + python ln — one source of transcendentals)."""
+    import pyarrow.parquet as pq
+
+    path = lm_logq_fixture_path()
+    have = set()
+    if os.path.exists(path):
+        have = set(pq.read_table(path)["corpus_n"].to_pylist())
+    for sf_dir in _PCA_TESTDATA_SFS:
+        counts, n = _lm_bucket_counts_duckdb(sf_dir)
+        if counts is None or n in have:
+            continue
+        rows = [
+            (b, lm_nano(c + 1.0), lm_nano(c + float(LM_NUM_BUCKETS)))
+            for b, c in counts
+        ]
+        write_lm_logq_fixture(rows, n)
+        have.add(n)
+    return path

@@ -223,47 +223,119 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APX_K = 2048  # KMV size AND percentile sample size: exact below 2048
+# distinct values / rows per group (every test sf), ~2.2% rsd distinct
+# estimate and ~1.1% rank error at p50 when a 100 TB group overflows it
+
+
 @query(
     "q_events_approx_aggregates",
-    # rows-only: HLL++ / percentile_approx register layouts are
-    # engine-specific by design; the twin reproduces the exact group
-    # structure (one row per event type) with exact-aggregate stand-ins
-    rows_oracle="""
-    SELECT event_type,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
-           CAST(median(value) AS DOUBLE) AS value_p50,
-           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS value_p95,
-           CAST(quantile_cont(value, 0.99) AS DOUBLE) AS value_p99,
-           COUNT(*) AS n
-    FROM events GROUP BY event_type
+    # FULL hash oracle (upgraded from rows-only, VERDICT r10 #3b):
+    # every estimate is a deterministic function of the data — KMV
+    # distinct (md5 60-bit hashes, the q_events_kmv_distinct_users
+    # idiom) and KMV-sampled exact order statistics for percentiles
+    # (integer-rank selection of ACTUAL data values, no interpolation)
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    k AS (
+      SELECT event_type, COUNT(*) AS m, MAX(hv) AS hk
+      FROM r WHERE rn <= {_APX_K} GROUP BY 1),
+    du AS (
+      SELECT event_type,
+             CASE WHEN m < {_APX_K} THEN CAST(m AS DOUBLE)
+                  ELSE {float(_APX_K - 1)} * 1152921504606846976.0 / hk
+             END AS approx_users
+      FROM k),
+    eh AS (
+      SELECT event_type, event_id, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS ehv
+      FROM events WHERE value IS NOT NULL),
+    sm AS (
+      SELECT event_type, event_id, value
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY event_type ORDER BY ehv, event_id) AS srn
+            FROM eh)
+      WHERE srn <= {_APX_K}),
+    rk AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS vrn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM sm),
+    pc AS (
+      SELECT event_type,
+             MAX(CASE WHEN vrn = (m-1)*50//100 + 1 THEN value END)
+               AS value_p50,
+             MAX(CASE WHEN vrn = (m-1)*95//100 + 1 THEN value END)
+               AS value_p95,
+             MAX(CASE WHEN vrn = (m-1)*99//100 + 1 THEN value END)
+               AS value_p99
+      FROM rk GROUP BY 1),
+    cn AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT c.event_type, du.approx_users,
+           pc.value_p50, pc.value_p95, pc.value_p99,
+           CAST(c.n AS BIGINT) AS n
+    FROM cn c JOIN du USING (event_type) JOIN pc USING (event_type)
     """,
-    # exact: the group grid and the plain row count per group; the
-    # sketch estimates (approx_users) and approx percentiles are the
-    # documented engine-specific part
-    rows_key_cols=["event_type", "n"],
 )
 def q_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates for the 100 TB dashboard path:
-    approx_count_distinct (HLL++) and approx_percentile (t-digest-ish)
-    per event type. No SQL oracle — DuckDB's sketches differ by design;
+    """Sketch-based aggregates for the 100 TB dashboard path — now
+    DETERMINISTIC end to end, so the oracle hash-matches (VERDICT r10
+    #3b; previously HLL++/percentile_approx, whose register layouts
+    are engine-specific by design, made this a rows-only gray row):
+
+    - approx_users: KMV distinct-user estimate (operators/sketches.
+      kmv_distinct, k={2048}) — exact below k distinct users, (k−1)/
+      kth-min-normalized above, all from md5-derived 60-bit hashes
+      both engines reproduce bit-exactly.
+    - value_p50/p95/p99: exact integer-rank order statistics of a
+      KMV-shaped deterministic row sample (operators/sketches.
+      kmv_sample_percentiles) — actual data values, no interpolation,
+      no t-digest.
+
     tests/test_error_bounds.py::test_approx_aggregates_within_sketch_bounds
-    runs THIS registered entry against exact answers (HLL at 5x its
-    configured rsd, each percentile between the (p ± 1/accuracy)·n
-    order statistics), so the driver's gray row is a checked property,
-    not an unchecked exemption.
+    still bounds both estimates against exact answers, so accuracy
+    stays a checked property on top of the (new) exact reproducibility.
 
     Quantiles are emitted as three scalar double columns (not one
     array column): the driver canonicalizes result frames by sorting
     every column, which crashes on list-typed cells.
     """
+    from data_engineering_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_sample_percentiles,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.element_at(q, 1).alias("value_p50"),
-        F.element_at(q, 2).alias("value_p95"),
-        F.element_at(q, 3).alias("value_p99"),
-        F.count(F.lit(1)).alias("n"),
+    kmv = kmv_distinct(e, ["event_type"], "user_id", k=_APX_K).select(
+        "event_type", F.col("est_distinct").alias("approx_users")
+    )
+    pct = kmv_sample_percentiles(
+        e, ["event_type"], "value", "event_id", sample_k=_APX_K
+    )
+    cnt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        cnt.join(kmv, "event_type")
+        .join(pct, "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            "value_p50",
+            "value_p95",
+            "value_p99",
+            "n",
+        )
     )
 
 

@@ -53,6 +53,13 @@ def main() -> None:
     from tests._host_probe import probe_sec
 
     out["__probe_sec__"] = round(probe_sec(), 4)
+    # idle-session Spark-job probe (VERDICT r10 #1): the guard compares
+    # a test-time run of the same tiny job in ITS session JVM against
+    # this, catching the post-long-JVM inflation mode the CPU probe is
+    # structurally blind to
+    from tests._host_probe import jvm_probe_sec
+
+    out["__jvm_probe_sec__"] = round(jvm_probe_sec(spark), 4)
     path = os.path.join(os.path.dirname(__file__), "bench_guard_baseline.json")
     prior: dict[str, float] = {}
     if os.path.exists(path):
