@@ -108,6 +108,12 @@ HEADLINE = [
     # the composite-id token fold, the conv rollup); benched so the
     # new post-training surface stays visible round-over-round
     "q_conv_token_counts",
+    # round-11 (VERDICT r10 #7): the full make-the-training-mix
+    # composition — curation funnel (star) → decontamination →
+    # classifier gate → water-fill token mix → packed bins, reported
+    # as per-stage doc/token attrition; benched as ONE unit because
+    # that is how a data lead runs it
+    "q_corpus_training_mix",
 ]
 
 
@@ -324,10 +330,43 @@ def phases_star(spark, sf_dir: str) -> dict[str, float]:
     return ph
 
 
+def phases_clusters(spark, sf_dir: str) -> dict[str, float]:
+    """q_doc_dedup_clusters stages (VERDICT r10 #2, the 3.4x driver
+    drift with an untouched plan): exact-jaccard pair generation (the
+    prefix-filter join — materializes the inv0/cands persists), CC
+    min-label propagation over the warm pairs, then a SECOND full
+    query run — the carry check: the query deliberately relies on
+    session-carried persists (queries/llm_filters.py), so full_warm
+    far above cc_total means the carry did not engage (the r10
+    reading's hypothesized mode), while a uniformly slow pairs phase
+    points at the corpus scan instead."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.graph import dedup_clusters
+    from data_engineering_spark.operators.text import (
+        ngram_jaccard_pairs,
+    )
+    from data_engineering_spark.queries import QUERIES
+
+    ph: dict[str, float] = {}
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.6)
+    t0 = time.perf_counter()
+    _noop(pairs)
+    ph["pairs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(dedup_clusters(pairs))
+    ph["cc_total"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(QUERIES["q_doc_dedup_clusters"](spark, sf_dir))
+    ph["full_warm"] = round(time.perf_counter() - t0, 3)
+    return ph
+
+
 PHASE_PROBES = {
     "q_doc_dsir_select": phases_dsir,
     "q_embedding_pq_topk": phases_pq,
     "q_doc_star_dedup_clusters": phases_star,
+    "q_doc_dedup_clusters": phases_clusters,
 }
 
 
@@ -435,6 +474,13 @@ def main() -> None:
         "q_doc_dsir_select",
         "q_embedding_pq_topk",
         "q_doc_star_dedup_clusters",
+        # r10 driver drift with unchanged plans (VERDICT r10 #2):
+        # dedup_clusters historically reaches steady state only at
+        # sample 3 (r8: 17.9/4.7/1.9; r9: 6.2/2.1/1.84) — two equally
+        # cold samples can't trip the stall guard; gopher rides along
+        # as the same-round watch entry
+        "q_doc_dedup_clusters",
+        "q_doc_gopher_filters",
     }
     for name in HEADLINE:
         fn = QUERIES[name]

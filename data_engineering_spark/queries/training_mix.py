@@ -233,10 +233,11 @@ def q_corpus_training_mix(
     oracled ones — curate_corpus (star backend), decontaminate,
     linear_classifier_score, water_fill + greedy per-source selection,
     pack_chunks — driven off ONE corpus BPE-count pass."""
-    from pyspark import StorageLevel
-
     from data_engineering_spark.operators.bpe import (
         bpe_doc_token_counts,
+    )
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
     )
     from data_engineering_spark.operators.classifier import (
         linear_classifier_score,
@@ -261,17 +262,25 @@ def q_corpus_training_mix(
     )
 
     d = load_table(spark, sf_dir, "documents")
-    # one corpus encode pass feeds all nine stage token sums — persist
-    # the fixed-width (doc_id, n_bpe_tokens) frame (the dsir
-    # raw_counts rationale; curate_corpus persists its own survivors)
-    counts = (
-        bpe_doc_token_counts(d, _bpe_merges(spark, sf_dir))
-        .select("doc_id", "n_bpe_tokens")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # one corpus encode pass feeds all nine stage token sums; the
+    # nine-branch union would otherwise replicate the encode-fold
+    # subtree per stage row — eager-checkpoint the fixed-width
+    # (doc_id, n_bpe_tokens) frame once (materialize.py: persist →
+    # count → checkpoint from cache → release) so every branch reads
+    # the checkpoint and nothing stays session-pinned
+    counts = eager_checkpoint(
+        bpe_doc_token_counts(d, _bpe_merges(spark, sf_dir)).select(
+            "doc_id", "n_bpe_tokens"
+        )
     )
     capped, stages = curate_corpus(
         d, score_col="n_chars", near_dup="star"
     )
+    # same rationale for the funnel output: five stage rows and the
+    # whole mix tail hang off `capped` (a ≤cap_n·|source×lang| frame —
+    # tiny by construction), and the star-CC subtree above it is the
+    # expensive part of the plan
+    capped = eager_checkpoint(capped)
     s5 = decontaminate(capped, _eval_slice(d), n=_N)
     w = synthetic_weights(spark, _B, seed=_SEED, scale=_SCALE)
     gate = linear_classifier_score(

@@ -119,6 +119,14 @@ EXCHANGE_BUDGET = {
     # q_doc_bpe_encode pattern); turn synthesis itself is
     # exchange-free; pure JVM
     "q_conv_token_counts": 14,
+    # round-11 training-mix composition: nine stage-row branches over
+    # the funnel — the heavy shared frames (BPE counts, the post-
+    # funnel `capped` set) are eager-checkpointed so their subtrees
+    # appear ONCE; what remains is the per-branch dedup/quality/star
+    # machinery the textual count repeats (executed plan reads the
+    # curate_corpus persists) plus the decon/classifier/mix/pack tail
+    # over the tiny curated set. Calibrated 184 at sf0.001.
+    "q_corpus_training_mix": 200,
 }
 
 PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
