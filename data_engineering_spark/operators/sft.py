@@ -514,3 +514,74 @@ def conversation_token_counts(
         .cast("long")
         .alias("n_assistant_tokens"),
     )
+
+
+def conversation_lint(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "turn_text",
+    allowed_roles: tuple[str, ...] = ("system", "user", "assistant"),
+) -> DataFrame:
+    """(conv_id, n_turns, n_empty_turns, n_bad_roles,
+    n_alternation_breaks, first_role, last_role, is_valid):
+    structural validation of an SFT conversation corpus — the QA pass
+    a data lead runs BEFORE the chat-template/token-count stages,
+    because every downstream operator assumes well-formed turns.
+
+    Checks (all integer/boolean — hash-oracle-able):
+    - n_empty_turns: turns whose trimmed content is empty;
+    - n_bad_roles: roles outside `allowed_roles`;
+    - n_alternation_breaks: adjacent turns (in turn order) sharing a
+      role — the user/user or assistant/assistant stutter that breaks
+      chat templates;
+    - first_role / last_role: the boundary roles (training examples
+      conventionally open with system/user and close on assistant);
+    - is_valid: all counters zero AND first_role in (system, user)
+      AND last_role = assistant.
+
+    Plan: the shared _sorted_turns assembly — ONE conv-keyed
+    aggregation; every check is an array fold over the <=max_turns
+    sorted structs (no window, no UDF, nothing grows with the
+    corpus)."""
+    st = _sorted_turns(turns, conv_col, idx_col, role_col, text_col)
+    roles = F.transform(F.col("ts"), lambda t: t["role"])
+    n = F.size("ts")
+    n_empty = F.size(
+        F.filter(F.col("ts"), lambda t: F.trim(t["text"]) == "")
+    )
+    n_bad = F.size(
+        F.filter(roles, lambda r: ~r.isin(*allowed_roles))
+    )
+    # adjacent-pair fold: zip roles[1..n-1] with roles[2..n] and count
+    # equal pairs; slice lengths clamp at 0 so 0/1-turn convs emit 0
+    pair_len = F.greatest(n - 1, F.lit(0))
+    breaks = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(roles, F.lit(1), pair_len),
+                F.slice(roles, F.lit(2), pair_len),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    first_role = F.element_at(roles, 1)
+    last_role = F.element_at(roles, -1)
+    return st.select(
+        "conv_id",
+        n.alias("n_turns"),
+        n_empty.alias("n_empty_turns"),
+        n_bad.alias("n_bad_roles"),
+        breaks.alias("n_alternation_breaks"),
+        first_role.alias("first_role"),
+        last_role.alias("last_role"),
+        (
+            (n_empty == 0)
+            & (n_bad == 0)
+            & (breaks == 0)
+            & first_role.isin("system", "user")
+            & (last_role == "assistant")
+        ).alias("is_valid"),
+    )

@@ -417,6 +417,83 @@ def q_conv_packed_examples(
     )
 
 
+@query(
+    "q_conv_lint",
+    oracle=f"""
+    WITH {_TURNS_CTE},
+    lperturb AS (
+      -- deterministic synthetic anomalies (the synthesized corpus is
+      -- well-formed by construction, so the lint would be vacuous
+      -- without them): conv %% 13 drops turn 1 (alternation stutter),
+      -- conv %% 11 empties turn 0, conv %% 17 re-roles turn 2 as
+      -- 'tool' (out-of-vocabulary role)
+      SELECT conv_id, turn_idx,
+             CASE WHEN conv_id % 17 = 0 AND turn_idx = 2
+                  THEN 'tool' ELSE role END AS role,
+             CASE WHEN conv_id % 11 = 0 AND turn_idx = 0
+                  THEN '' ELSE turn_text END AS turn_text
+      FROM cturns
+      WHERE NOT (conv_id % 13 = 0 AND turn_idx = 1)),
+    lagg AS (
+      SELECT conv_id,
+             list(role ORDER BY turn_idx) AS rl,
+             list(CASE WHEN trim(turn_text) = '' THEN 1 ELSE 0 END
+                  ORDER BY turn_idx) AS el
+      FROM lperturb GROUP BY 1),
+    lrep AS (
+      SELECT conv_id,
+             CAST(len(rl) AS INT) AS n_turns,
+             CAST(len(list_filter(el, x -> x = 1)) AS INT)
+               AS n_empty_turns,
+             CAST(len(list_filter(rl, r ->
+               r <> 'system' AND r <> 'user' AND r <> 'assistant'))
+               AS INT) AS n_bad_roles,
+             CAST(len(list_filter(range(1, len(rl)), i ->
+               rl[i] = rl[i+1])) AS INT) AS n_alternation_breaks,
+             rl[1] AS first_role,
+             rl[len(rl)] AS last_role
+      FROM lagg)
+    SELECT conv_id, n_turns, n_empty_turns, n_bad_roles,
+           n_alternation_breaks, first_role, last_role,
+           (n_empty_turns = 0 AND n_bad_roles = 0
+            AND n_alternation_breaks = 0
+            AND first_role IN ('system', 'user')
+            AND last_role = 'assistant') AS is_valid
+    FROM lrep
+    """,
+)
+def q_conv_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural lint over the conversation corpus — the QA pass
+    before any chat-template/token-count stage (empty turns, unknown
+    roles, alternation stutters, boundary roles, the composite
+    is_valid flag). The synthesized corpus is well-formed, so three
+    deterministic anomaly classes are injected first (dropped turn,
+    emptied turn, re-roled turn) and the twin replays the same
+    perturbation — the lint is checked on data that actually fails
+    it."""
+    from data_engineering_spark.operators.sft import conversation_lint
+
+    d = load_table(spark, sf_dir, "documents")
+    t = synthesize_turns(d)
+    c, i = F.col("conv_id"), F.col("turn_idx")
+    perturbed = (
+        t.filter(~((c % 13 == 0) & (i == 1)))
+        .withColumn(
+            "turn_text",
+            F.when((c % 11 == 0) & (i == 0), F.lit("")).otherwise(
+                F.col("turn_text")
+            ),
+        )
+        .withColumn(
+            "role",
+            F.when((c % 17 == 0) & (i == 2), F.lit("tool")).otherwise(
+                F.col("role")
+            ),
+        )
+    )
+    return conversation_lint(perturbed)
+
+
 def _inline_ctx_oracle() -> None:
     """Patch the deferred context-windows oracle (the fold CTEs are
     built by _bpe_fold_cte, defined above; the registration decorator

@@ -479,3 +479,46 @@ def test_chat_flatten_stream_equals_batch(spark, tmp_path):
         r["conv_id"]: (r["chat_text"], r["n_turns"]) for r in got
     } == batch
     assert len(got) == len(batch)
+
+
+def test_conversation_lint_semantics(spark):
+    """Hand-built anomalies → exact expected lint rows."""
+    from data_engineering_spark.operators.sft import conversation_lint
+
+    turns = spark.createDataFrame(
+        [
+            # conv 1: well-formed user/assistant pair
+            (1, 0, "user", "hi there"),
+            (1, 1, "assistant", "hello"),
+            # conv 2: alternation stutter (user,user) + ends on user
+            (2, 0, "user", "a"),
+            (2, 1, "user", "b"),
+            # conv 3: empty turn + unknown role, ends assistant
+            (3, 0, "user", "   "),
+            (3, 1, "tool", "x"),
+            (3, 2, "assistant", "y"),
+            # conv 4: system opener is valid
+            (4, 0, "system", "be nice"),
+            (4, 1, "user", "q"),
+            (4, 2, "assistant", "a"),
+            # conv 5: single assistant turn (starts wrong)
+            (5, 0, "assistant", "z"),
+        ],
+        "conv_id long, turn_idx long, role string, turn_text string",
+    )
+    got = {r.conv_id: r for r in conversation_lint(turns).collect()}
+    assert got[1].is_valid and got[4].is_valid
+    r2 = got[2]
+    assert (r2.n_alternation_breaks, r2.last_role, r2.is_valid) == (
+        1, "user", False,
+    )
+    r3 = got[3]
+    assert (r3.n_empty_turns, r3.n_bad_roles, r3.is_valid) == (
+        1, 1, False,
+    )
+    r5 = got[5]
+    assert (r5.n_turns, r5.first_role, r5.is_valid) == (
+        1, "assistant", False,
+    )
+    # breaks fold degenerates cleanly on 1-turn convs
+    assert r5.n_alternation_breaks == 0
