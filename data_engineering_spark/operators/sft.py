@@ -585,3 +585,136 @@ def conversation_lint(
             & (last_role == "assistant")
         ).alias("is_valid"),
     )
+
+
+# --------------------------------------------------------------------------
+# Tool-call conversation prep: modern SFT corpora carry function-call
+# turns (an assistant turn whose content is a JSON call object,
+# followed by a role='tool' result turn). Extraction and pairing
+# validation are the QA/feature pass before such corpora train.
+# JSON parse is JVM-side from_json (the cdc/envelope.py idiom) — no
+# UDF; pairing is one (conv, idx)-keyed self equi-join per neighbor.
+# --------------------------------------------------------------------------
+
+TOOL_CALL_PREFIX = '{"name"'  # a call turn's content starts with this
+TOOL_CALL_SCHEMA = "name string, arguments struct<q:string>"
+
+
+def _tool_base(turns, conv_col, idx_col, role_col, text_col):
+    parsed = F.from_json(F.col(text_col), TOOL_CALL_SCHEMA)
+    return turns.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).cast("int").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("turn_text"),
+        (
+            (F.col(role_col) == "assistant")
+            & F.col(text_col).startswith(TOOL_CALL_PREFIX)
+        ).alias("__is_call"),
+        parsed["name"].alias("__name"),
+        parsed["arguments"]["q"].alias("__q"),
+    )
+
+
+def tool_call_extract(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "turn_text",
+) -> DataFrame:
+    """(conv_id, turn_idx, tool_name, arg_q, is_wellformed,
+    has_result): one row per tool-CALL turn (assistant content opening
+    with the call-object prefix). `is_wellformed` = the JSON parsed
+    and carried both name and arguments.q (from_json PERMISSIVE nulls
+    the struct on malformed input — failure is a flag, not an
+    exception); `has_result` = the NEXT turn exists with role='tool'
+    (the call/result pairing trainers rely on).
+
+    Plan: one projection + one (conv, idx)-keyed left self-join for
+    the next turn's role. Nothing grows with conversation length."""
+    base = _tool_base(turns, conv_col, idx_col, role_col, text_col)
+    nxt = base.select(
+        "conv_id",
+        (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("role").alias("__next_role"),
+    )
+    return (
+        base.filter(F.col("__is_call"))
+        .join(nxt, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("__name").alias("tool_name"),
+            F.col("__q").alias("arg_q"),
+            (
+                F.col("__name").isNotNull()
+                & F.col("__q").isNotNull()
+            ).alias("is_wellformed"),
+            F.coalesce(
+                F.col("__next_role") == "tool", F.lit(False)
+            ).alias("has_result"),
+        )
+    )
+
+
+def tool_call_stats(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "turn_text",
+) -> DataFrame:
+    """(conv_id, n_tool_calls, n_wellformed_calls, n_tool_results,
+    n_paired_calls, n_orphan_results, is_valid): per-conversation
+    tool-use accounting — every call well-formed, every call answered
+    by the next turn, no result without a preceding call. Conversations
+    with no tool turns are trivially valid (all counters zero).
+
+    Plan: the extraction projection + two (conv, idx)-keyed self
+    equi-joins (next role / previous is-call) + one conv aggregation
+    — all on the same join key, so the shuffle partitioning is
+    reused."""
+    base = _tool_base(turns, conv_col, idx_col, role_col, text_col)
+    nxt = base.select(
+        "conv_id",
+        (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("role").alias("__next_role"),
+    )
+    prv = base.select(
+        "conv_id",
+        (F.col("turn_idx") + 1).alias("turn_idx"),
+        F.col("__is_call").alias("__prev_is_call"),
+    )
+    j = (
+        base.join(nxt, ["conv_id", "turn_idx"], "left")
+        .join(prv, ["conv_id", "turn_idx"], "left")
+    )
+    wf = F.col("__name").isNotNull() & F.col("__q").isNotNull()
+    lng = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    agg = j.groupBy("conv_id").agg(
+        lng(F.col("__is_call")).alias("n_tool_calls"),
+        lng(F.col("__is_call") & wf).alias("n_wellformed_calls"),
+        lng(F.col("role") == "tool").alias("n_tool_results"),
+        lng(
+            F.col("__is_call")
+            & F.coalesce(F.col("__next_role") == "tool", F.lit(False))
+        ).alias("n_paired_calls"),
+        lng(
+            (F.col("role") == "tool")
+            & ~F.coalesce(F.col("__prev_is_call"), F.lit(False))
+        ).alias("n_orphan_results"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_tool_calls",
+        "n_wellformed_calls",
+        "n_tool_results",
+        "n_paired_calls",
+        "n_orphan_results",
+        (
+            (F.col("n_wellformed_calls") == F.col("n_tool_calls"))
+            & (F.col("n_paired_calls") == F.col("n_tool_calls"))
+            & (F.col("n_orphan_results") == 0)
+        ).alias("is_valid"),
+    )

@@ -506,3 +506,161 @@ def _inline_ctx_oracle() -> None:
 
 
 _inline_ctx_oracle()
+
+
+# --------------------------------------------------------------------------
+# Tool-call conversations: conv % 5 rewrites turn 1 as a JSON function
+# call (q = its own first two words) and turn 2 as the role='tool'
+# result; conv % 35 additionally truncates the call JSON (malformed).
+# Both engines replay the synthesis, the JSON parse, and the pairing.
+# --------------------------------------------------------------------------
+
+_TOOL_CTE = f"""{_TURNS_CTE},
+    tcall AS (
+      SELECT conv_id, turn_idx,
+             '{{"name":"search","arguments":{{"q":"' ||
+               array_to_string((string_split(turn_text, ' '))[1:2], ' ')
+               || '"}}}}' AS callj
+      FROM cturns WHERE turn_idx = 1),
+    ttool AS (
+      SELECT c.conv_id, c.turn_idx,
+             CASE WHEN c.conv_id % 5 = 0 AND c.turn_idx = 2
+                  THEN 'tool' ELSE c.role END AS role,
+             CASE
+               WHEN c.conv_id % 5 = 0 AND c.turn_idx = 1 THEN
+                 CASE WHEN c.conv_id % 35 = 0
+                      THEN substr(k.callj, 1, length(k.callj) - 1)
+                      ELSE k.callj END
+               WHEN c.conv_id % 5 = 0 AND c.turn_idx = 2
+                 THEN 'result: ' || (string_split(c.turn_text, ' '))[1]
+               ELSE c.turn_text END AS turn_text
+      FROM cturns c LEFT JOIN tcall k USING (conv_id, turn_idx))"""
+
+_JNAME = (
+    "CASE WHEN json_valid(turn_text) "
+    "THEN json_extract_string(turn_text, '$.name') END"
+)
+_JQ = (
+    "CASE WHEN json_valid(turn_text) "
+    "THEN json_extract_string(turn_text, '$.arguments.q') END"
+)
+
+
+def _tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized tool-augmented turn table (Spark twin of the
+    ttool CTE)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = synthesize_turns(d)
+    c, i = F.col("conv_id"), F.col("turn_idx")
+    two = F.array_join(
+        F.slice(F.split(F.col("turn_text"), " "), 1, 2), " "
+    )
+    callj = F.concat(
+        F.lit('{"name":"search","arguments":{"q":"'),
+        two,
+        F.lit('"}}'),
+    )
+    truncated = callj.substr(F.lit(1), F.length(callj) - 1)
+    new_text = (
+        F.when(
+            (c % 5 == 0) & (i == 1),
+            F.when(c % 35 == 0, truncated).otherwise(callj),
+        )
+        .when(
+            (c % 5 == 0) & (i == 2),
+            F.concat(
+                F.lit("result: "),
+                F.element_at(F.split(F.col("turn_text"), " "), 1),
+            ),
+        )
+        .otherwise(F.col("turn_text"))
+    )
+    new_role = (
+        F.when((c % 5 == 0) & (i == 2), F.lit("tool"))
+        .otherwise(F.col("role"))
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        new_role.alias("role"),
+        new_text.alias("turn_text"),
+    )
+
+
+@query(
+    "q_conv_tool_calls",
+    oracle=f"""
+    WITH {_TOOL_CTE},
+    calls AS (
+      SELECT conv_id, turn_idx,
+             {_JNAME} AS tool_name, {_JQ} AS arg_q
+      FROM ttool
+      WHERE role = 'assistant' AND turn_text LIKE '{{"name"%')
+    SELECT c.conv_id, c.turn_idx, c.tool_name, c.arg_q,
+           (c.tool_name IS NOT NULL AND c.arg_q IS NOT NULL)
+             AS is_wellformed,
+           COALESCE(n.role = 'tool', FALSE) AS has_result
+    FROM calls c LEFT JOIN ttool n
+      ON c.conv_id = n.conv_id AND n.turn_idx = c.turn_idx + 1
+    """,
+)
+def q_conv_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call extraction: one row per function-call turn with the
+    parsed name/argument, a well-formedness flag (from_json PERMISSIVE
+    nulls malformed JSON — the conv%35 truncation class), and the
+    call/result pairing flag. JVM from_json, one neighbor equi-join
+    (operators/sft.tool_call_extract)."""
+    from data_engineering_spark.operators.sft import tool_call_extract
+
+    return tool_call_extract(_tool_turns(spark, sf_dir))
+
+
+@query(
+    "q_conv_tool_stats",
+    oracle=f"""
+    WITH {_TOOL_CTE},
+    tflags AS (
+      SELECT conv_id, turn_idx, role,
+             (role = 'assistant' AND turn_text LIKE '{{"name"%')
+               AS is_call,
+             ({_JNAME} IS NOT NULL AND {_JQ} IS NOT NULL) AS wf
+      FROM ttool),
+    tj AS (
+      SELECT f.*, n.role AS next_role, p.is_call AS prev_is_call
+      FROM tflags f
+      LEFT JOIN tflags n
+        ON f.conv_id = n.conv_id AND n.turn_idx = f.turn_idx + 1
+      LEFT JOIN tflags p
+        ON f.conv_id = p.conv_id AND p.turn_idx = f.turn_idx - 1),
+    tagg AS (
+      SELECT conv_id,
+        CAST(SUM(CASE WHEN is_call THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tool_calls,
+        CAST(SUM(CASE WHEN is_call AND wf THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_wellformed_calls,
+        CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tool_results,
+        CAST(SUM(CASE WHEN is_call
+                       AND COALESCE(next_role = 'tool', FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_paired_calls,
+        CAST(SUM(CASE WHEN role = 'tool'
+                       AND NOT COALESCE(prev_is_call, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_results
+      FROM tj GROUP BY 1)
+    SELECT conv_id, n_tool_calls, n_wellformed_calls, n_tool_results,
+           n_paired_calls, n_orphan_results,
+           (n_wellformed_calls = n_tool_calls
+            AND n_paired_calls = n_tool_calls
+            AND n_orphan_results = 0) AS is_valid
+    FROM tagg
+    """,
+)
+def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation tool-use accounting: call / well-formed /
+    result / paired / orphan counters and the composite validity flag
+    — the corpus-level QA report for function-calling SFT data
+    (operators/sft.tool_call_stats; conversations without tool turns
+    are trivially valid)."""
+    from data_engineering_spark.operators.sft import tool_call_stats
+
+    return tool_call_stats(_tool_turns(spark, sf_dir))

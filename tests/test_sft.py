@@ -522,3 +522,62 @@ def test_conversation_lint_semantics(spark):
     )
     # breaks fold degenerates cleanly on 1-turn convs
     assert r5.n_alternation_breaks == 0
+
+
+def test_tool_call_extract_and_stats(spark):
+    """Hand-built tool conversations: wellformed paired call, call
+    with no result (ends conversation), malformed call, and an orphan
+    result with no preceding call."""
+    from data_engineering_spark.operators.sft import (
+        tool_call_extract,
+        tool_call_stats,
+    )
+
+    good = '{"name":"search","arguments":{"q":"spark join"}}'
+    turns = spark.createDataFrame(
+        [
+            # conv 1: valid call/result sandwich
+            (1, 0, "user", "find it"),
+            (1, 1, "assistant", good),
+            (1, 2, "tool", "result: spark"),
+            (1, 3, "assistant", "here you go"),
+            # conv 2: call with NO result (unpaired)
+            (2, 0, "user", "go"),
+            (2, 1, "assistant", good),
+            # conv 3: malformed call (truncated JSON) + result
+            (3, 0, "user", "x"),
+            (3, 1, "assistant", good[:-1]),
+            (3, 2, "tool", "result: y"),
+            # conv 4: orphan result (no call before it)
+            (4, 0, "user", "x"),
+            (4, 1, "tool", "stray"),
+            (4, 2, "assistant", "z"),
+            # conv 5: no tool turns at all
+            (5, 0, "user", "hi"),
+            (5, 1, "assistant", "hello"),
+        ],
+        "conv_id long, turn_idx long, role string, turn_text string",
+    )
+    calls = {
+        (r.conv_id, r.turn_idx): r
+        for r in tool_call_extract(turns).collect()
+    }
+    assert set(calls) == {(1, 1), (2, 1), (3, 1)}
+    c1 = calls[(1, 1)]
+    assert (c1.tool_name, c1.arg_q) == ("search", "spark join")
+    assert c1.is_wellformed and c1.has_result
+    assert calls[(2, 1)].is_wellformed and not calls[(2, 1)].has_result
+    c3 = calls[(3, 1)]
+    assert not c3.is_wellformed and c3.has_result
+    assert c3.tool_name is None
+
+    stats = {r.conv_id: r for r in tool_call_stats(turns).collect()}
+    assert stats[1].is_valid
+    assert stats[1].n_tool_calls == 1 and stats[1].n_paired_calls == 1
+    assert not stats[2].is_valid  # unpaired
+    assert not stats[3].is_valid  # malformed
+    assert stats[3].n_wellformed_calls == 0
+    r4 = stats[4]
+    assert r4.n_orphan_results == 1 and not r4.is_valid
+    assert stats[5].is_valid  # no tool turns -> trivially valid
+    assert stats[5].n_tool_calls == 0
