@@ -406,3 +406,48 @@ def water_fill(
         .alias("alloc"),
     )
     return out
+
+
+def epoch_allocation(
+    demands: DataFrame,
+    key_col: str,
+    demand_col: str,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Data-constrained token mixing (the Muennighoff 2023 "Scaling
+    Data-Constrained Language Models" recipe, public): when the budget
+    EXCEEDS a source's unique-token demand, the source is repeated —
+    up to `max_epochs` passes, beyond which repeated data stops
+    helping. Water-fill over per-source CAPACITY = demand·max_epochs
+    instead of demand: small sources contribute up to max_epochs full
+    epochs, large sources are levelled to a common token cap.
+
+    Returns (key, demand, alloc double, n_full_epochs long,
+    partial_tokens double): alloc = min(demand·max_epochs, θ);
+    n_full_epochs = floor(alloc/demand) complete passes;
+    partial_tokens = the remainder drawn from one more partial pass.
+    Same determinism contract as water_fill (integer comparisons, one
+    IEEE double division for θ); same scale shape (one metadata-sized
+    per-source window)."""
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive: {max_epochs}")
+    caps = demands.select(
+        F.col(key_col),
+        F.col(demand_col).cast("long").alias("__dem"),
+        (F.col(demand_col).cast("long") * max_epochs).alias("__cap"),
+    )
+    wf = water_fill(caps, key_col, "__cap", budget)
+    out = wf.join(
+        caps.select(key_col, "__dem"), key_col
+    )
+    epochs = F.floor(F.col("alloc") / F.col("__dem")).cast("long")
+    return out.select(
+        F.col(key_col),
+        F.col("__dem").alias(demand_col),
+        F.col("alloc"),
+        epochs.alias("n_full_epochs"),
+        (F.col("alloc") - epochs * F.col("__dem")).alias(
+            "partial_tokens"
+        ),
+    )

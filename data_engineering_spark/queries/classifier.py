@@ -820,3 +820,70 @@ def q_doc_packed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_doc",
         F.coalesce("token_csv", F.lit("")).alias("token_csv"),
     )
+
+
+@query(
+    "q_doc_epoch_mix",
+    oracle="""
+    WITH {bpe_cte},
+    edem AS (
+      SELECT d.source, CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS demand
+      FROM enc_docs e JOIN documents d USING (doc_id) GROUP BY 1),
+    etot AS (SELECT SUM(demand) AS t FROM edem),
+    ecap AS (SELECT source, demand, demand * 4 AS cap FROM edem),
+    er AS (
+      SELECT source, demand, cap,
+             ROW_NUMBER() OVER (ORDER BY cap, source) AS k,
+             SUM(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+             COUNT(*) OVER () AS n
+      FROM ecap),
+    ef AS (
+      SELECT er.*, etot.t AS total,
+             cap * (n - k + 1) <= 2 * etot.t - (pfx - cap) AS funded
+      FROM er, etot),
+    ebp AS (
+      SELECT COALESCE(MAX(k), 0) AS bk, COALESCE(MAX(pfx), 0) AS bpfx
+      FROM ef WHERE funded),
+    ea AS (
+      SELECT source, demand,
+             CASE WHEN k <= bk THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(2 * total - bpfx AS DOUBLE)
+                       / CAST(n - bk AS DOUBLE) END AS alloc
+      FROM ef, ebp)
+    SELECT source, demand, alloc,
+           CAST(FLOOR(alloc / demand) AS BIGINT) AS n_full_epochs,
+           alloc - FLOOR(alloc / demand) * demand AS partial_tokens
+    FROM ea
+    """.replace("{bpe_cte}", _bpe_oracle_cte()),
+)
+def q_doc_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch mixing (Muennighoff 2023, public): with
+    a token budget of 2x the corpus's unique-token supply, water-fill
+    over per-source CAPACITY = demand·4 — each source contributes up
+    to 4 full epochs before repetition stops helping; large sources
+    are levelled to a common token cap. Output: per-source demand,
+    allocation, complete epochs, and the partial-pass remainder — the
+    repetition plan a data-constrained run trains on
+    (operators/filters.epoch_allocation over the real BPE demands)."""
+    from data_engineering_spark.operators.bpe import (
+        bpe_doc_token_counts,
+    )
+    from data_engineering_spark.operators.filters import (
+        epoch_allocation,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = bpe_doc_token_counts(d, _bpe_merges(spark, sf_dir))
+    demands = (
+        d.select("doc_id", "source")
+        .join(counts, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_bpe_tokens").cast("long").alias("demand"))
+    )
+    # the budget derives from the corpus itself (2x unique supply) —
+    # a one-row collect, the water_fill alloc-literalization pattern
+    total = demands.agg(F.sum("demand")).collect()[0][0] or 0
+    return epoch_allocation(
+        demands, "source", "demand", budget=2 * int(total), max_epochs=4
+    )

@@ -664,3 +664,44 @@ def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_engineering_spark.operators.sft import tool_call_stats
 
     return tool_call_stats(_tool_turns(spark, sf_dir))
+
+
+@query(
+    "q_conv_tool_loss_mask",
+    oracle=f"""
+    WITH {_TOOL_CTE},
+    tblocks AS (
+      SELECT conv_id, turn_idx, role,
+             length('<|im_start|>') + length(role) + 1 AS header_len,
+             length(turn_text) AS content_len,
+             length({_BLOCK_SQL}) AS block_len
+      FROM ttool),
+    toff AS (
+      SELECT conv_id, turn_idx, role, header_len, content_len,
+             COALESCE(SUM(block_len) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM tblocks)
+    SELECT conv_id, turn_idx,
+           CAST(prefix + header_len AS BIGINT) AS span_start,
+           CAST(prefix + header_len + content_len AS BIGINT)
+             AS span_end,
+           CAST(content_len AS BIGINT) AS n_mask_chars
+    FROM toff WHERE role = 'assistant'
+    """,
+)
+def q_conv_tool_loss_mask(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Loss-mask spans for TOOL-augmented conversations: the trainer
+    optimizes assistant turns — which here includes the function-call
+    JSON (the model must learn to EMIT calls) — while role='tool'
+    result turns fall outside every span (results come from the
+    environment, never the loss). Cross-family composition:
+    loss_mask_spans unchanged over the tool-synthesis turn table; the
+    role filter does the right thing because the call turn keeps
+    role='assistant'."""
+    from data_engineering_spark.operators.sft import loss_mask_spans
+
+    return loss_mask_spans(_tool_turns(spark, sf_dir))

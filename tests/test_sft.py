@@ -581,3 +581,27 @@ def test_tool_call_extract_and_stats(spark):
     assert r4.n_orphan_results == 1 and not r4.is_valid
     assert stats[5].is_valid  # no tool turns -> trivially valid
     assert stats[5].n_tool_calls == 0
+
+
+def test_tool_loss_mask_covers_calls_not_results(spark):
+    """In tool conversations the trainable spans include the call
+    JSON (assistant emits calls) and never a tool result."""
+    from data_engineering_spark.operators.sft import (
+        chat_template_flatten,
+        loss_mask_spans,
+    )
+
+    good = '{"name":"search","arguments":{"q":"a b"}}'
+    turns = spark.createDataFrame(
+        [
+            (1, 0, "user", "find"),
+            (1, 1, "assistant", good),
+            (1, 2, "tool", "result: a"),
+            (1, 3, "assistant", "answer"),
+        ],
+        "conv_id long, turn_idx long, role string, turn_text string",
+    )
+    chat = chat_template_flatten(turns).collect()[0].chat_text
+    spans = loss_mask_spans(turns).collect()
+    texts = {r.turn_idx: chat[r.span_start : r.span_end] for r in spans}
+    assert texts == {1: good, 3: "answer"}  # call JSON in, result out
