@@ -546,11 +546,10 @@ _JQ = (
 )
 
 
-def _tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthesized tool-augmented turn table (Spark twin of the
-    ttool CTE)."""
-    d = load_table(spark, sf_dir, "documents")
-    t = synthesize_turns(d)
+def _tool_perturb(t: DataFrame) -> DataFrame:
+    """Apply the deterministic tool-call rewrite to a turn table
+    (Spark twin of the ttool CTE; factored so the streaming-parity
+    test runs the identical transform per micro-batch)."""
     c, i = F.col("conv_id"), F.col("turn_idx")
     two = F.array_join(
         F.slice(F.split(F.col("turn_text"), " "), 1, 2), " "
@@ -585,6 +584,12 @@ def _tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_role.alias("role"),
         new_text.alias("turn_text"),
     )
+
+
+def _tool_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized tool-augmented turn table."""
+    d = load_table(spark, sf_dir, "documents")
+    return _tool_perturb(synthesize_turns(d))
 
 
 @query(

@@ -605,3 +605,54 @@ def test_tool_loss_mask_covers_calls_not_results(spark):
     spans = loss_mask_spans(turns).collect()
     texts = {r.turn_idx: chat[r.span_start : r.span_end] for r in spans}
     assert texts == {1: good, 3: "answer"}  # call JSON in, result out
+
+
+def test_tool_stats_stream_equals_batch(spark, tmp_path):
+    """Tool-call pairing is intra-conversation (neighbor joins on
+    (conv, idx)), and a conversation derives from one document row —
+    so the streaming wiring must reproduce the batch tool-stats
+    report exactly across any micro-batch slicing (the chat-flatten
+    parity argument extended to the tool family)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.sft import tool_call_stats
+    from data_engineering_spark.queries.sft import (
+        _tool_perturb,
+        _tool_turns,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    d.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        src, mode="overwrite"
+    )
+    d.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            tool_call_stats(
+                _tool_perturb(synthesize_turns(batch_df))
+            ).collect()
+        )
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = {
+        r["conv_id"]: tuple(r)[1:]
+        for r in tool_call_stats(
+            _tool_turns(spark, "/root/testdata/sf0.001")
+        ).collect()
+    }
+    assert {r["conv_id"]: tuple(r)[1:] for r in got} == batch
