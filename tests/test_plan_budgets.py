@@ -245,6 +245,9 @@ UNPARTITIONED_WINDOW_OK = {
     # water-fill allocation: input is one row per SOURCE (an aggregate
     # of the corpus) — operators/filters.py:374 documents the bound
     "q_doc_source_budget",
+    # epoch_allocation = the same water-fill window over the same
+    # one-row-per-SOURCE aggregate (capacity = demand*max_epochs)
+    "q_doc_epoch_mix",
     # CDF over the per-length histogram: one row per distinct doc
     # length (≤ the Gopher max-length cap) — llm_filters.py length
     # outliers
