@@ -230,6 +230,57 @@ def parse_envelope_batch(
     return apply_semantic_conversions(parsed, inferred.semantic)
 
 
+def batch_table_schemas(
+    raw: DataFrame,
+) -> dict[str, tuple[str | None, str | None]]:
+    """Per-table (key_json, schema_json) discovery for a WHOLE batch in
+    ONE aggregation action: {__table: latest_envelope_schema(slice)}.
+
+    Same candidate rules as latest_envelope_schema (the per-slice
+    variant, kept for single-table callers), with the parseable-schema
+    filter folded into max_by's ordering expression — max_by ignores
+    rows whose ordering value is NULL, so `when(ok, ts)` IS the filter.
+    Every table with at least one batch row gets an entry (a table
+    whose rows are all malformed maps to (None, None) — the caller's
+    undiscoverable-early-return, unchanged).
+
+    Why: per-batch driver actions serialize across concurrent streams;
+    the previous shape paid one distinct-tables collect plus one
+    aggregate collect PER TABLE (1 + N jobs per batch) — this is the
+    same information in exactly one job, whatever the table count.
+    """
+    ok = F.get_json_object("value", "$.schema.fields[0]").isNotNull()
+    rows = (
+        raw.select("__table", "key", "value", "__ts_ms")
+        .groupBy("__table")
+        .agg(
+            F.max_by(
+                "key",
+                F.when(ok & F.col("key").isNotNull(), F.col("__ts_ms")),
+            ).alias("key"),
+            F.max_by(
+                "value", F.when(ok, F.col("__ts_ms"))
+            ).alias("value"),
+        )
+        .collect()
+    )
+    return {
+        r["__table"]: (r["key"], _schema_json_of(r["value"]))
+        for r in rows
+    }
+
+
+def _schema_json_of(value: str | None) -> str | None:
+    """The envelope's schema member as canonical JSON, None when the
+    value is missing or unparseable (shared by both discovery paths)."""
+    if value is None:
+        return None
+    try:
+        return json.dumps(json.loads(value).get("schema"))
+    except (ValueError, AttributeError):
+        return None
+
+
 def latest_envelope_schema(raw: DataFrame) -> tuple[str | None, str | None]:
     """Driver-side discovery of the batch's schema & key JSON from the
     latest **parseable** record (the reference uses ``tail(1)`` twice,
@@ -274,14 +325,7 @@ def latest_envelope_schema(raw: DataFrame) -> tuple[str | None, str | None]:
     )
     if not row or row[0]["value"] is None:
         return None, None
-    value = row[0]["value"]
-    schema_json = None
-    if value:
-        try:
-            schema_json = json.dumps(json.loads(value).get("schema"))
-        except (ValueError, AttributeError):
-            schema_json = None
-    return row[0]["key"], schema_json
+    return row[0]["key"], _schema_json_of(row[0]["value"])
 
 
 def extract_kafka_headers(kafka_df: DataFrame) -> DataFrame:

@@ -8,11 +8,12 @@ reference's known issues fixed:
   sees (:396); we dispatch per distinct table (SURVEY.md §2.9).
 - keep-last dedup is a keyed window, not a pandas-on-Spark global sort
   (operators/dedup.keep_last).
-- schema/key discovery is ONE ordered-limit action instead of two
-  ``tail(1)`` full scans (envelope.latest_envelope_schema).
+- schema/key discovery for the WHOLE batch is ONE grouped aggregate
+  (envelope.batch_table_schemas) instead of the reference's two
+  ``tail(1)`` full scans per table.
 
 Flow per micro-batch:
-    dropna guards → distinct tables → per table:
+    dropna guards → batch-wide table+schema discovery → per table:
         slice → LWW compact → infer schema → parse envelope →
         multitenant stamp → create-on-first-sight or evolve → MERGE
 """
@@ -27,6 +28,7 @@ from pyspark.sql import functions as F
 
 from data_engineering_spark.cdc.envelope import (
     InferredSchema,
+    batch_table_schemas,
     infer_from_envelope_schema,
     latest_envelope_schema,
     parse_envelope_batch,
@@ -205,19 +207,22 @@ class CdcEngine:
         raw = raw.dropna(subset=["__op", "value", "__table", "__db"])
         raw = raw.cache()  # multi-action batch (reference :392)
         try:
-            # one driver action, not two: the distinct-tables collect IS
-            # the emptiness probe (an empty batch collects an empty list).
-            # At 40 concurrent streams per-batch driver actions serialize,
+            # one driver action, not 1 + N: the per-table schema/key
+            # discovery aggregation IS both the distinct-tables probe
+            # and the emptiness probe (an empty batch collects an empty
+            # dict), replacing the previous distinct-collect plus one
+            # latest_envelope_schema aggregate PER TABLE. At 40
+            # concurrent streams per-batch driver actions serialize,
             # so every job here counts.
-            tables = sorted(
-                r["__table"]
-                for r in raw.select("__table").distinct().collect()
-            )
+            schemas = batch_table_schemas(raw)
+            tables = sorted(schemas)
             par = max(1, self.config.table_parallelism)
             if par == 1 or len(tables) <= 1:
                 for name in tables:
                     self._process_table(
-                        raw.filter(F.col("__table") == name), name
+                        raw.filter(F.col("__table") == name),
+                        name,
+                        schemas[name],
                     )
                 return tables
             # independent per-table pipelines (disjoint target dirs)
@@ -234,6 +239,7 @@ class CdcEngine:
                         self._process_table,
                         raw.filter(F.col("__table") == name),
                         name,
+                        schemas[name],
                     )
                     for name in tables
                 }
@@ -244,8 +250,20 @@ class CdcEngine:
             raw.unpersist()
 
     # ------------------------------------------------------------------
-    def _process_table(self, slice_df: DataFrame, name: str) -> None:
-        key_json, schema_json = latest_envelope_schema(slice_df)
+    def _process_table(
+        self,
+        slice_df: DataFrame,
+        name: str,
+        discovered: tuple[str | None, str | None] | None = None,
+    ) -> None:
+        # `discovered` is the (key_json, schema_json) pair from the
+        # batch-wide discovery aggregation (process_batch); a direct
+        # caller without one pays the per-slice action instead.
+        key_json, schema_json = (
+            discovered
+            if discovered is not None
+            else latest_envelope_schema(slice_df)
+        )
         if schema_json is None or schema_json == "null":
             return
         inferred: InferredSchema = infer_from_envelope_schema(

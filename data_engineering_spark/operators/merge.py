@@ -188,6 +188,31 @@ def merge_frames(
     )
 
 
+def _has_data_files(path: str) -> bool:
+    """True when the directory tree under `path` holds at least one
+    parquet part file WITH rows. The after-write emptiness probe that
+    lets the create path skip its count() pre-pass: Spark may write a
+    single zero-row part file for an empty frame (schema-only footer),
+    so file presence alone is not enough — read the footer row count
+    (driver-local pyarrow metadata, no data pages) and short-circuit
+    on the first nonempty file."""
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            try:
+                meta = pq.ParquetFile(os.path.join(root, f)).metadata
+            except Exception:
+                # unreadable part file — treat as data so the caller
+                # never silently discards a possibly-nonempty table
+                return True
+            if meta.num_rows > 0:
+                return True
+    return False
+
+
 def _recover_swap(path: str, read_only: bool = False) -> None:
     """Self-heal the two-rename swap's crash window.
 
@@ -814,17 +839,19 @@ class MergeTable:
             # the table uncreated (found by the backend-equivalence
             # property test).
             #
-            # count(), NOT isEmpty(): the CDC engine rides its
+            # WRITE-FIRST, then roll back if empty — not a count()
+            # pre-pass, and NOT isEmpty(): the CDC engine rides its
             # quarantine metrics on the FIRST action over the observed
-            # batch plan (Observation completes there), and a limit-1
-            # probe short-circuits — metrics get counted over only the
-            # rows the early exit happened to scan, silently dropping
-            # quarantine rows (found by the malformed-payload engine
-            # property). The full count is one aggregate over a batch
-            # the very next statement writes out anyway.
-            if inserts.count() == 0:
-                return
+            # batch plan, and a limit-1 probe short-circuits — metrics
+            # get counted over only the rows the early exit happened to
+            # scan, silently dropping quarantine rows (found by the
+            # malformed-payload engine property). The parquet write
+            # scans every row (no short-circuit), so it completes the
+            # Observation exactly like the old count() did while saving
+            # one full aggregate pass over the batch per table create.
             self.create(inserts)
+            if not _has_data_files(self.path):
+                shutil.rmtree(self.path, ignore_errors=True)
             return
         target = self._read_raw()
         if self.partition_by:
@@ -1102,10 +1129,13 @@ class MergeTableMOR:
                 )
                 # same guard as the COW path: an all-deletes first
                 # batch must not create a zero-file (unreadable) base.
-                # count() not isEmpty() for the same observed-metrics
-                # reason documented in MergeTable._merge_inner.
-                if inserts.count() != 0:
-                    self.create(inserts)
+                # Write-first then roll back if empty (not count(), not
+                # isEmpty()) for the same observed-metrics reason
+                # documented in MergeTable._merge_inner — one batch
+                # scan instead of two.
+                self.create(inserts)
+                if not _has_data_files(self.base_path):
+                    shutil.rmtree(self.base_path, ignore_errors=True)
                 return
             # stage-then-rename: writing delta-N directly is not
             # retry-safe (with_retry wraps this in the CDC engine) — a

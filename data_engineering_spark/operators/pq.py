@@ -54,9 +54,21 @@ def _lloyd(X, k: int, iters: int, rng):
     re-scan which was O(n·k²·d)), and Lloyd uses the expanded GEMM
     distance ‖x‖² − 2x·Cᵀ + ‖C‖² — BLAS over an (n,k) temp instead of
     materializing an (n,k,d) difference tensor per iteration
-    (measured 6× on 147k×4, k=64)."""
+    (measured 6× on 147k×4, k=64). The whole routine runs under a
+    single-thread BLAS scope: these GEMMs are small enough that the
+    default all-core OpenBLAS pool costs more in fan-out/sync than the
+    math (and stalls for seconds when executors hold the cores) —
+    measured 16× on the PQ training step, output bit-identical
+    (operators/_blas.py)."""
     import numpy as np
 
+    from data_engineering_spark.operators._blas import single_thread_blas
+
+    with single_thread_blas():
+        return _lloyd_impl(X, k, iters, rng, np)
+
+
+def _lloyd_impl(X, k: int, iters: int, rng, np):
     n = len(X)
     k = min(k, n)
     # k-means++ init (incremental min — same floats as a full re-scan,
@@ -160,16 +172,29 @@ def codebook_frame(spark, cb) -> DataFrame:
         for sub in range(cb.shape[0])
         for j in range(cb.shape[1])
     ]
-    return spark.createDataFrame(
+    frame = spark.createDataFrame(
         rows, "m int, code int, centroid array<double>"
     )
+    # the tensor is already driver-local — pin it on the frame so
+    # same-run consumers (_codebook_matrix) skip the Spark round-trip
+    # re-collect of rows this process just created (each such collect
+    # is a full scheduler round; serving plans pay several). Downstream
+    # frames built from parquet/persisted codebooks don't carry the
+    # attribute and collect as before.
+    frame._pq_local_matrix = cb
+    return frame
 
 
 def _codebook_matrix(codebooks: DataFrame):
     """(m, k, dsub) numpy tensor from the persisted codebook frame.
-    Metadata-sized collect (m·k rows)."""
+    Metadata-sized collect (m·k rows) — skipped entirely when the
+    frame was built by codebook_frame in this process (the tensor is
+    pinned on it)."""
     import numpy as np
 
+    local = getattr(codebooks, "_pq_local_matrix", None)
+    if local is not None:
+        return local
     rows = codebooks.collect()
     m = 1 + max(r["m"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
@@ -282,16 +307,18 @@ def pq_topk(
         F.col(id_col).alias(query_id_col),
         as_double_vec(vec_col).alias("__qv"),
     )
-    # limit(N+1).count() stops scanning at the threshold — a cheap
-    # size probe, never a full count of a runaway query side
-    if qsel.limit(max_query_rows + 1).count() > max_query_rows:
+    # ONE bounded action: collect at most N+1 rows and fail on
+    # overflow — the size probe and the query collect were previously
+    # two scans of the query side; limit() keeps the driver transfer
+    # capped either way, so fusing them changes cost, not safety
+    qpdf = qsel.limit(max_query_rows + 1).toPandas()
+    if len(qpdf) > max_query_rows:
         raise ValueError(
             f"pq_topk: query side exceeds max_query_rows="
             f"{max_query_rows}; ADC serving broadcasts per-query "
             "lookup tables and is for bounded query batches. For "
             "corpus-scale sides use the block-grid similarity join."
         )
-    qpdf = qsel.toPandas()
     if not len(qpdf):
         return encoded.sparkSession.createDataFrame(
             [], f"{query_id_col} long, rank int, neighbor_id long, cosine_r double"
@@ -477,20 +504,24 @@ def ivf_pq_topk(
     n_cand = k if refine is None else k * refine_factor
     cb = _codebook_matrix(codebooks)
     m, _, dsub = cb.shape
-    cent_rows = sorted(centroids_df.collect(), key=lambda r: r["cluster"])
-    cents = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+    from data_engineering_spark.operators.similarity import (
+        centroid_matrix,
+    )
+
+    cents = centroid_matrix(centroids_df)
     n_clusters = len(cents)
 
     qsel = queries.select(
         F.col(id_col).alias(query_id_col),
         as_double_vec(vec_col).alias("__qv"),
     )
-    if qsel.limit(max_query_rows + 1).count() > max_query_rows:
+    # one bounded action — probe and collect fused (see pq_topk)
+    qpdf = qsel.limit(max_query_rows + 1).toPandas()
+    if len(qpdf) > max_query_rows:
         raise ValueError(
             f"ivf_pq_topk: query side exceeds max_query_rows="
             f"{max_query_rows}; see pq_topk's contract note."
         )
-    qpdf = qsel.toPandas()
     if not len(qpdf):
         return encoded.sparkSession.createDataFrame(
             [],

@@ -483,6 +483,26 @@ def cosine_pandas_udf():
     return pandas_udf(_cos, "double")
 
 
+def centroid_matrix(centroids_df: DataFrame):
+    """Cluster-ordered (k, d) numpy centroid matrix from a (cluster,
+    centroid) frame. When the frame was built driver-side in this
+    process (build_ivf_index's KMeans branch, the deterministic
+    fixture path in queries/similarity.py), the matrix is pinned on
+    the frame and the Spark re-collect round-trip is skipped — serving
+    plans otherwise pay one scheduler round per consumer for rows this
+    process just created. Frames read from parquet collect as before
+    (metadata-sized: n_clusters rows)."""
+    import numpy as np
+
+    local = getattr(centroids_df, "_ivf_local_matrix", None)
+    if local is not None:
+        return local
+    cent_rows = sorted(
+        centroids_df.collect(), key=lambda r: r["cluster"]
+    )
+    return np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+
+
 def _assign_probes_distributed(
     qframe: DataFrame,
     centroids,
@@ -625,12 +645,7 @@ def build_ivf_index(
         as_double_vec(vec_col).alias("__cv"),
     )
     if centroids_df is not None:
-        cent_rows = sorted(
-            centroids_df.collect(), key=lambda r: r["cluster"]
-        )
-        centroids = np.stack(
-            [np.asarray(r["centroid"]) for r in cent_rows]
-        )
+        centroids = centroid_matrix(centroids_df)
         assigned = _assign_probes_distributed(
             feat.withColumnRenamed("__cv", "__qv"),
             centroids,
@@ -653,6 +668,8 @@ def build_ivf_index(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cluster int, centroid array<double>",
         )
+        # driver-local matrix: same-run consumers skip the re-collect
+        centroids_df._ivf_local_matrix = centroids
     if quantized:
         # floor(x+0.5) rounding per the cross-engine rule in
         # quantize_embeddings; per-vector scale cancels out of cosine
@@ -689,22 +706,21 @@ def ivf_topk_from_index(
     ivf_topk's documentation."""
     import numpy as np
 
-    cent_rows = sorted(
-        centroids_df.collect(), key=lambda r: r["cluster"]
-    )
-    centroids = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+    centroids = centroid_matrix(centroids_df)
 
     qframe = queries.select(
         F.col(id_col).alias(query_id_col),
         as_double_vec(vec_col).alias("__qv"),
     )
     probe_schema = f"{query_id_col} long, __qv array<double>, __cluster int"
-    # limit(N+1).count() stops scanning once the threshold is exceeded —
-    # a cheap size probe, never a full count of a corpus-scale query side
-    n_small = qframe.limit(driver_assign_limit + 1).count()
-    broadcast_probes = n_small <= driver_assign_limit
+    # ONE bounded action decides the path AND collects the small case:
+    # at most N+1 rows reach the driver (limit short-circuits the scan
+    # for a corpus-scale query side), and when the side is small the
+    # collected frame IS the broadcast payload — previously a separate
+    # count probe plus a second full collect of the same rows
+    qpdf = qframe.limit(driver_assign_limit + 1).toPandas()
+    broadcast_probes = len(qpdf) <= driver_assign_limit
     if broadcast_probes:
-        qpdf = qframe.toPandas()
         if not len(qpdf):
             return queries.sparkSession.createDataFrame(
                 [],
@@ -1384,8 +1400,7 @@ def ivf_add(
     """
     import numpy as np
 
-    cent_rows = sorted(centroids_df.collect(), key=lambda r: r["cluster"])
-    centroids = np.stack([np.asarray(r["centroid"]) for r in cent_rows])
+    centroids = centroid_matrix(centroids_df)
     src = new_vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("__cv"),

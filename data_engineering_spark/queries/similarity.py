@@ -138,32 +138,44 @@ def _stride_sample_spark(e: DataFrame):
     return np.stack(pdf["__v"].to_numpy()), n
 
 
-def _ivf_centroids_spark(spark: SparkSession, e: DataFrame) -> DataFrame:
+def _ivf_centroids_spark(
+    spark: SparkSession, e: DataFrame, sample=None
+) -> DataFrame:
     """Deterministic coarse quantizer on the Spark side, fixture-shared
     with the oracle (see _stride_sample_spark) — both paths produce
     bit-identical centroids, so oracle-vs-query execution order never
-    matters."""
+    matters. `sample` (the (matrix, corpus_n) pair) lets a query that
+    trains BOTH quantizers collect the stride sample once — the
+    collection is two Spark actions (count + ordered toPandas) that the
+    IVF-PQ queries previously paid twice per run."""
     from data_engineering_spark.queries import _fixtures as FX
 
-    x, n = _stride_sample_spark(e)
+    x, n = sample if sample is not None else _stride_sample_spark(e)
     cents = FX.ivf_train_centroids(x)
     try:
         FX.write_ivf_fixture(cents, n)
     except Exception as e:
         FX.warn_fixture_write_failed("write_ivf_fixture", e)
-    return spark.createDataFrame(
+    frame = spark.createDataFrame(
         [(i, [float(v) for v in cents[i]]) for i in range(len(cents))],
         "cluster int, centroid array<double>",
     )
+    # driver-local matrix: same-run consumers (operators/similarity.
+    # centroid_matrix) skip the Spark re-collect of rows just created
+    frame._ivf_local_matrix = cents
+    return frame
 
 
-def _pq_codebooks_spark(spark: SparkSession, e: DataFrame) -> DataFrame:
+def _pq_codebooks_spark(
+    spark: SparkSession, e: DataFrame, sample=None
+) -> DataFrame:
     """Deterministic PQ codebooks, fixture-shared with the oracle (same
-    contract as _ivf_centroids_spark)."""
+    contract — and same shared-`sample` option — as
+    _ivf_centroids_spark)."""
     from data_engineering_spark.operators.pq import codebook_frame
     from data_engineering_spark.queries import _fixtures as FX
 
-    x, n = _stride_sample_spark(e)
+    x, n = sample if sample is not None else _stride_sample_spark(e)
     cb = FX.pq_train_sample(x)
     try:
         FX.write_pq_fixture(cb, n)
@@ -873,8 +885,8 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
     cents, cb, encoded = build_ivf_pq_index(
         e, n_clusters=16, m=16, k_codes=64,
-        centroids_df=_ivf_centroids_spark(spark, e),
-        codebooks=_pq_codebooks_spark(spark, e),
+        centroids_df=_ivf_centroids_spark(spark, e, sample=(s := _stride_sample_spark(e))),
+        codebooks=_pq_codebooks_spark(spark, e, sample=s),
     )
     return ivf_pq_topk(cents, cb, encoded, q, k=_K, n_probe=8)
 
@@ -1057,8 +1069,9 @@ def q_embedding_ivfpq_refine_serving(
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
-    cents = _ivf_centroids_spark(spark, e)
-    cb = _pq_codebooks_spark(spark, e)
+    sample = _stride_sample_spark(e)
+    cents = _ivf_centroids_spark(spark, e, sample=sample)
+    cb = _pq_codebooks_spark(spark, e, sample=sample)
     encoded = _ivfpq_encoded_fixture(spark, e, sf_dir)
     return ivf_pq_topk(
         cents, cb, encoded, q, k=_K, n_probe=8,
@@ -1085,8 +1098,8 @@ def q_embedding_ivfpq_refine_topk(
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
     cents, cb, encoded = build_ivf_pq_index(
         e, n_clusters=16, m=16, k_codes=64,
-        centroids_df=_ivf_centroids_spark(spark, e),
-        codebooks=_pq_codebooks_spark(spark, e),
+        centroids_df=_ivf_centroids_spark(spark, e, sample=(s := _stride_sample_spark(e))),
+        codebooks=_pq_codebooks_spark(spark, e, sample=s),
     )
     return ivf_pq_topk(
         cents, cb, encoded, q, k=_K, n_probe=8,
