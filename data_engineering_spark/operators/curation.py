@@ -134,7 +134,12 @@ def curate_corpus(
             text_col=text_col,
             threshold=jaccard_threshold,
         )
-        comp = connected_components(pairs, "doc_a", "doc_b")
+        # ngram_jaccard_pairs emits distinct canonical (a < b) pairs
+        # (cands .distinct() + one verify row per candidate) — skip
+        # CC's union+distinct shuffle
+        comp = connected_components(
+            pairs, "doc_a", "doc_b", edges_unique=True
+        )
         member = (
             quality.withColumn("__len", score)
             .join(

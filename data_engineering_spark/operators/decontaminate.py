@@ -58,13 +58,26 @@ def eval_gram_set(
         .select(F.explode("__g").alias("gram"))
         .distinct()
     )
-    if grams.limit(max_eval_grams + 1).count() > max_eval_grams:
+    # one materialization, not two: the bound probe used to execute
+    # the eval shingle pipeline once and the consumer's broadcast
+    # build executed it AGAIN — persist so the probe's partial scan
+    # seeds the cache and the consumer's broadcast build completes it
+    # (subsequent actions reuse). Catalog-tracked MEMORY_AND_DISK, the
+    # same carry contract as text.ngram_jaccard_pairs' internal
+    # persists: freed by clearCache / LRU, bounded by the loud gram
+    # cap below. The probe stays limit(N+1), never a full count: a
+    # pathological "eval set" is caught after materializing ~N+1 rows.
+    from pyspark import StorageLevel
+
+    cached = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    if cached.limit(max_eval_grams + 1).count() > max_eval_grams:
+        cached.unpersist(blocking=False)
         raise ValueError(
             f"eval n-gram set exceeds max_eval_grams={max_eval_grams}: "
             "not broadcastable — raise n, shrink the eval set, or "
             "raise the bound explicitly"
         )
-    return grams
+    return cached
 
 
 def contamination_stats(

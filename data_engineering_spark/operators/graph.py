@@ -29,6 +29,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Component label per vertex of the undirected edge set.
 
@@ -37,6 +38,15 @@ def connected_components(
     cluster id. Only vertices that appear in at least one edge are
     returned (isolated documents are their own trivial cluster and
     don't need a join to find out).
+
+    `edges_unique=True` declares the input a DISTINCT canonical pair
+    list (every edge appears once, one orientation — what star_edges
+    and ngram_jaccard_pairs emit by construction) and skips the
+    union+distinct shuffle: the checkpointed one-direction frame is
+    mirrored lazily instead. Purely a shuffle-count optimization —
+    duplicate edges never change CC labels (every per-round operator
+    is a min aggregate), so a caller mis-declaring uniqueness loses
+    only the loop-size reduction, never correctness.
 
     Raises RuntimeError if not converged after `max_iter` rounds —
     near-dup graphs converge in a handful; hitting the cap means the
@@ -56,17 +66,27 @@ def connected_components(
     # persist + count, NOT a direct localCheckpoint: the direct RDD
     # path re-executes an expensive edge pipeline un-optimized
     # (measured 143.7 s vs 62 s total at 16x scale — see
-    # operators/materialize.py). e1 itself needs no checkpoint — `e`
-    # checkpoints immediately after, reading e1 from the cache.
+    # operators/materialize.py).
     e1 = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).persist()
     e1.count()
-    e = (
-        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if edges_unique:
+        # one-direction blocks only; the mirror is a narrow map over
+        # the checkpoint, re-derived per consumer for free — no
+        # distinct exchange, half the checkpointed bytes
+        base = e1.localCheckpoint(eager=True)
+        e = base.union(
+            base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        base = e = (
+            e1.union(
+                e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     e1.unpersist(blocking=False)
     # seed with min(self, min(neighbor)) — the first propagation round
     # comes free inside the init aggregate (one round fewer in the loop)
@@ -92,22 +112,22 @@ def connected_components(
             except Exception:
                 pass
 
-    return _cc_loop(e, labels, prev_ckpt, max_iter, _release)
+    return _cc_loop(e, base, labels, prev_ckpt, max_iter, _release)
 
 
-def _cc_loop(e, labels, prev_ckpt, max_iter, _release):
+def _cc_loop(e, base, labels, prev_ckpt, max_iter, _release):
     try:
-        return _cc_rounds(e, labels, prev_ckpt, max_iter, _release)
+        return _cc_rounds(e, base, labels, prev_ckpt, max_iter, _release)
     except BaseException:
         # the hygiene contract must hold on the failure path too: a
         # non-convergence raise (or any mid-loop error) would otherwise
         # strand the edge checkpoint blocks, which clearCache cannot
         # free (the round checkpoints release inside _cc_rounds)
-        _release(e)
+        _release(base)
         raise
 
 
-def _cc_rounds(e, labels, prev_ckpt, max_iter, _release):
+def _cc_rounds(e, base, labels, prev_ckpt, max_iter, _release):
     for _ in range(max_iter):
         # step 1 — edge propagation: for each vertex, min label among
         # its neighbors, then min(own, incoming)
@@ -157,7 +177,7 @@ def _cc_rounds(e, labels, prev_ckpt, max_iter, _release):
         prev_ckpt = jumped
         labels = jumped.select("vertex", "component")
         if changed == 0:
-            _release(e)
+            _release(base)
             return labels
     _release(prev_ckpt)
     raise RuntimeError(
@@ -169,12 +189,17 @@ def dedup_clusters(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Near-dup pairs → cluster assignment: (doc_id, cluster_id,
     cluster_size, is_canonical). `cluster_id` = min doc id in the
     component; `is_canonical` marks the single document per cluster a
-    dedup pass would keep."""
-    cc = connected_components(pairs, src_col, dst_col)
+    dedup pass would keep. `edges_unique` as in
+    connected_components (skip the dedup shuffle for pair lists that
+    are distinct + canonical by construction)."""
+    cc = connected_components(
+        pairs, src_col, dst_col, edges_unique=edges_unique
+    )
     sizes = cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

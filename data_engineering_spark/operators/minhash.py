@@ -474,7 +474,12 @@ def minhash_star_clusters(
         )
     from data_engineering_spark.operators.graph import connected_components
 
-    comp = connected_components(star, "doc_a", "doc_b")
+    # star_edges emits a DISTINCT canonical pair list (rep < member by
+    # construction, .distinct() inside; verify only filters rows) —
+    # skip CC's union+distinct shuffle
+    comp = connected_components(
+        star, "doc_a", "doc_b", edges_unique=True
+    )
     # connected_components materializes its edge input EAGERLY (the
     # persist+count at graph.py's entry) and returns checkpointed
     # labels, so the bands/docsets caches are fully consumed by this

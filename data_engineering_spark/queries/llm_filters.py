@@ -533,7 +533,9 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.5x slower steady-state). Long-lived pipelines that must
     # not accumulate cache call the operator directly with release_cache.
     pairs = ngram_jaccard_pairs(d, threshold=0.6)
-    return dedup_clusters(pairs)
+    # the pair list is distinct + canonical by construction — skip
+    # CC's union+distinct shuffle (operators/graph.py edges_unique)
+    return dedup_clusters(pairs, edges_unique=True)
 
 
 @query(
@@ -927,7 +929,9 @@ def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d.select("doc_id", "text"), n=3, threshold=0.6
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(
+        pairs, "doc_a", "doc_b", edges_unique=True
+    )
     rep = d.select("doc_id").join(
         comp.select(
             F.col("vertex").alias("doc_id"),
@@ -999,7 +1003,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         d.select("doc_id", "text"), n=3, threshold=0.6
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(
+        pairs, "doc_a", "doc_b", edges_unique=True
+    )
     member = d.select("doc_id", "n_chars").join(
         comp.select(
             F.col("vertex").alias("doc_id"),

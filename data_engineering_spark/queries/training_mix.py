@@ -245,35 +245,52 @@ def q_corpus_training_mix(
     # subtree per stage row — eager-checkpoint the fixed-width
     # (doc_id, n_bpe_tokens) frame once (materialize.py: persist →
     # count → checkpoint from cache → release) so every branch reads
-    # the checkpoint and nothing stays session-pinned
-    counts = eager_checkpoint(
-        bpe_doc_token_counts(d, _bpe_merges(spark, sf_dir)).select(
-            "doc_id", "n_bpe_tokens"
+    # the checkpoint and nothing stays session-pinned.
+    # OVERLAPPED with the funnel (guide: Spark's scheduler runs
+    # independent jobs concurrently; actions submitted from separate
+    # threads interleave): the encode fold shares no input with the
+    # star-CC funnel below, whose loop leaves most cores idle between
+    # its metadata-sized rounds — running both at once hides the
+    # whole encode pass behind the funnel wall time. Joined (.result())
+    # before the first consumer, so failure/ordering semantics are
+    # unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        counts_fut = pool.submit(
+            lambda: eager_checkpoint(
+                bpe_doc_token_counts(
+                    d, _bpe_merges(spark, sf_dir)
+                ).select("doc_id", "n_bpe_tokens")
+            )
         )
-    )
-    capped, stages = curate_corpus(
-        d, score_col="n_chars", near_dup="star"
-    )
-    # same rationale for the funnel output: five stage rows and the
-    # whole mix tail hang off `capped` (a ≤cap_n·|source×lang| frame —
-    # tiny by construction), and the star-CC subtree above it is the
-    # expensive part of the plan
-    capped = eager_checkpoint(capped)
-    # s5 and s6 are referenced by EVERY downstream branch (their own
-    # stage rows, the mix demands, the cumulative-window selection, the
-    # packer, and the water-fill collect) — left lazy, the union action
-    # re-executed the decontamination n-gram scan and the classifier
-    # scoring subtree once per consumer (measured ~5x at sf0.1: 22 s →
-    # the checkpointed shape below; guide §5 "caching is worth it when
-    # a frame is reused and recomputation is expensive"). Both frames
-    # are attrition survivors of the already-tiny `capped` (≤ cap_n ×
-    # |source×lang| rows), so the checkpoints are metadata-sized.
-    s5 = eager_checkpoint(decontaminate(capped, _eval_slice(d), n=_N))
-    w = synthetic_weights(spark, _B, seed=_SEED, scale=_SCALE)
-    gate = linear_classifier_score(
-        s5, w, num_buckets=_B, bias=_BIAS, bucket_hash="md5"
-    ).filter(F.col("label")).select("doc_id")
-    s6 = eager_checkpoint(s5.join(gate, "doc_id", "left_semi"))
+        capped, stages = curate_corpus(
+            d, score_col="n_chars", near_dup="star"
+        )
+        # same rationale for the funnel output: five stage rows and the
+        # whole mix tail hang off `capped` (a ≤cap_n·|source×lang|
+        # frame — tiny by construction), and the star-CC subtree above
+        # it is the expensive part of the plan
+        capped = eager_checkpoint(capped)
+        # s5 and s6 are referenced by EVERY downstream branch (their
+        # own stage rows, the mix demands, the cumulative-window
+        # selection, the packer, and the water-fill collect) — left
+        # lazy, the union action re-executed the decontamination n-gram
+        # scan and the classifier scoring subtree once per consumer
+        # (measured ~5x at sf0.1: 22 s → the checkpointed shape below;
+        # guide §5 "caching is worth it when a frame is reused and
+        # recomputation is expensive"). Both frames are attrition
+        # survivors of the already-tiny `capped` (≤ cap_n ×
+        # |source×lang| rows), so the checkpoints are metadata-sized.
+        s5 = eager_checkpoint(
+            decontaminate(capped, _eval_slice(d), n=_N)
+        )
+        w = synthetic_weights(spark, _B, seed=_SEED, scale=_SCALE)
+        gate = linear_classifier_score(
+            s5, w, num_buckets=_B, bias=_BIAS, bucket_hash="md5"
+        ).filter(F.col("label")).select("doc_id")
+        s6 = eager_checkpoint(s5.join(gate, "doc_id", "left_semi"))
+        counts = counts_fut.result()
 
     per6 = s6.select("doc_id", "source", "lang").join(counts, "doc_id")
     demands = per6.groupBy("source").agg(

@@ -125,6 +125,48 @@ def test_dedup_clusters_shape(spark):
     assert len(canon) == 2
 
 
+def test_connected_components_edges_unique_fast_path(spark):
+    # the unique-canonical fast path (skips the union+distinct
+    # shuffle) must label identically to the default path — including
+    # when the caller MIS-declares uniqueness: duplicate / reversed
+    # edges never change min-label CC output, only loop size
+    uniq = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            uniq, edges_unique=True
+        ).collect()
+    }
+    assert got == expect
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (2, 3), (4, 3), (10, 11), (11, 10)],
+        ["doc_a", "doc_b"],
+    )
+    got_messy = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            messy, edges_unique=True
+        ).collect()
+    }
+    assert got_messy == expect
+
+
+def test_dedup_clusters_edges_unique_matches_default(spark):
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 7), (20, 30)], ["doc_a", "doc_b"]
+    )
+    base = sorted(
+        map(tuple, dedup_clusters(edges).collect())
+    )
+    fast = sorted(
+        map(tuple, dedup_clusters(edges, edges_unique=True).collect())
+    )
+    assert base == fast
+
+
 def test_c4_line_filter(spark):
     from data_engineering_spark.operators.filters import c4_line_filter
 

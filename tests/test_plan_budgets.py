@@ -63,8 +63,14 @@ EXCHANGE_BUDGET = {
     "q_embedding_ivfpq_refine_topk": 10,
     # round-8 decontamination: eval-slice gram aggregation (bounded,
     # broadcasts) + the corpus-side per-doc agg; the broadcast join
-    # itself counts as exchanges in the textual plan
-    "q_doc_decontamination_stats": 6,
+    # itself counts as exchanges in the textual plan. 6 -> 8 in r11:
+    # eval_gram_set now persists the gram set (one materialization
+    # instead of probe + broadcast-build re-execution), and the
+    # textual plan renders the InMemoryRelation's STORED build plan —
+    # its two eval-side exchanges — alongside the scan; at runtime the
+    # eval subtree executes once and the cache is read back (fewer
+    # shuffles executed, two more printed)
+    "q_doc_decontamination_stats": 8,
     # round-8 WordPiece encode: (doc, word) count shuffle + the
     # distinct-word aggregate feeding the greedy fold + the word join
     # back + per-doc agg + the left join to the doc spine; the occ
