@@ -922,7 +922,16 @@ class MergeTable:
         ts_guard: bool,
     ) -> None:
         p = self.partition_by
-        src_parts = source.select(p).distinct()
+        # ONE distinct for the whole affected-partition set: the old
+        # shape deduped each branch separately (src_parts.distinct(),
+        # moved_parts.distinct(), then union().distinct(), plus a
+        # .distinct() on the semi-join probe side) — every inner
+        # distinct is an extra exchange whose AQE stage jobs serialize
+        # ahead of the collect (measured: 9 stage jobs ≈ 0.9 s per
+        # merge at sf0.1). Map-side partial aggregation already
+        # shrinks the few partition values before the single final
+        # distinct, and a left-semi join never multiplies rows, so
+        # dropping the inner dedups changes nothing but the job count.
         if p in self.key_columns or self.bucket_by is not None:
             # identity partition on a merge key (e.g. the __rds_id
             # fallback) or a synthetic key-hash bucket: the key
@@ -930,18 +939,14 @@ class MergeTable:
             # row across partitions — the batch's own partitions are
             # exactly the affected set. Skips a full target scan (the
             # moved-keys semi-join) per merge.
-            all_parts = src_parts
+            all_parts = source.select(p).distinct()
         else:
-            moved_parts = (
-                target.join(
-                    source.select(*self.key_columns).distinct(),
-                    self.key_columns,
-                    "left_semi",
-                )
-                .select(p)
-                .distinct()
-            )
-            all_parts = src_parts.union(moved_parts).distinct()
+            moved_parts = target.join(
+                source.select(*self.key_columns),
+                self.key_columns,
+                "left_semi",
+            ).select(p)
+            all_parts = source.select(p).union(moved_parts).distinct()
         parts = [r[p] for r in all_parts.collect()]
         if not parts:  # empty batch → nothing to rewrite
             return

@@ -388,12 +388,22 @@ def turn_token_counts(
                 f"(composite-id arithmetic), got {dt.simpleString()}"
             )
     width = max_turns + 1  # composite stride: turn_idx < width
+    # the projected turn frame feeds THREE scans of one action — the
+    # (id, word) occurrence side, bpe_doc_token_counts' never-drop doc
+    # spine, and the role join-back below. Left lazy, each scan
+    # re-executes the caller's whole turn-synthesis subtree (measured
+    # 0.8 s/scan at sf0.1 — the tokenize + slice + explode pipeline of
+    # synthesize_turns). Persist the 4-column projection once;
+    # catalog-tracked MEMORY_AND_DISK with the same session-carry /
+    # clearCache contract as text.ngram_jaccard_pairs' internals.
+    from pyspark import StorageLevel
+
     t = turns.select(
         F.col(conv_col).cast("long").alias("conv_id"),
         F.col(idx_col).cast("long").alias("turn_idx"),
         F.col(role_col).alias("role"),
         F.col(text_col).alias("turn_text"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # assert_true returns NULL when the predicate holds and throws
     # otherwise; gating the composite id on its nullity forces the
     # check into the same projection with zero extra jobs.
