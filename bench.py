@@ -435,8 +435,25 @@ def bench_bucketed_join(spark, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — the hypervisor-steal
+    attribution signal. The end-of-run host probe is a point sample
+    and provably misses mid-run steal BURSTS (observed: a quiet probe
+    reading next to 2-4x inflated samples while the cumulative steal
+    counter had jumped); the run-wide steal delta catches them."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ticks0 = _cpu_ticks()
     spark = get_session(app_name="data-engineering-spark-bench")
 
     # JVM/codegen warmup so the timed runs measure steady-state query
@@ -567,6 +584,15 @@ def main() -> None:
         host_probe = round(probe_sec(), 4)
     except Exception:
         host_probe = None
+    # run-wide hypervisor-steal share: % of this run's CPU jiffies
+    # stolen by co-tenants. 0 on a quiet host; an inflated artifact
+    # with steal_pct > ~1 is environmental, not a code regression.
+    ticks1 = _cpu_ticks()
+    steal_pct = None
+    if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+        steal_pct = round(
+            100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 3
+        )
     print(
         json.dumps(
             {
@@ -577,6 +603,7 @@ def main() -> None:
                 "samples": samples,
                 "phases": all_phases,
                 "host_probe_sec": host_probe,
+                "steal_pct": steal_pct,
                 "sf": sf_val,
             }
         )
