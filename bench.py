@@ -498,6 +498,11 @@ def main() -> None:
         # as the same-round watch entry
         "q_doc_dedup_clusters",
         "q_doc_gopher_filters",
+        # r11: the training-mix composition shares the funnel/star
+        # machinery above (same session-carry profile — sample 1 pays
+        # every persist/JIT; steady state appears at sample 2-3) and
+        # runs LAST, where long-JVM inflation lands hardest
+        "q_corpus_training_mix",
     }
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -256,13 +256,24 @@ def q_corpus_training_mix(
     # unchanged.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    from data_engineering_spark.operators.decontaminate import (
+        eval_gram_set,
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
         counts_fut = pool.submit(
             lambda: eager_checkpoint(
                 bpe_doc_token_counts(
                     d, _bpe_merges(spark, sf_dir)
                 ).select("doc_id", "n_bpe_tokens")
             )
+        )
+        # the eval-gram set depends only on `d` — warm its persist
+        # concurrently too (eval_gram_set's bound probe materializes
+        # the cache; decontaminate() below builds the IDENTICAL plan,
+        # so the cache manager serves it the seeded blocks)
+        grams_fut = pool.submit(
+            lambda: eval_gram_set(_eval_slice(d), n=_N)
         )
         capped, stages = curate_corpus(
             d, score_col="n_chars", near_dup="star"
@@ -282,6 +293,8 @@ def q_corpus_training_mix(
         # recomputation is expensive"). Both frames are attrition
         # survivors of the already-tiny `capped` (≤ cap_n ×
         # |source×lang| rows), so the checkpoints are metadata-sized.
+        grams_fut.result()  # warm done (it races decontaminate's own
+        # probe otherwise — same result, duplicated work)
         s5 = eager_checkpoint(
             decontaminate(capped, _eval_slice(d), n=_N)
         )

@@ -62,9 +62,15 @@ def test_star_curation_soak_storage_returns_to_baseline(spark):
 
     # steady state, not monotone growth: whatever residual one call
     # leaves (GC-pinned checkpoint labels), call N must not stack N of
-    # them (the r6 leak added band+docset blocks EVERY call)
-    assert per_call[-1] <= per_call[0] + 2, (
-        f"storage grows per call: {per_call}"
+    # them (the r6 leak added band+docset blocks EVERY call). The raw
+    # post-call reading races the ContextCleaner — identical commits
+    # measured [4,7,7,10] and [4,5,6,6] on consecutive runs while BOTH
+    # settled to 1 block — so the growth assertion reads a SETTLED
+    # count (the r6 leak class pins GC-proof blocks that no settle can
+    # drain: +3-4/call is still far outside the tolerance).
+    steady = _settle(spark, per_call[0] + 2, tries=30)
+    assert steady <= per_call[0] + 2, (
+        f"storage grows per call: {per_call} (settled {steady})"
     )
 
     # and after the frames are dead, storage must come back down to
@@ -102,8 +108,9 @@ def test_conversation_dedup_soak_storage_returns_to_baseline(spark):
         ).write.format("noop").mode("overwrite").save()
         per_call.append(_blocks(spark))
 
-    assert per_call[-1] <= per_call[0] + 2, (
-        f"storage grows per call: {per_call}"
+    steady = _settle(spark, per_call[0] + 2, tries=30)
+    assert steady <= per_call[0] + 2, (  # settled reading, see above
+        f"storage grows per call: {per_call} (settled {steady})"
     )
     spark.catalog.clearCache()
     final = _settle(spark, baseline)
@@ -132,8 +139,9 @@ def test_dsir_soak_storage_returns_to_baseline(spark):
         ).write.format("noop").mode("overwrite").save()
         per_call.append(_blocks(spark))
 
-    assert per_call[-1] <= per_call[0] + 2, (
-        f"storage grows per call: {per_call}"
+    steady = _settle(spark, per_call[0] + 2, tries=30)
+    assert steady <= per_call[0] + 2, (  # settled reading, see above
+        f"storage grows per call: {per_call} (settled {steady})"
     )
     spark.catalog.clearCache()
     final = _settle(spark, baseline)
@@ -157,8 +165,9 @@ def test_cdc_pipeline_soak_storage_returns_to_baseline(spark):
         bench_cdc_ingest(spark, SF)
         per_call.append(_blocks(spark))
 
-    assert per_call[-1] <= per_call[0] + 2, (
-        f"storage grows per call: {per_call}"
+    steady = _settle(spark, per_call[0] + 2, tries=30)
+    assert steady <= per_call[0] + 2, (  # settled reading, see above
+        f"storage grows per call: {per_call} (settled {steady})"
     )
     spark.catalog.clearCache()
     final = _settle(spark, baseline)
