@@ -53,29 +53,39 @@ def connected_components(
     input is not the expected pair list.
     """
     # undirected: keep both directions so one join propagates both ways.
-    # localCheckpoint (eager) rather than persist: an iterative loop's
-    # lineage otherwise grows by one join+agg per round and each
-    # convergence action replans the whole history — measured driver
-    # heap OOM at sf0.01 without truncation. Checkpointing each round's
-    # labels keeps the plan depth constant.
+    # localCheckpoint rather than persist: an iterative loop's lineage
+    # otherwise grows by one join+agg per round and each convergence
+    # action replans the whole history — measured driver heap OOM at
+    # sf0.01 without truncation. Checkpointing each round's labels
+    # keeps the plan depth constant.
     # materialize ONE direction first: unioning two selects over an
     # expensive, uncached edge source would execute its whole subtree
     # twice inside a single job (both union branches scan before any
     # persist block exists — measured 2x the pair-pipeline cost). The
     # checkpointed one-direction frame is then mirrored for free.
-    # persist + count, NOT a direct localCheckpoint: the direct RDD
-    # path re-executes an expensive edge pipeline un-optimized
+    # persist + count, NOT a direct eager localCheckpoint: the direct
+    # RDD path re-executes an expensive edge pipeline un-optimized
     # (measured 143.7 s vs 62 s total at 16x scale — see
     # operators/materialize.py).
     e1 = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).persist()
     e1.count()
+    # base/labels checkpoints are LAZY (eager=False): each one still
+    # truncates lineage to an RDD scan immediately, but materialization
+    # happens inside round 0's convergence-count job instead of paying
+    # one serialized driver action per frame — 3 fewer scheduler
+    # round-trips per CC call (guide §5: the driver should do almost no
+    # work; serialized metadata-sized jobs are pure driver latency).
+    # base computes from e1's CACHE (the count above populated it), so
+    # the RDD-path penalty documented in operators/materialize.py does
+    # not apply; e1 stays persisted until round 0 materializes base
+    # (released inside _cc_rounds).
     if edges_unique:
         # one-direction blocks only; the mirror is a narrow map over
         # the checkpoint, re-derived per consumer for free — no
         # distinct exchange, half the checkpointed bytes
-        base = e1.localCheckpoint(eager=True)
+        base = e1.localCheckpoint(eager=False)
         e = base.union(
             base.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -85,16 +95,15 @@ def connected_components(
                 e1.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    e1.unpersist(blocking=False)
     # seed with min(self, min(neighbor)) — the first propagation round
     # comes free inside the init aggregate (one round fewer in the loop)
     labels = (
         e.groupBy("u")
         .agg(F.least(F.col("u"), F.min("v")).alias("component"))
         .select(F.col("u").alias("vertex"), "component")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # checkpoint hygiene: localCheckpoint blocks are NOT catalog-tracked
@@ -112,23 +121,26 @@ def connected_components(
             except Exception:
                 pass
 
-    return _cc_loop(e, base, labels, prev_ckpt, max_iter, _release)
+    return _cc_loop(e, base, e1, labels, prev_ckpt, max_iter, _release)
 
 
-def _cc_loop(e, base, labels, prev_ckpt, max_iter, _release):
+def _cc_loop(e, base, e1, labels, prev_ckpt, max_iter, _release):
     try:
-        return _cc_rounds(e, base, labels, prev_ckpt, max_iter, _release)
+        return _cc_rounds(
+            e, base, e1, labels, prev_ckpt, max_iter, _release
+        )
     except BaseException:
         # the hygiene contract must hold on the failure path too: a
         # non-convergence raise (or any mid-loop error) would otherwise
-        # strand the edge checkpoint blocks, which clearCache cannot
-        # free (the round checkpoints release inside _cc_rounds)
+        # strand the edge checkpoint/cache blocks, which clearCache
+        # cannot free (the round checkpoints release inside _cc_rounds)
         _release(base)
+        _release(e1)
         raise
 
 
-def _cc_rounds(e, base, labels, prev_ckpt, max_iter, _release):
-    for _ in range(max_iter):
+def _cc_rounds(e, base, e1, labels, prev_ckpt, max_iter, _release):
+    for rnd in range(max_iter):
         # step 1 — edge propagation: for each vertex, min label among
         # its neighbors, then min(own, incoming)
         incoming = (
@@ -154,23 +166,30 @@ def _cc_rounds(e, base, labels, prev_ckpt, max_iter, _release):
         # round, giving the textbook O(log n) convergence that 100 TB
         # pair graphs need.
         a, b = prop.alias("a"), prop.alias("b")
-        jumped = (
-            a.join(b, F.col("a.component") == F.col("b.vertex"), "left")
-            .select(
-                F.col("a.vertex").alias("vertex"),
-                F.col("a.__old").alias("__old"),
-                F.least(
-                    F.col("a.component"),
-                    F.coalesce(F.col("b.component"), F.col("a.component")),
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # joinless convergence probe: a scan of the just-materialized
-        # checkpoint blocks (metadata-cheap), not a join + shuffle
+        jumped = a.join(
+            b, F.col("a.component") == F.col("b.vertex"), "left"
+        ).select(
+            F.col("a.vertex").alias("vertex"),
+            F.col("a.__old").alias("__old"),
+            F.least(
+                F.col("a.component"),
+                F.coalesce(F.col("b.component"), F.col("a.component")),
+            ).alias("component"),
+        ).localCheckpoint(eager=False)
+        # fused convergence probe: the count is the round's ONE action —
+        # it computes the round's joins, materializes the lazy
+        # checkpoint blocks (jumped, and on round 0 base + the init
+        # labels, all in this job's lineage), and returns the changed
+        # count, where the eager shape paid a separate checkpoint job
+        # per frame first (guide §5: serialized driver actions are the
+        # cost on metadata-sized frames)
         changed = jumped.filter(
             F.col("component") != F.col("__old")
         ).count()
+        if rnd == 0:
+            # base is materialized now — the edge-pipeline cache has no
+            # further consumer
+            _release(e1)
         # the previous round's checkpoint (and, first round, the init
         # labels) are superseded now that `jumped` is materialized
         _release(prev_ckpt)
