@@ -36,8 +36,15 @@ def eager_checkpoint(df: DataFrame) -> DataFrame:
 
     caller_owned = df.storageLevel != StorageLevel.NONE
     cached = df if caller_owned else df.persist()
-    cached.count()
-    out = cached.localCheckpoint(eager=True)
+    # fused materialization: the lazy checkpoint truncates lineage
+    # immediately, and the count job computes the plan THROUGH the
+    # cache (InMemoryTableScan populates it, along with any persist
+    # markers inside df's plan) while checkpointing the blocks as a
+    # side effect — one action instead of count-then-checkpoint (the
+    # serialized second job was pure scheduler latency on these
+    # metadata-sized frames)
+    out = cached.localCheckpoint(eager=False)
+    out.count()
     if not caller_owned:
         cached.unpersist(blocking=False)
     return out
