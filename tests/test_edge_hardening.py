@@ -866,3 +866,50 @@ def test_eager_checkpoint_preserves_caller_cache(spark):
     # the caller's persist must survive the helper
     assert df.storageLevel != StorageLevel.NONE
     df.unpersist()
+
+def test_eager_checkpoint_single_fused_action(spark):
+    """The r11 fusion contract: eager_checkpoint runs ONE job (the
+    count materializes the lazy checkpoint — no separate checkpoint
+    job), truncates lineage to an RDD scan, and releases its temp
+    cache. A regression back to count-then-eager-checkpoint doubles
+    the job count for this shuffle-free frame."""
+    from pyspark import StorageLevel
+
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    sc = spark.sparkContext
+
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            return fn(), len(
+                sc.statusTracker().getJobIdsForGroup(group)
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+
+    df = spark.range(1_000).selectExpr("id", "id * 2 AS v")
+    out, n_fused = jobs_in("eager-ckpt-fused", lambda: eager_checkpoint(df))
+
+    # the pre-fusion shape for comparison: count to materialize the
+    # cache, THEN a separate eager checkpoint job
+    def old_shape():
+        df2 = spark.range(1_000).selectExpr("id", "id * 2 AS v")
+        cached = df2.persist()
+        cached.count()
+        o = cached.localCheckpoint(eager=True)
+        cached.unpersist(blocking=False)
+        return o
+
+    _, n_old = jobs_in("eager-ckpt-old", old_shape)
+    # the fusion must save the standalone checkpoint job (AQE may add
+    # stage jobs to BOTH shapes equally; the relative claim is stable)
+    assert n_fused < n_old, f"fused {n_fused} jobs vs old {n_old}"
+    # lineage truncated: the returned plan is an RDD scan, not the query
+    assert "LogicalRDD" in out._jdf.queryExecution().analyzed().toString()
+    # the helper's temporary persist is released
+    assert df.storageLevel == StorageLevel.NONE
+    assert out.count() == 1_000
