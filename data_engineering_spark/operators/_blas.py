@@ -22,8 +22,17 @@ from __future__ import annotations
 import contextlib
 import ctypes
 import re
+import threading
 
 _LIB = None  # (set_fn, get_fn) once resolved; False = unavailable
+
+# the BLAS pool size is PROCESS-global: concurrent scopes (e.g. the
+# IVF and PQ trainings overlapped from two driver threads) must not
+# race the save/restore — the first scope in pins 1, the last one out
+# restores the original, nested/overlapping entries just ride along
+_GUARD = threading.Lock()
+_DEPTH = 0
+_PREV: int | None = None
 
 
 def _resolve():
@@ -62,7 +71,9 @@ def _resolve():
 @contextlib.contextmanager
 def single_thread_blas():
     """Pin the process BLAS pool to one thread for the scope, restoring
-    the previous setting after. No-op when OpenBLAS isn't resolvable
+    the previous setting after the OUTERMOST scope exits (reentrant and
+    thread-safe — overlapping driver-side trainings share the pin
+    without racing the restore). No-op when OpenBLAS isn't resolvable
     (other BLAS builds keep their defaults — correctness is unaffected
     either way; this is purely a driver-latency control)."""
     lib = _resolve()
@@ -70,9 +81,16 @@ def single_thread_blas():
         yield
         return
     setf, getf = lib
-    prev = getf()
-    setf(1)
+    global _DEPTH, _PREV
+    with _GUARD:
+        if _DEPTH == 0:
+            _PREV = getf()
+            setf(1)
+        _DEPTH += 1
     try:
         yield
     finally:
-        setf(prev)
+        with _GUARD:
+            _DEPTH -= 1
+            if _DEPTH == 0 and _PREV is not None:
+                setf(_PREV)

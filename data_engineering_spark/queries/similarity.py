@@ -184,6 +184,26 @@ def _pq_codebooks_spark(
     return codebook_frame(spark, cb)
 
 
+def _dual_quantizers(
+    spark: SparkSession, e: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids_df, codebooks_df) for the IVF-PQ queries, trained
+    CONCURRENTLY off ONE stride-sample collect: the coarse k-means and
+    the 16 sub-space k-means are independent driver-side numpy loops
+    (each under the reentrant single-thread-BLAS pin, operators/_blas),
+    so two driver threads hide the shorter training behind the longer
+    (guide: overlap independent work). Results are bit-identical to
+    sequential training — the two consume the same immutable sample
+    matrix and share no state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    s = _stride_sample_spark(e)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        cents_fut = pool.submit(_ivf_centroids_spark, spark, e, s)
+        cb = _pq_codebooks_spark(spark, e, sample=s)
+    return cents_fut.result(), cb
+
+
 _PQ_ORACLE_COMMON = """
     pqc AS (
       SELECT CAST((j - 1) // {k} AS INT) AS sub, (j - 1) % {k} AS code,
@@ -883,10 +903,10 @@ def q_embedding_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    cents_df, cb_df = _dual_quantizers(spark, e)
     cents, cb, encoded = build_ivf_pq_index(
         e, n_clusters=16, m=16, k_codes=64,
-        centroids_df=_ivf_centroids_spark(spark, e, sample=(s := _stride_sample_spark(e))),
-        codebooks=_pq_codebooks_spark(spark, e, sample=s),
+        centroids_df=cents_df, codebooks=cb_df,
     )
     return ivf_pq_topk(cents, cb, encoded, q, k=_K, n_probe=8)
 
@@ -1001,10 +1021,10 @@ def _ivfpq_encoded_fixture(
             build_ivf_pq_index,
         )
 
+        cents_df, cb_df = _dual_quantizers(spark, e)
         _cents, _cb, encoded = build_ivf_pq_index(
             e, n_clusters=16, m=16, k_codes=64,
-            centroids_df=_ivf_centroids_spark(spark, e),
-            codebooks=_pq_codebooks_spark(spark, e),
+            centroids_df=cents_df, codebooks=cb_df,
         )
         tmp = f"{path}.staging-{os.getpid()}"
         try:
@@ -1069,9 +1089,7 @@ def q_embedding_ivfpq_refine_serving(
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
-    sample = _stride_sample_spark(e)
-    cents = _ivf_centroids_spark(spark, e, sample=sample)
-    cb = _pq_codebooks_spark(spark, e, sample=sample)
+    cents, cb = _dual_quantizers(spark, e)
     encoded = _ivfpq_encoded_fixture(spark, e, sf_dir)
     return ivf_pq_topk(
         cents, cb, encoded, q, k=_K, n_probe=8,
@@ -1096,10 +1114,10 @@ def q_embedding_ivfpq_refine_topk(
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < _TOPK_QUERIES)
+    cents_df, cb_df = _dual_quantizers(spark, e)
     cents, cb, encoded = build_ivf_pq_index(
         e, n_clusters=16, m=16, k_codes=64,
-        centroids_df=_ivf_centroids_spark(spark, e, sample=(s := _stride_sample_spark(e))),
-        codebooks=_pq_codebooks_spark(spark, e, sample=s),
+        centroids_df=cents_df, codebooks=cb_df,
     )
     return ivf_pq_topk(
         cents, cb, encoded, q, k=_K, n_probe=8,
