@@ -140,68 +140,81 @@ def _cc_loop(e, base, e1, labels, prev_ckpt, max_iter, _release):
 
 
 def _cc_rounds(e, base, e1, labels, prev_ckpt, max_iter, _release):
-    for rnd in range(max_iter):
-        # step 1 — edge propagation: for each vertex, min label among
-        # its neighbors, then min(own, incoming)
-        incoming = (
-            e.join(labels, e["u"] == labels["vertex"])
-            .select(F.col("v").alias("vertex"), "component")
-            .groupBy("vertex")
-            .agg(F.min("component").alias("__inc"))
+    jumped = None
+    try:
+        for rnd in range(max_iter):
+            # step 1 — edge propagation: for each vertex, min label
+            # among its neighbors, then min(own, incoming)
+            incoming = (
+                e.join(labels, e["u"] == labels["vertex"])
+                .select(F.col("v").alias("vertex"), "component")
+                .groupBy("vertex")
+                .agg(F.min("component").alias("__inc"))
+            )
+            # carry the pre-round label as __old: the convergence check
+            # then reads it straight off the checkpointed result instead
+            # of re-joining against the previous labels frame (2 fewer
+            # stages per round)
+            prop = labels.join(incoming, "vertex", "left").select(
+                "vertex",
+                F.col("component").alias("__old"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce("__inc", F.col("component")),
+                ).alias("component"),
+            )
+            # step 2 — pointer jumping: component <- component[component].
+            # Plain propagation moves a label ONE hop per round (a
+            # k-vertex chain needs k rounds); the shortcut halves chain
+            # depth every round, giving the textbook O(log n) convergence
+            # that 100 TB pair graphs need.
+            a, b = prop.alias("a"), prop.alias("b")
+            jumped = a.join(
+                b, F.col("a.component") == F.col("b.vertex"), "left"
+            ).select(
+                F.col("a.vertex").alias("vertex"),
+                F.col("a.__old").alias("__old"),
+                F.least(
+                    F.col("a.component"),
+                    F.coalesce(F.col("b.component"), F.col("a.component")),
+                ).alias("component"),
+            ).localCheckpoint(eager=False)
+            # fused convergence probe: the count is the round's ONE
+            # action — it computes the round's joins, materializes the
+            # lazy checkpoint blocks (jumped, and on round 0 base + the
+            # init labels, all in this job's lineage), and returns the
+            # changed count, where the eager shape paid a separate
+            # checkpoint job per frame first (guide §5: serialized driver
+            # actions are the cost on metadata-sized frames)
+            changed = jumped.filter(
+                F.col("component") != F.col("__old")
+            ).count()
+            if rnd == 0:
+                # base is materialized now — the edge-pipeline cache has
+                # no further consumer
+                _release(e1)
+            # the previous round's checkpoint (and, first round, the init
+            # labels) are superseded now that `jumped` is materialized
+            _release(prev_ckpt)
+            prev_ckpt = jumped
+            labels = jumped.select("vertex", "component")
+            if changed == 0:
+                _release(base)
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        # carry the pre-round label as __old: the convergence check then
-        # reads it straight off the checkpointed result instead of
-        # re-joining against the previous labels frame (2 fewer stages
-        # per round)
-        prop = labels.join(incoming, "vertex", "left").select(
-            "vertex",
-            F.col("component").alias("__old"),
-            F.least(
-                F.col("component"), F.coalesce("__inc", F.col("component"))
-            ).alias("component"),
-        )
-        # step 2 — pointer jumping: component <- component[component].
-        # Plain propagation moves a label ONE hop per round (a k-vertex
-        # chain needs k rounds); the shortcut halves chain depth every
-        # round, giving the textbook O(log n) convergence that 100 TB
-        # pair graphs need.
-        a, b = prop.alias("a"), prop.alias("b")
-        jumped = a.join(
-            b, F.col("a.component") == F.col("b.vertex"), "left"
-        ).select(
-            F.col("a.vertex").alias("vertex"),
-            F.col("a.__old").alias("__old"),
-            F.least(
-                F.col("a.component"),
-                F.coalesce(F.col("b.component"), F.col("a.component")),
-            ).alias("component"),
-        ).localCheckpoint(eager=False)
-        # fused convergence probe: the count is the round's ONE action —
-        # it computes the round's joins, materializes the lazy
-        # checkpoint blocks (jumped, and on round 0 base + the init
-        # labels, all in this job's lineage), and returns the changed
-        # count, where the eager shape paid a separate checkpoint job
-        # per frame first (guide §5: serialized driver actions are the
-        # cost on metadata-sized frames)
-        changed = jumped.filter(
-            F.col("component") != F.col("__old")
-        ).count()
-        if rnd == 0:
-            # base is materialized now — the edge-pipeline cache has no
-            # further consumer
-            _release(e1)
-        # the previous round's checkpoint (and, first round, the init
-        # labels) are superseded now that `jumped` is materialized
+    except BaseException:
+        # hygiene on every raise path (ADVICE r11): release the last
+        # superseded checkpoint AND the in-flight round frame — their
+        # persist-marked RDDs hold blocks clearCache cannot free
+        # (unpersist on an already-released frame is a no-op, so the
+        # non-convergence path above double-releasing prev_ckpt here is
+        # harmless). base + e1 release in _cc_loop's handler.
         _release(prev_ckpt)
-        prev_ckpt = jumped
-        labels = jumped.select("vertex", "component")
-        if changed == 0:
-            _release(base)
-            return labels
-    _release(prev_ckpt)
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
-    )
+        if jumped is not None and jumped is not prev_ckpt:
+            _release(jumped)
+        raise
 
 
 def dedup_clusters(
@@ -309,11 +322,21 @@ def pagerank(
 
     Returns (vertex, rank); ranks sum to 1 (dangling + teleport mass
     is redistributed uniformly each round). Fixed n_iter rather than a
-    convergence probe — the only per-round action is the checkpoint
-    materialization itself; the global residual scalar rides into the
-    update as a broadcast one-row cross join, never a driver collect.
-    Same localCheckpoint hygiene as connected_components (lineage
-    truncated, superseded blocks released).
+    convergence probe — and because the iteration count is fixed, NO
+    per-round driver action is needed at all: every round's checkpoint
+    is a lazy mark (lineage truncates to an RDD scan at creation,
+    keeping plan depth constant), and ONE count after the loop
+    materializes the whole chain in a single job (the §9/§10
+    lazy-checkpoint fusion from OPTIMIZATION_r11, extended from
+    1-deep to n_iter-deep — VERDICT r11 #4). The global residual
+    scalar rides into the update as a broadcast one-row cross join,
+    never a driver collect. Superseded round blocks release only
+    AFTER the final count materializes them (releasing an
+    unmaterialized localCheckpoint mark clears its storage level
+    before materialization — the unpersist-ordering hazard r11
+    documented); each round's blocks are vertex-sized and
+    disk-spillable, so holding n_iter of them until the end is
+    bounded by the vertex set, not the edge set.
 
     Cross-engine determinism: the per-source weight totals accumulate
     in DECIMAL and the per-vertex contributions in FIXED-POINT BIGINT
@@ -348,11 +371,14 @@ def pagerank(
             wcol.alias("w"),
         )
     )
+    # lazy mark + count: the count job materializes the checkpoint
+    # through the optimized path AND returns n — one action, not two
+    # (the §10 eager_checkpoint fusion)
     verts = (
         ed.select(F.col("src").alias("vertex"))
         .union(ed.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = verts.count()
     out = (
@@ -370,10 +396,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ed.unpersist(blocking=False)
+    # init ranks: a narrow constant projection over the verts
+    # checkpoint — nothing to truncate, no checkpoint needed
     ranks = verts.select(
         "vertex", (F.lit(1.0) / F.lit(float(n))).alias("rank")
-    ).localCheckpoint(eager=True)
-    prev = ranks
+    )
+    # superseded round frames, released ONLY after the final count
+    # materializes the chain (see docstring)
+    pending: list[DataFrame] = []
     for _ in range(n_iter):
         contrib = (
             out.join(ranks, out["src"] == ranks["vertex"])
@@ -420,13 +450,19 @@ def pagerank(
                     + F.col("__res")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        pending.append(ranks)
+    # ONE action materializes all n_iter lazily-chained rounds (round
+    # k's RDD computes round k-1's as a side effect), then the
+    # superseded rounds' blocks are safe to drop — only the returned
+    # frame keeps its checkpoint
+    ranks.count()
+    for frame in pending[:-1]:
         try:
-            prev.unpersist(blocking=False)
+            frame.unpersist(blocking=False)
         except Exception:
             pass
-        prev = ranks
     out.unpersist(blocking=False)
     # verts' checkpoint blocks fed every round but the returned ranks
     # no longer reference them — keeping them alive per call is the

@@ -357,6 +357,7 @@ def turn_token_counts(
     role_col: str = "role",
     text_col: str = "turn_text",
     max_turns: int = SFT_MAX_TURNS,
+    release_cache: bool = False,
 ) -> DataFrame:
     """(conv_id, turn_idx, role, n_words, n_bpe_tokens): real BPE
     token counts per TURN under the trained merge list — the
@@ -371,7 +372,17 @@ def turn_token_counts(
     rejects non-numeric id columns at plan time, and a row-level
     assert_true guard fails the job loudly if any turn_idx falls
     outside [0, width) — a silent violation would fold token counts
-    into the WRONG conversation (ADVICE r10)."""
+    into the WRONG conversation (ADVICE r10).
+
+    Cache hygiene (VERDICT r11 #6): the internal turn projection is a
+    LAZY localCheckpoint, not a catalog persist — identical block
+    sharing across the three scans of the consumer's action, but the
+    blocks are ContextCleaner-owned, so they free automatically once
+    the returned frame is dropped instead of pinning one catalog
+    entry per call forever. ``release_cache=True`` additionally
+    materializes the result eagerly and drops the projection blocks
+    before returning (the conversation_dedup contract) for callers
+    that hold results long-term."""
     from pyspark.sql.types import NumericType
 
     from data_engineering_spark.operators.bpe import (
@@ -390,20 +401,21 @@ def turn_token_counts(
     width = max_turns + 1  # composite stride: turn_idx < width
     # the projected turn frame feeds THREE scans of one action — the
     # (id, word) occurrence side, bpe_doc_token_counts' never-drop doc
-    # spine, and the role join-back below. Left lazy, each scan
+    # spine, and the role join-back below. Left un-marked, each scan
     # re-executes the caller's whole turn-synthesis subtree (measured
     # 0.8 s/scan at sf0.1 — the tokenize + slice + explode pipeline of
-    # synthesize_turns). Persist the 4-column projection once;
-    # catalog-tracked MEMORY_AND_DISK with the same session-carry /
-    # clearCache contract as text.ngram_jaccard_pairs' internals.
-    from pyspark import StorageLevel
-
+    # synthesize_turns). A lazy localCheckpoint marks the 4-column
+    # projection MEMORY_AND_DISK exactly like a persist (the three
+    # scans share one materialization) WITHOUT registering a catalog
+    # entry — so the blocks free via the ContextCleaner as soon as the
+    # caller drops the result, instead of leaking one pinned cache
+    # per call (VERDICT r11 #6).
     t = turns.select(
         F.col(conv_col).cast("long").alias("conv_id"),
         F.col(idx_col).cast("long").alias("turn_idx"),
         F.col(role_col).alias("role"),
         F.col(text_col).alias("turn_text"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     # assert_true returns NULL when the predicate holds and throws
     # otherwise; gating the composite id on its nullity forces the
     # check into the same projection with zero extra jobs.
@@ -430,7 +442,7 @@ def turn_token_counts(
     )
     # `div` is integral division on longs — exact at 64-bit id scale,
     # where floor(double / width) would lose precision (ADVICE r10).
-    return per_turn.select(
+    result = per_turn.select(
         F.expr(f"__tid div {width}").cast("long").alias("conv_id"),
         F.pmod("__tid", F.lit(width)).cast("long").alias("turn_idx"),
         "n_words",
@@ -439,6 +451,15 @@ def turn_token_counts(
         t.select("conv_id", "turn_idx", "role"),
         ["conv_id", "turn_idx"],
     )
+    if not release_cache:
+        return result
+    from data_engineering_spark.operators.materialize import (
+        eager_checkpoint,
+    )
+
+    out = eager_checkpoint(result)
+    t.unpersist()
+    return out
 
 
 def context_windows(
@@ -450,6 +471,7 @@ def context_windows(
     role_col: str = "role",
     text_col: str = "turn_text",
     max_turns: int = SFT_MAX_TURNS,
+    release_cache: bool = False,
 ) -> DataFrame:
     """(conv_id, turn_idx, role, n_bpe_tokens, window_id): split each
     conversation at TURN boundaries into consecutive windows sized by
@@ -471,7 +493,8 @@ def context_windows(
             f"budget_tokens must be positive: {budget_tokens}"
         )
     per_turn = turn_token_counts(
-        turns, merges, conv_col, idx_col, role_col, text_col, max_turns
+        turns, merges, conv_col, idx_col, role_col, text_col,
+        max_turns, release_cache=release_cache,
     )
     packed = pack_chunks(
         per_turn,
@@ -497,6 +520,7 @@ def conversation_token_counts(
     role_col: str = "role",
     text_col: str = "turn_text",
     max_turns: int = SFT_MAX_TURNS,
+    release_cache: bool = False,
 ) -> DataFrame:
     """(conv_id, n_turns, n_words, n_tokens, n_assistant_tokens): real
     BPE token counts per conversation under the trained merge list,
@@ -510,7 +534,8 @@ def conversation_token_counts(
     and the rollup re-aggregates by conversation with role from the
     turn index's parity-free role column join."""
     back = turn_token_counts(
-        turns, merges, conv_col, idx_col, role_col, text_col, max_turns
+        turns, merges, conv_col, idx_col, role_col, text_col,
+        max_turns, release_cache=release_cache,
     )
     return back.groupBy("conv_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_turns"),

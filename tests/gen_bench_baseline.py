@@ -28,6 +28,9 @@ WARM_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
+    from bench import _cpu_ticks
+
+    ticks0 = _cpu_ticks()
     spark = get_session(app_name="bench-guard-baseline")
     for name in HEADLINE:
         QUERIES[name](spark, WARM_DIR).write.format("noop").mode(
@@ -60,6 +63,24 @@ def main() -> None:
     from tests._host_probe import jvm_probe_sec
 
     out["__jvm_probe_sec__"] = round(jvm_probe_sec(spark), 4)
+    # steal gate (VERDICT r11 #8): refuse to write a baseline measured
+    # under co-tenant hypervisor steal — the min-merge ratchet protects
+    # against LOOSENING, but the idle-host probe entries (__probe_sec__
+    # / __jvm_probe_sec__) min-merge too and a steal-burst run can
+    # still land misleading per-query entries for NEW queries. Override
+    # with GEN_BASELINE_FORCE=1 only when the reading was verified by
+    # other means.
+    ticks1 = _cpu_ticks()
+    if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+        steal_pct = (
+            100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1])
+        )
+        if steal_pct > 0.2 and not os.environ.get("GEN_BASELINE_FORCE"):
+            raise SystemExit(
+                f"refusing to write baseline: run-wide steal_pct "
+                f"{steal_pct:.3f} > 0.2 (co-tenant noise; re-run on an "
+                "idle host or set GEN_BASELINE_FORCE=1)"
+            )
     path = os.path.join(os.path.dirname(__file__), "bench_guard_baseline.json")
     prior: dict[str, float] = {}
     if os.path.exists(path):

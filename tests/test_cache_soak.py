@@ -174,3 +174,73 @@ def test_cdc_pipeline_soak_storage_returns_to_baseline(spark):
     assert final <= baseline + 2, (  # same tolerance rationale as above
         f"CDC soak left blocks pinned: {final} vs baseline {baseline}"
     )
+
+
+def test_turn_token_counts_soak_on_distinct_frames(spark):
+    """turn_token_counts must not pin its internal turn-projection
+    blocks across repeated calls on DISTINCT turn frames, in its
+    DEFAULT configuration (VERDICT r11 #6 — distinct frames defeat
+    cache-key reuse, so a leak here adds one new block per call that
+    settle cannot free; the lazy-localCheckpoint projection frees via
+    the ContextCleaner once each call's result is dropped)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.sft import (
+        synthesize_turns,
+        turn_token_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = [("a", "b"), ("ab", "c")]
+    spark.catalog.clearCache()
+    baseline = _settle(spark, 0)
+
+    per_call = []
+    for k in range(N_CALLS):
+        # a per-call doc slice makes each turn frame plan-distinct —
+        # the leak mode the release contract exists for
+        turns = synthesize_turns(
+            docs.filter(F.col("doc_id") % 7 != k)
+        )
+        turn_token_counts(turns, merges).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        per_call.append(_blocks(spark))
+
+    steady = _settle(spark, per_call[0] + 2, tries=30)
+    assert steady <= per_call[0] + 2, (  # settled reading, see above
+        f"storage grows per call: {per_call} (settled {steady})"
+    )
+    spark.catalog.clearCache()
+    final = _settle(spark, baseline)
+    assert final <= baseline + 2, (
+        f"turn soak left blocks pinned: {final} vs {baseline}"
+    )
+
+
+def test_cc_failure_path_releases_all_marked_frames(spark):
+    """A mid-loop connected_components failure (non-convergence raise)
+    must release EVERY persist-marked frame — including the lazily
+    marked init labels and the in-flight round frame (ADVICE r11).
+    Before the fix, the except path released only base and e1."""
+    import pytest
+
+    from data_engineering_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 12-vertex path graph needs ~4 pointer-jumping rounds; cap at 1
+    # so the loop raises mid-flight with a materialized round frame
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    spark.catalog.clearCache()
+    baseline = _settle(spark, 0)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+    final = _settle(spark, baseline)
+    assert final <= baseline, (
+        f"CC failure path left blocks pinned: {final} vs {baseline}"
+    )
