@@ -278,45 +278,61 @@ def q_corpus_training_mix(
         capped, stages = curate_corpus(
             d, score_col="n_chars", near_dup="star"
         )
-        # same rationale for the funnel output: five stage rows and the
-        # whole mix tail hang off `capped` (a ≤cap_n·|source×lang|
-        # frame — tiny by construction), and the star-CC subtree above
-        # it is the expensive part of the plan
-        capped = eager_checkpoint(capped)
-        # s5 and s6 are referenced by EVERY downstream branch (their
-        # own stage rows, the mix demands, the cumulative-window
-        # selection, the packer, and the water-fill collect) — left
-        # lazy, the union action re-executed the decontamination n-gram
-        # scan and the classifier scoring subtree once per consumer
-        # (measured ~5x at sf0.1: 22 s → the checkpointed shape below;
-        # guide §5 "caching is worth it when a frame is reused and
-        # recomputation is expensive"). Both frames are attrition
-        # survivors of the already-tiny `capped` (≤ cap_n ×
-        # |source×lang| rows), so the checkpoints are metadata-sized.
+        # capped / s5 / s6 are each referenced by EVERY downstream
+        # branch (their stage rows, the mix demands, the cumulative-
+        # window selection, the packer) — left un-marked, the union
+        # action re-executed the decontamination n-gram scan and the
+        # classifier scoring subtree once per consumer (measured ~5x
+        # at sf0.1: 22 s in r11). All three are attrition survivors of
+        # the already-tiny cap stage (≤ cap_n × |source×lang| rows), so
+        # the checkpoints are metadata-sized. r12 fusion (guide §5 —
+        # serialized driver actions are the cost on metadata-sized
+        # frames): instead of THREE serialized eager_checkpoint counts,
+        # all three are LAZY marks and ONE count on s6 materializes the
+        # chain in a single job (capped's inputs — the star-CC labels
+        # checkpoint and the funnel's quality persist — are already
+        # materialized by the CC loop's own actions, so nothing
+        # expensive re-executes on the RDD path; decontaminate and the
+        # classifier broadcast their small sides EXPLICITLY, so the
+        # plan shape does not depend on AQE runtime stats).
+        capped = capped.localCheckpoint(eager=False)
         grams_fut.result()  # warm done (it races decontaminate's own
         # probe otherwise — same result, duplicated work)
-        s5 = eager_checkpoint(
-            decontaminate(capped, _eval_slice(d), n=_N)
-        )
+        s5 = decontaminate(
+            capped, _eval_slice(d), n=_N
+        ).localCheckpoint(eager=False)
         w = synthetic_weights(spark, _B, seed=_SEED, scale=_SCALE)
         gate = linear_classifier_score(
             s5, w, num_buckets=_B, bias=_BIAS, bucket_hash="md5"
         ).filter(F.col("label")).select("doc_id")
-        s6 = eager_checkpoint(s5.join(gate, "doc_id", "left_semi"))
+        s6 = s5.join(gate, "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
         counts = counts_fut.result()
+        # per6 (the classifier survivors with their token counts) rides
+        # the same lazy chain: it is the frame BOTH mix-tail consumers
+        # (the water-fill demands and the cumulative-window selection)
+        # read, and checkpointing it means they scan ~|s6| rows instead
+        # of re-joining the corpus-sized counts checkpoint twice
+        per6 = (
+            s6.select("doc_id", "source", "lang")
+            .join(counts, "doc_id")
+            .localCheckpoint(eager=False)
+        )
+        per6.count()  # the ONE materializing action for all four marks
 
-    per6 = s6.select("doc_id", "source", "lang").join(counts, "doc_id")
     demands = per6.groupBy("source").agg(
         F.sum("n_bpe_tokens").cast("long").alias("demand")
     )
-    # per-source allocation: metadata-sized collect + re-literalize,
-    # exactly the q_doc_token_budget_mix pattern (the water-fill
-    # window runs over the per-source aggregate, never the corpus)
-    alloc = spark.createDataFrame(
-        water_fill(
-            demands, "source", "demand", budget=_MIX_BUDGET
-        ).collect(),
-        "source string, demand long, alloc double",
+    # per-source allocation rides in the final action as a broadcast
+    # build instead of a serialized driver collect + re-literalize:
+    # the water-fill window runs over the per-source aggregate (8
+    # rows), its subtree reads the s6/counts checkpoints, and the
+    # broadcast-exchange job overlaps the union's other stages (r12 —
+    # one fewer driver round-trip; values identical, the allocation
+    # arithmetic is unchanged)
+    alloc = water_fill(
+        demands, "source", "demand", budget=_MIX_BUDGET
     )
     cw = (
         Window.partitionBy("source")
@@ -354,7 +370,12 @@ def q_corpus_training_mix(
     # goes empty at tiny scale (the stacked groupBy alone would drop
     # it; the oracle's UNION ALL emits 0-count rows).
     stage_sets: list[tuple[int, str, DataFrame]] = [
-        (0, "raw", d),
+        # raw = the counts checkpoint itself: bpe_doc_token_counts
+        # carries a never-drop doc spine, so its doc set IS the raw
+        # corpus — the branch reads the checkpoint instead of paying
+        # another documents parquet scan + join leg (guide §1.2:
+        # don't compute things you throw away)
+        (0, "raw", counts),
         (1, "exact_dedup", dict(stages)["exact_dedup"]),
         (2, "quality", dict(stages)["quality"]),
         (3, "near_dedup", dict(stages)["near_dedup"]),
