@@ -362,11 +362,57 @@ def phases_clusters(spark, sf_dir: str) -> dict[str, float]:
     return ph
 
 
+def phases_rrf(spark, sf_dir: str) -> dict[str, float]:
+    """q_doc_hybrid_rrf stages (VERDICT r11 #7): the lexical leg's
+    (doc, term) tf pass, the full lexical coordination ranking, the
+    exact-cosine vector leg, then the full fused query. The two legs
+    are independent single-pass subtrees that overlap inside the one
+    fused action, so full ≈ max(legs) + fuse is the at-floor
+    signature; full >> legs means the fusion re-executed a leg."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.fusion import (
+        coordination_rank,
+    )
+    from data_engineering_spark.operators.similarity import cosine_topk
+    from data_engineering_spark.operators.text import tokens
+    from data_engineering_spark.queries import QUERIES
+
+    ph: dict[str, float] = {}
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    words = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    t0 = time.perf_counter()
+    _noop(tf)
+    ph["tf_pass"] = round(time.perf_counter() - t0, 3)
+    qterms = (
+        words.filter(F.col("doc_id").isin(0, 1, 2, 3))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+    )
+    t0 = time.perf_counter()
+    _noop(coordination_rank(tf, qterms, topk=20))
+    ph["lex_leg"] = round(time.perf_counter() - t0, 3)
+    qvecs = e.filter(F.col("vec_id").isin(0, 1, 2, 3)).limit(4)
+    t0 = time.perf_counter()
+    _noop(cosine_topk(e, qvecs, k=20))
+    ph["vec_leg"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _noop(QUERIES["q_doc_hybrid_rrf"](spark, sf_dir))
+    ph["full"] = round(time.perf_counter() - t0, 3)
+    return ph
+
+
 PHASE_PROBES = {
     "q_doc_dsir_select": phases_dsir,
     "q_embedding_pq_topk": phases_pq,
     "q_doc_star_dedup_clusters": phases_star,
     "q_doc_dedup_clusters": phases_clusters,
+    "q_doc_hybrid_rrf": phases_rrf,
 }
 
 

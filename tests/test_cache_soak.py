@@ -177,12 +177,12 @@ def test_cdc_pipeline_soak_storage_returns_to_baseline(spark):
 
 
 def test_turn_token_counts_soak_on_distinct_frames(spark):
-    """turn_token_counts must not pin its internal turn-projection
-    blocks across repeated calls on DISTINCT turn frames, in its
-    DEFAULT configuration (VERDICT r11 #6 — distinct frames defeat
-    cache-key reuse, so a leak here adds one new block per call that
-    settle cannot free; the lazy-localCheckpoint projection frees via
-    the ContextCleaner once each call's result is dropped)."""
+    """turn_token_counts(release_cache=True) must not pin its internal
+    turn-projection persist across repeated calls on DISTINCT turn
+    frames (VERDICT r11 #6 — distinct frames defeat the session-carry
+    cache-key reuse the default persist exists for, so a leak here
+    adds one pinned catalog entry per call that settle cannot
+    free)."""
     from pyspark.sql import functions as F
 
     from data_engineering_spark.operators.sft import (
@@ -202,9 +202,9 @@ def test_turn_token_counts_soak_on_distinct_frames(spark):
         turns = synthesize_turns(
             docs.filter(F.col("doc_id") % 7 != k)
         )
-        turn_token_counts(turns, merges).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        turn_token_counts(
+            turns, merges, release_cache=True
+        ).write.format("noop").mode("overwrite").save()
         per_call.append(_blocks(spark))
 
     steady = _settle(spark, per_call[0] + 2, tries=30)

@@ -199,8 +199,13 @@ EXTRA_BUDGET = {
     "q_embedding_prototype_prune": 6,
     # classifier-gated funnel: same machinery as q_corpus_curated with
     # the Gopher scan swapped for the classifier's count shuffle +
-    # broadcast weight join; pure JVM end to end
-    "q_corpus_curated_classifier": 34,
+    # broadcast weight join; pure JVM end to end. 34 → 36 in r12: the
+    # exact-dedup persist (operators/curation.py) renders its stored
+    # build plan inside the InMemoryRelation — textual Exchange count
+    # rises while the executed exchanges FALL (the stage-report branch
+    # now reads cache; same rendering effect r11 recalibrated for
+    # q_doc_decontamination_stats)
+    "q_corpus_curated_classifier": 36,
     # round-7 BPE encode: (doc,word) count shuffle + distinct-vocab
     # agg + the word join back + doc re-agg + the id-spine left join;
     # the encode fold itself is expression-only (zero exchanges)
